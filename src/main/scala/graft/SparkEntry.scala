@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.p6._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or the
+  * §7.4 expansion surface) exercised against the driver's parquet corpus;
+  * [[oracleSql]] carries the DuckDB-equivalent SQL for the correctness
+  * gate. Column names are aligned on both sides (the driver hash-compares
+  * after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full P6 pipeline (normalize -> validate -> explode ->
+    * group -> phenopacket) over a workbook synthesized from the corpus.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pheno = Queries.phenotypeSheet(t(spark, dir, "documents"))
+    val geno = Queries.genotypeSheet(t(spark, dir, "part"))
+    val g = Mappers.mapGenotypeTable(geno)
+    val p = Mappers.mapPhenotypeTable(pheno)
+    import spark.implicits._
+    val bundles = Assemble.groupByPatient(
+      g.records, p.records,
+      spark.emptyDataset[DiseaseRecord].toDF(),
+      spark.emptyDataset[MeasurementRecord].toDF(),
+      spark.emptyDataset[BiosampleRecord].toDF())
+    Assemble.phenopackets(bundles)
+      .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

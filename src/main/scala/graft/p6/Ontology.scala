@@ -1,0 +1,179 @@
+package graft.p6
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The HPO ontology as two dimension tables plus a transitive-closure
+  * edge set (SURVEY.md §2.6). The reference holds the ontology as an
+  * in-memory term graph (hpotk); at Spark scale the idiomatic shape is
+  * broadcast dimension tables: ~18k terms is kilobytes against a 100 TB
+  * fact side, so every ontology check is a broadcast hash join — no
+  * shuffle of the fact table ever happens for validation.
+  *
+  * @param terms   (term_id, name, is_obsolete, alt_ids array<string>)
+  * @param edges   (child, parent) direct is_a edges
+  * @param closure (descendant, ancestor) transitive closure, ancestor
+  *                != descendant
+  */
+final case class Ontology(terms: DataFrame, edges: DataFrame, closure: DataFrame)
+
+object Ontology {
+
+  /** Parse an obographs-format hp.json (the format served by HPO GitHub
+    * releases, ref: src/P6/__main__.py:96-125) into the dimension tables.
+    * Spark-native: `spark.read.json` handles .json and .json.gz alike.
+    */
+  def fromObographs(spark: SparkSession, path: String): Ontology = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val graph = raw.select(explode(col("graphs")).as("g")).select(col("g.*"))
+
+    def shortId(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_extract(c, "([^/]+)$", 1), "_", ":")
+
+    val nodes = graph.select(explode(col("nodes")).as("n")).select(col("n.*"))
+    val hasDeprecated = nodes.schema.fields.exists(_.name == "meta") &&
+      nodes.select(col("meta.*")).schema.fields.exists(_.name == "deprecated")
+    val deprecatedCol =
+      if (hasDeprecated) coalesce(col("meta.deprecated"), lit(false))
+      else lit(false)
+    val terms = nodes
+      .select(shortId(col("id")).as("term_id"),
+        col("lbl").as("name"),
+        deprecatedCol.as("is_obsolete"),
+        lit(Array.empty[String]).as("alt_ids"))
+      .filter(col("term_id").startsWith("HP:"))
+
+    val edges = graph.select(explode(col("edges")).as("e"))
+      .filter(col("e.pred") === "is_a")
+      .select(shortId(col("e.sub")).as("child"), shortId(col("e.obj")).as("parent"))
+
+    Ontology(terms, edges, transitiveClosure(edges))
+  }
+
+  /** Build an ontology from in-memory rows (tests, fixtures). */
+  def fromRows(spark: SparkSession,
+      terms: Seq[(String, String, Boolean, Seq[String])],
+      edges: Seq[(String, String)]): Ontology = {
+    import spark.implicits._
+    val t = terms.toDF("term_id", "name", "is_obsolete", "alt_ids")
+    val e = edges.toDF("child", "parent")
+    Ontology(t, e, transitiveClosure(e))
+  }
+
+  /** Iterative join-to-fixpoint transitive closure over is_a edges —
+    * the one genuinely graph-shaped computation in the engine (J4,
+    * SURVEY.md §4.2). The ontology is small (~18k terms / depth < 20),
+    * so this runs in a handful of local iterations; the result is cached
+    * and broadcast into the fact-side joins.
+    */
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 40): DataFrame = {
+    // Semi-naive fixpoint: only join the newly-discovered frontier each
+    // round. Each iteration is "pinned" — rebuilt from its RDD with a
+    // clean schema — which truncates the logical plan (otherwise lineage
+    // grows superlinearly and the driver OOMs on plan bookkeeping) and
+    // sheds stale constraint attributes (Union constraint rewriting
+    // chokes on checkpointed plans that still carry them).
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out
+    }
+    val base = pin(edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
+      .distinct())
+    var closure = base
+    var frontier = base
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val next = pin(frontier.as("f")
+        .join(base.as("b"), col("f.ancestor") === col("b.descendant"))
+        .select(col("f.descendant").as("descendant"), col("b.ancestor").as("ancestor"))
+        .except(closure))
+      if (next.isEmpty) done = true
+      else {
+        closure = pin(closure.union(next))
+        frontier = next
+      }
+      i += 1
+    }
+    closure
+  }
+
+  /** J1-J3: per-row ontology checks on parsed phenotype records
+    * (ref: src/P6/mapper.py:380-397). One broadcast left join serves all
+    * three checks. `labels` carries the user-supplied label when the HPO
+    * cell had one (may be empty).
+    */
+  def termChecks(ont: Ontology, phenotypes: DataFrame,
+      labelCol: String = "__label"): DataFrame = {
+    val withLabel =
+      if (phenotypes.columns.contains(labelCol)) phenotypes
+      else phenotypes.withColumn(labelCol, lit(""))
+    val joined = withLabel.join(broadcast(ont.terms),
+      withLabel("HPO_ID") === ont.terms("term_id"), "left")
+
+    val notFound = joined.filter(col("term_id").isNull)
+      .select(lit("phenotype").as("sheet"), lit("ontology-check").as("step"),
+        lit("warning").as("level"),
+        concat(lit("Sheet 'phenotype': "), col("HPO_ID"),
+          lit(" not found in ontology")).as("message"))
+
+    val obsolete = joined.filter(coalesce(col("is_obsolete"), lit(false)))
+      .select(lit("phenotype").as("sheet"), lit("ontology-check").as("step"),
+        lit("warning").as("level"),
+        concat(lit("Sheet 'phenotype': "), col("HPO_ID"),
+          lit(" is obsolete; consider replacements: "),
+          concat_ws(",", col("alt_ids"))).as("message"))
+
+    val labelMismatch = joined.filter(
+      col("term_id").isNotNull && length(trim(col(labelCol))) > 0 &&
+        !(lower(trim(col(labelCol))) <=> lower(col("name"))))
+      .select(lit("phenotype").as("sheet"), lit("ontology-check").as("step"),
+        lit("warning").as("level"),
+        concat(lit("Sheet 'phenotype': label '"), trim(col(labelCol)),
+          lit("' does not match ontology name '"), col("name"),
+          lit("' for "), col("HPO_ID")).as("message"))
+
+    notFound.unionByName(obsolete).unionByName(labelMismatch)
+  }
+
+  val phenotypicAbnormalityRoot = "HP:0000118"
+
+  /** J4 batch validators (ref: src/P6/mapper.py:426-441):
+    *  - obsolete terms (error-level in batch mode),
+    *  - terms not under "Phenotypic abnormality" (HP:0000118),
+    *  - annotation propagation: no annotated term may be an ancestor of
+    *    another annotated term (within one sheet's term set).
+    */
+  def batchValidate(ont: Ontology, phenotypes: DataFrame): DataFrame = {
+    val ids = phenotypes.select(col("HPO_ID")).distinct()
+
+    val abnormalityDescendants = ont.closure
+      .filter(col("ancestor") === phenotypicAbnormalityRoot)
+      .select(col("descendant"))
+
+    val notAbnormality = ids
+      .join(broadcast(ont.terms), ids("HPO_ID") === ont.terms("term_id"), "left_semi")
+      .join(broadcast(abnormalityDescendants),
+        ids("HPO_ID") === abnormalityDescendants("descendant"), "left_anti")
+      .filter(col("HPO_ID") =!= phenotypicAbnormalityRoot)
+      .select(lit("phenotype").as("sheet"), lit("batch-validate").as("step"),
+        lit("error").as("level"),
+        concat(lit("Sheet 'phenotype': "), col("HPO_ID"),
+          lit(" is not a descendant of Phenotypic abnormality")).as("message"))
+
+    // annotated term that is an ancestor of another annotated term
+    val idsB = ids.withColumnRenamed("HPO_ID", "HPO_ID_2")
+    val propagation = ids
+      .join(broadcast(ont.closure), ids("HPO_ID") === col("ancestor"))
+      .join(idsB, col("descendant") === idsB("HPO_ID_2"), "left_semi")
+      .select(col("HPO_ID")).distinct()
+      .select(lit("phenotype").as("sheet"), lit("batch-validate").as("step"),
+        lit("error").as("level"),
+        concat(lit("Sheet 'phenotype': "), col("HPO_ID"),
+          lit(" is an ancestor of another annotated term")).as("message"))
+
+    notAbnormality.unionByName(propagation)
+  }
+}

@@ -1,0 +1,642 @@
+package graft.p6
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.P6Functions._
+
+/** The driver-facing query surface: one entry per operator from
+  * SURVEY.md §2 (P6 parity) plus the §7.4 expansion surface (dedup,
+  * text analysis, similarity search), each with a DuckDB oracle over
+  * the same parquet corpus (TESTDATA.md).
+  *
+  * Conventions shared with the oracles (the driver hash-compares after
+  * sorting columns by name):
+  *  - every query ends in a deterministic ORDER BY over a unique key;
+  *  - aggregates of doubles are round()ed (2-4 dp) so summation order
+  *    cannot flip the hash; raw parquet doubles pass through unrounded;
+  *  - integer aggregates are 64-bit on both sides (DuckDB sums are
+  *    CAST(... AS BIGINT) to avoid HUGEINT).
+  *
+  * P6 parity queries synthesize workbook "sheets" from the corpus with
+  * pure arithmetic on the keys, so the oracle can predict the mapper's
+  * output in closed form while the Spark side runs the REAL pipeline
+  * (normalize -> validate -> explode -> group).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ================================================================
+  // Synthesized sheets (deterministic functions of the corpus keys)
+  // ================================================================
+
+  /** Genotype sheet from `part`: every mapper path is exercised —
+    * k%89==0 rows carry an unknown zygosity token (row error, dropped),
+    * k%17==0 rows carry an HGVS/raw mismatch (warning, kept),
+    * k%4==2 rows have 2 zygosity tokens, k%3==2 rows 2 inheritance
+    * tokens (G1 zip-truncate explode).
+    */
+  def genotypeSheet(part: DataFrame): DataFrame = {
+    val k = col("p_partkey")
+    val c = (k % 22 + 1).cast("string")
+    part.select(
+      concat(lit("P"), (k % 211).cast("string")).as("genotype_patient_ID"),
+      concat(lit("u"), k.cast("string"), lit("@example.com")).as("contact_email"),
+      (k % 2).cast("string").as("phasing"),
+      c.as("chromosome"),
+      (k + 1).as("start_position"),
+      (k + 1).as("end_position"),
+      lit("A").as("reference"),
+      lit("G").as("alternate"),
+      col("p_brand").as("gene_symbol"),
+      concat(c, lit(":g."), (k + 1).cast("string"),
+        when(k % 17 === 0, "C>T").otherwise("A>G")).as("hgvsg"),
+      concat(lit("NM_"), k.cast("string"), lit(".1:c."),
+        (k + 1).cast("string"), lit("A>G")).as("hgvsc"),
+      lit("p.X").as("hgvsp"),
+      when(k % 89 === 0, "nope")
+        .otherwise(element_at(typedLit(Seq("het", "hom", "het/hom", "hemi")),
+          (k % 4 + 1).cast("int"))).as("zygosity"),
+      element_at(typedLit(Seq("inherited", "denovo", "inherited/denovo")),
+        (k % 3 + 1).cast("int")).as("inheritance"))
+  }
+
+  /** Phenotype sheet from `documents`: HPO cell shapes cover every F3
+    * branch — bare digits, HP: prefix, label+parens, case-insensitive
+    * prefix, whitespace, NAD skip rows (d%7==3) and unparseable rows
+    * (d%7==4).
+    */
+  def phenotypeSheet(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val z = (d % 43000).cast("string")
+    docs.select(
+      concat(lit("P"), (d % 223).cast("string")).as("phenotype_patient_ID"),
+      when(d % 7 === 0, concat(lit("HP:"), z))
+        .when(d % 7 === 1, z)
+        .when(d % 7 === 2, concat(lit("Myopia (HP:"), z, lit(")")))
+        .when(d % 7 === 3, lit("NAD"))
+        .when(d % 7 === 4, lit("???"))
+        .when(d % 7 === 5, concat(lit("hp"), z))
+        .otherwise(concat(lit(" "), z, lit(" "))).as("hpo_id"),
+      when(d % 3 === 0, (d % 365).cast("string"))
+        .when(d % 3 === 1, concat(lit("T"), (d % 365).cast("string")))
+        .otherwise(lit(null).cast("string")).as("date_of_observation"),
+      when(d % 2 === 0, "1").otherwise("no").as("status"))
+  }
+
+  // ================================================================
+  // Relational core (scan / filter / agg / join / window / top-k /
+  // semi-anti / set ops) — Catalyst handles pushdown + broadcast.
+  // ================================================================
+
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q2Revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private def q3NationRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  private def q4RegionYearRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("r_name"), col("o_year"))
+
+  private def q5TopOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private def q6TopKParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(100)
+
+  private def q7SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val without = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    without.crossJoin(withO)
+  }
+
+  private def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    sn.except(cn).agg(count(lit(1)).as("n_supplier_only"))
+      .crossJoin(sn.intersect(cn).agg(count(lit(1)).as("n_both")))
+      .crossJoin(sn.union(cn).distinct().agg(count(lit(1)).as("n_union")))
+  }
+
+  private def q9DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  private def q10EventsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-day event-time windows — the batch shape of the
+    * Structured Streaming aggregation (readStream + watermark share
+    * this exact plan).
+    */
+  private def q11EventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  // ================================================================
+  // P6 parity queries — the real pipeline vs a closed-form oracle
+  // ================================================================
+
+  private def p6Genotype(s: SparkSession, dir: String): DataFrame =
+    Mappers.mapGenotypeTable(genotypeSheet(t(s, dir, "part"))).records
+      .groupBy(col("genotype_patient_ID"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("zygosity") === "heterozygous", 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("zygosity") === "homozygous", 1L).otherwise(0L)).as("n_hom"))
+      .orderBy(col("genotype_patient_ID"))
+
+  private def p6Phenotype(s: SparkSession, dir: String): DataFrame =
+    Mappers.mapPhenotypeTable(phenotypeSheet(t(s, dir, "documents"))).records
+      .orderBy(col("phenotype_patient_ID"), col("HPO_ID"),
+        col("date_of_observation"), col("status"))
+
+  private def p6Bundles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Mappers.mapGenotypeTable(genotypeSheet(t(s, dir, "part")))
+    val p = Mappers.mapPhenotypeTable(phenotypeSheet(t(s, dir, "documents")))
+    val bundles = Assemble.groupByPatient(g.records, p.records,
+      s.emptyDataset[DiseaseRecord].toDF(),
+      s.emptyDataset[MeasurementRecord].toDF(),
+      s.emptyDataset[BiosampleRecord].toDF())
+    bundles.select(col("patient_id"),
+      size(col("genotype_records")).cast("long").as("n_genotypes"),
+      size(col("phenotype_records")).cast("long").as("n_phenotypes"))
+      .orderBy(col("patient_id"))
+  }
+
+  private def p6Issues(s: SparkSession, dir: String): DataFrame = {
+    val g = Mappers.mapGenotypeTable(genotypeSheet(t(s, dir, "part")))
+    val p = Mappers.mapPhenotypeTable(phenotypeSheet(t(s, dir, "documents")))
+    g.issues.unionByName(p.issues)
+      .groupBy(col("sheet"), col("step"), col("level"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("sheet"), col("step"), col("level"))
+  }
+
+  private def p6ScalarFns(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val z = (d % 43000).cast("string")
+    val timeCell = when(d % 5 === 0, lit(null).cast("string"))
+      .when(d % 5 === 1, col("n_chars").cast("string"))
+      .when(d % 5 === 2, concat(lit("T"), (d % 100).cast("string")))
+      .when(d % 5 === 3, concat(lit("  visit "), (d % 10).cast("string"), lit(" ")))
+      .otherwise(((d % 1000).cast("double") + 0.5).cast("string"))
+    val boolCell = element_at(typedLit(Seq("1", "true", "T", "no", "", "yes",
+      "Phased", "0", "f", "y", "maybe", "n")), (d % 12 + 1).cast("int"))
+    val hpoCell = when(d % 6 === 0, concat(lit("HP:"), z))
+      .when(d % 6 === 1, z)
+      .when(d % 6 === 2, concat(lit("Myopia (HP:"), z, lit(")")))
+      .when(d % 6 === 3, concat(lit("hp"), z))
+      .when(d % 6 === 4, lit("???"))
+      .otherwise(concat(lit(" "), z, lit(" ")))
+    t(s, dir, "documents").select(
+      d.as("doc_id"),
+      normalizeTimeLike(timeCell).as("time_norm"),
+      toBoolLike(boolCell).as("bool_norm"),
+      hpoCellToCurie(hpoCell).as("curie"),
+      hpoLabel(hpoCell).as("label"))
+      .orderBy(d)
+  }
+
+  private def p6ChromEmailHgvs(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val c = (k % 22 + 1).cast("string")
+    val chromCell = when(k % 4 === 0, c)
+      .when(k % 4 === 1, concat(lit("chr"), c))
+      .when(k % 4 === 2, concat(lit("CHR"), c))
+      .otherwise(lit(" X "))
+    val emailCell = when(k % 4 === 0, lit(null).cast("string"))
+      .when(k % 4 === 1, concat(lit(" u"), k.cast("string"), lit("@ex.com ")))
+      .when(k % 4 === 2, lit("nan"))
+      .otherwise(lit("bad@@x"))
+    val hgvsCell = when(k % 5 === 0, concat(lit("chr7:g."), (k + 1).cast("string"), lit("A>G")))
+      .when(k % 5 === 1, concat(lit("7:g."), (k + 1).cast("string"), lit("a>g")))
+      .when(k % 5 === 2, concat(lit("chrX:g."), (k + 1).cast("string"), lit("AC>GT")))
+      .when(k % 5 === 3, lit("oops"))
+      .otherwise(lit("chr_something"))
+    val email = emailOrDefault(emailCell)
+    t(s, dir, "part").select(
+      k.as("p_partkey"),
+      normalizeChromosome(chromCell).as("chrom"),
+      email.as("email"),
+      validEmail(email).as("email_ok"),
+      normalizeGExpression(hgvsCell).as("gnorm"))
+      .orderBy(k)
+  }
+
+  private def p6Headers(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("  "), col("p_type"), lit(" ("), col("p_brand"), lit("): ID"))
+    t(s, dir, "part")
+      .select(col("p_partkey"), normalizeHeader(raw).as("header"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** J4's transitive-closure machinery at corpus scale: a binary-tree
+    * is_a hierarchy over part keys (k -> k/2), closed to fixpoint, then
+    * histogrammed by ancestor count (= tree depth).
+    */
+  private def p6Closure(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val edges = t(s, dir, "part").filter(k >= 2)
+      .select(k.as("child"), (k / 2).cast("long").as("parent"))
+    Ontology.transitiveClosure(edges)
+      .groupBy(col("descendant")).agg(count(lit(1)).as("n_ancestors"))
+      .groupBy(col("n_ancestors")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_ancestors"))
+  }
+
+  // ================================================================
+  // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
+  // ================================================================
+
+  private def normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_uniq_text"),
+      countDistinct(md5(col("text"))).as("n_uniq_hash"))
+
+  private def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(normText)).as("n_fingerprints"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, tk => tk.isin(stopwords: _*))).cast("double")
+    t(s, dir, "documents")
+      .select(col("lang"), col("text"), nTok.as("n_tok"), (nStop / nTok).as("stop_ratio"),
+        length(col("text")).cast("double").as("len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("len")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") % 10).as("bucket"),
+        regexp_count(col("text"), lit("[a-z]+")).as("alpha_runs"),
+        regexp_count(col("text"), lit("[0-9]+")).as("digit_runs"),
+        length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).as("other_chars"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("alpha_runs")).as("n_alpha_runs"),
+        sum(col("digit_runs")).as("n_digit_runs"),
+        sum(col("other_chars")).as("n_other_chars"))
+      .orderBy(col("bucket"))
+
+  /** N-gram-free language ID heuristic: marker-word hit counts with a
+    * fixed priority tie-break (en > fr > de > es). The corpus text is
+    * synthetic, so this exercises the operator, not real linguistics.
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    def score(words: Seq[String]) = size(filter(toks, tk => tk.isin(words: _*)))
+    val en = score(Seq("the", "a", "and", "of", "to"))
+    val fr = score(Seq("le", "la", "les", "et", "des"))
+    val de = score(Seq("der", "die", "und", "das", "ein"))
+    val es = score(Seq("el", "los", "las", "y", "una"))
+    val predicted = when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+    t(s, dir, "documents")
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector —
+    * the exact baseline for ANN. The query side is a 1-row broadcast;
+    * the scan side stays fully parallel (no shuffle, no collect).
+    */
+  private def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(50)
+  }
+
+  // ================================================================
+  // Registry
+  // ================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_revenue_filter" -> (q2Revenue _),
+    "q3_nation_revenue" -> (q3NationRevenue _),
+    "q4_region_year_revenue" -> (q4RegionYearRevenue _),
+    "q5_top_order_per_customer" -> (q5TopOrderPerCustomer _),
+    "q6_topk_parts" -> (q6TopKParts _),
+    "q7_semi_anti_join" -> (q7SemiAnti _),
+    "q8_set_ops" -> (q8SetOps _),
+    "q9_distinct_counts" -> (q9DistinctCounts _),
+    "q10_events_agg" -> (q10EventsAgg _),
+    "q11_events_window" -> (q11EventsWindow _),
+    "p6_genotype_pipeline" -> (p6Genotype _),
+    "p6_phenotype_pipeline" -> (p6Phenotype _),
+    "p6_patient_bundles" -> (p6Bundles _),
+    "p6_issue_channel" -> (p6Issues _),
+    "p6_scalar_fns" -> (p6ScalarFns _),
+    "p6_chrom_email_hgvs" -> (p6ChromEmailHgvs _),
+    "p6_header_normalize" -> (p6Headers _),
+    "p6_ontology_closure" -> (p6Closure _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "text_quality" -> (textQuality _),
+    "token_stats" -> (tokenStats _),
+    "lang_id" -> (langId _),
+    "ann_cosine_topk" -> (annCosineTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q3_nation_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1""",
+    "q4_region_year_revenue" ->
+      """SELECT r_name, year(o_orderdate) AS o_year,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q5_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q6_topk_parts" ->
+      """SELECT l_partkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100""",
+    "q7_semi_anti_join" ->
+      """SELECT
+        CAST((SELECT count(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT)
+          AS n_without_orders,
+        CAST((SELECT count(*) FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS BIGINT)
+          AS n_with_orders""",
+    "q8_set_ops" ->
+      """SELECT
+        CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier
+          EXCEPT SELECT DISTINCT c_nationkey FROM customer)) AS BIGINT) AS n_supplier_only,
+        CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier
+          INTERSECT SELECT DISTINCT c_nationkey FROM customer)) AS BIGINT) AS n_both,
+        CAST((SELECT count(*) FROM (SELECT s_nationkey FROM supplier
+          UNION SELECT c_nationkey FROM customer)) AS BIGINT) AS n_union""",
+    "q9_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(*) AS n_rows FROM lineitem""",
+    "q10_events_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q11_events_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p6_genotype_pipeline" ->
+      """SELECT 'P' || CAST(p_partkey % 211 AS VARCHAR) AS genotype_patient_ID,
+        CAST(sum(CASE WHEN p_partkey % 4 = 2 AND p_partkey % 3 = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n_records,
+        CAST(sum(CASE WHEN p_partkey % 4 IN (0, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        CAST(sum(CASE WHEN p_partkey % 4 = 1 THEN 1
+          WHEN p_partkey % 4 = 2 AND p_partkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom
+        FROM part WHERE p_partkey % 89 <> 0
+        GROUP BY 1 ORDER BY 1""",
+    "p6_phenotype_pipeline" ->
+      """SELECT 'P' || CAST(doc_id % 223 AS VARCHAR) AS phenotype_patient_ID,
+        'HP:' || lpad(CAST(doc_id % 43000 AS VARCHAR), 7, '0') AS "HPO_ID",
+        CASE WHEN doc_id % 3 IN (0, 1) THEN 'T' || CAST(doc_id % 365 AS VARCHAR)
+          ELSE '' END AS date_of_observation,
+        doc_id % 2 = 0 AS status
+        FROM documents WHERE doc_id % 7 NOT IN (3, 4)
+        ORDER BY 1, 2, 3, 4""",
+    "p6_patient_bundles" ->
+      """WITH g AS (
+          SELECT 'P' || CAST(p_partkey % 211 AS VARCHAR) AS pid,
+            CAST(sum(CASE WHEN p_partkey % 4 = 2 AND p_partkey % 3 = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n
+          FROM part WHERE p_partkey % 89 <> 0 GROUP BY 1),
+        p AS (
+          SELECT 'P' || CAST(doc_id % 223 AS VARCHAR) AS pid,
+            CAST(count(*) AS BIGINT) AS n
+          FROM documents WHERE doc_id % 7 NOT IN (3, 4) GROUP BY 1)
+        SELECT COALESCE(g.pid, p.pid) AS patient_id,
+          COALESCE(g.n, 0) AS n_genotypes, COALESCE(p.n, 0) AS n_phenotypes
+        FROM g FULL JOIN p ON g.pid = p.pid ORDER BY 1""",
+    "p6_issue_channel" ->
+      """SELECT * FROM (VALUES
+          ('genotype', 'check-hgvs', 'warning',
+            (SELECT count(*) FROM part WHERE p_partkey % 89 <> 0 AND p_partkey % 17 = 0)),
+          ('genotype', 'parse-genotype-row', 'error',
+            (SELECT count(*) FROM part WHERE p_partkey % 89 = 0)),
+          ('phenotype', 'parse-phenotype-row', 'error',
+            (SELECT count(*) FROM documents WHERE doc_id % 7 = 4)),
+          ('phenotype', 'parse-phenotype-row', 'warning',
+            (SELECT count(*) FROM documents WHERE doc_id % 7 = 3))
+        ) t(sheet, step, level, n) WHERE n > 0 ORDER BY 1, 2, 3""",
+    "p6_scalar_fns" ->
+      """SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN ''
+          WHEN 1 THEN 'T' || CAST(n_chars AS VARCHAR)
+          WHEN 2 THEN 'T' || CAST(doc_id % 100 AS VARCHAR)
+          WHEN 3 THEN 'Tvisit ' || CAST(doc_id % 10 AS VARCHAR)
+          ELSE 'T' || CAST(doc_id % 1000 AS VARCHAR) END AS time_norm,
+        CASE doc_id % 12 WHEN 0 THEN true WHEN 1 THEN true WHEN 2 THEN true
+          WHEN 3 THEN false WHEN 4 THEN false WHEN 5 THEN true
+          WHEN 6 THEN true WHEN 7 THEN false WHEN 8 THEN false
+          WHEN 9 THEN true WHEN 10 THEN true ELSE false END AS bool_norm,
+        CASE WHEN doc_id % 6 = 4 THEN NULL
+          ELSE 'HP:' || lpad(CAST(doc_id % 43000 AS VARCHAR), 7, '0') END AS curie,
+        CASE WHEN doc_id % 6 = 2 THEN 'Myopia' ELSE '' END AS label
+        FROM documents ORDER BY doc_id""",
+    "p6_chrom_email_hgvs" ->
+      """SELECT p_partkey,
+        CASE p_partkey % 4
+          WHEN 0 THEN 'chr' || CAST(p_partkey % 22 + 1 AS VARCHAR)
+          WHEN 1 THEN 'chr' || CAST(p_partkey % 22 + 1 AS VARCHAR)
+          WHEN 2 THEN 'CHR' || CAST(p_partkey % 22 + 1 AS VARCHAR)
+          ELSE 'chrX' END AS chrom,
+        CASE p_partkey % 4
+          WHEN 0 THEN 'unknown@example.com'
+          WHEN 1 THEN 'u' || CAST(p_partkey AS VARCHAR) || '@ex.com'
+          WHEN 2 THEN 'unknown@example.com'
+          ELSE 'bad@@x' END AS email,
+        p_partkey % 4 <> 3 AS email_ok,
+        CASE p_partkey % 5
+          WHEN 0 THEN '7:g.' || CAST(p_partkey + 1 AS VARCHAR) || 'A>G'
+          WHEN 1 THEN '7:g.' || CAST(p_partkey + 1 AS VARCHAR) || 'A>G'
+          WHEN 2 THEN 'X:g.' || CAST(p_partkey + 1 AS VARCHAR) || 'AC>GT'
+          WHEN 3 THEN 'oops'
+          ELSE '_something' END AS gnorm
+        FROM part ORDER BY p_partkey""",
+    "p6_header_normalize" ->
+      """SELECT p_partkey,
+        lower(replace(regexp_replace(regexp_replace(
+          trim('  ' || p_type || ' (' || p_brand || '): ID'),
+          '\(.*?\)', '', 'g'), '\s+', '_', 'g'), ':', '')) AS header
+        FROM part ORDER BY p_partkey""",
+    "p6_ontology_closure" ->
+      """WITH RECURSIVE edges AS (
+          SELECT p_partkey AS c, p_partkey // 2 AS p FROM part WHERE p_partkey >= 2),
+        anc AS (
+          SELECT c AS d, p AS a FROM edges
+          UNION
+          SELECT anc.d, e.p FROM anc JOIN edges e ON anc.a = e.c)
+        SELECT n_ancestors, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+          SELECT d, CAST(count(*) AS BIGINT) AS n_ancestors FROM anc GROUP BY d)
+        GROUP BY 1 ORDER BY 1""",
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_uniq_text,
+        count(DISTINCT md5(text)) AS n_uniq_hash FROM documents""",
+    "dedup_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+          AS n_fingerprints
+        FROM documents""",
+    "text_quality" ->
+      """SELECT lang, count(*) AS n_docs,
+        round(avg(n_tok), 4) AS avg_tokens,
+        round(avg(stop_ratio), 4) AS avg_stop_ratio,
+        round(avg(len), 4) AS avg_chars
+        FROM (
+          SELECT lang,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+            CAST(length(text) AS DOUBLE) AS len
+          FROM documents)
+        GROUP BY 1 ORDER BY 1""",
+    "token_stats" ->
+      """SELECT doc_id % 10 AS bucket,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_alpha_runs,
+        CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_digit_runs,
+        CAST(sum(length(regexp_replace(text, '[a-z0-9\s]', '', 'g'))) AS BIGINT) AS n_other_chars
+        FROM documents GROUP BY 1 ORDER BY 1""",
+    "lang_id" ->
+      """SELECT lang, predicted, count(*) AS n FROM (
+          SELECT lang,
+            CASE
+              WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+              WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+              WHEN s_de >= s_es THEN 'de'
+              ELSE 'es' END AS predicted
+          FROM (
+            SELECT lang,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x IN ('the','a','and','of','to'))) AS s_en,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x IN ('le','la','les','et','des'))) AS s_fr,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x IN ('der','die','und','das','ein'))) AS s_de,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x IN ('el','los','las','y','una'))) AS s_es
+            FROM documents))
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+            (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        FROM embeddings, q
+        ORDER BY sim DESC, vec_id LIMIT 50""")
+}
