@@ -248,7 +248,7 @@ object P6Functions {
     c.isin(allowedChromEncodings: _*) || lower(c).startsWith("chr")
 
   def validPosition(c: Column): Column =
-    c.cast("long").isNotNull && c.cast("long") >= 0
+    c.try_cast("long").isNotNull && c.try_cast("long") >= 0
 
   def nonEmpty(c: Column): Column =
     c.isNotNull && length(trim(c.cast("string"))) > 0
@@ -279,8 +279,8 @@ object P6Functions {
     val chromCell = regexp_replace(lower(trim(chromosome.cast("string"))), "^chr", "")
     val chromHgvs = lower(trim(p.getField("chrom")))
     val pos = p.getField("pos")
-    val s = startPos.cast("long")
-    val e = endPos.cast("long")
+    val s = startPos.try_cast("long")
+    val e = endPos.try_cast("long")
     val snvMatches = (s === pos && e === pos) || (s === pos - 1 && e === pos)
     val consistent = chromCell === chromHgvs && snvMatches &&
       upper(trim(refAllele.cast("string"))) === p.getField("ref") &&

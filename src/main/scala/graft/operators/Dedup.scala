@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators for large-scale training-data
+  * pipelines (SURVEY.md §7.4). Everything is expressed as Catalyst
+  * column expressions + joins, so it distributes: no driver-side
+  * pairwise loops, no O(n^2) shuffle for the LSH path.
+  *
+  * Scale design (100 TB): the LSH candidate join shuffles only
+  * (band, key, id) tuples — a few dozen bytes per doc per band — and
+  * the verify join re-reads shingle sets only for the candidate pairs,
+  * which for near-dup-rate corpora is orders of magnitude smaller than
+  * the corpus itself. Brute-force Jaccard is provided as the oracle
+  * baseline for bounded subsets.
+  */
+object Dedup {
+
+  /** Whitespace tokens, lower-cased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct n-token shingles ("w1 w2 w3"). Documents shorter than n
+    * tokens collapse to a single whole-document shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** MinHash signature: numPerm independent permutations simulated by
+    * seeding xxhash64 with the permutation index (xxhash64 is Spark's
+    * codegen'd 64-bit hash; feeding the index as a leading column gives
+    * an independent hash family member per permutation).
+    */
+  def minhashSignature(sh: Column, numPerm: Int): Column =
+    array((0 until numPerm).map(p =>
+      array_min(transform(sh, s => xxhash64(lit(p), s)))): _*)
+
+  /** LSH banding: hash each band's slice of the signature to a bucket
+    * key. Docs sharing any (band, key) become candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))): _*)
+
+  /** MinHash signatures as a DataFrame op: explode shingles, hash each
+    * with numPerm codegen'd scalar xxhash64 columns, take per-perm mins
+    * in ONE partial-aggregated groupBy. This is the scale path — the
+    * expression form above re-evaluates the shingle array once per
+    * permutation through interpreted higher-order functions (measured
+    * ~40x slower), while this shape is whole-stage-codegen end to end
+    * with a single map-side-combined shuffle on the doc id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), shingleLen)).as("s"))
+    val hashed = exploded.select(col("id") +:
+      (0 until numPerm).map(p => xxhash64(lit(p), col("s")).as(s"h$p")): _*)
+    hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("h0"),
+        (1 until numPerm).map(p => min(col(s"h$p")).as(s"h$p")): _*)
+      .select(col("id"), array((0 until numPerm).map(p => col(s"h$p")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs (a < b) via MinHash + LSH.
+    * numPerm must be divisible by bands.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val sig = minhashSignatures(df, idCol, textCol, shingleLen, numPerm)
+    val buckets = sig
+      .select(col("id"), explode(lshBands(col("sig"), bands, numPerm / bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a pair table (a, b) —
+    * the verification stage after LSH candidate generation.
+    */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(tokens(col(textCol)), shingleLen).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over distinct tokens: per bit, tokens vote +/-1
+    * according to that bit of their xxhash64; the sign of the vote sum
+    * becomes the signature bit. Hamming-close signatures => similar docs.
+    */
+  def simhash64(toks: Column): Column = {
+    val dt = array_distinct(toks)
+    (0 until 64).map { b =>
+      val vote = aggregate(dt, lit(0),
+        (acc, tk) => acc + when(shiftright(xxhash64(tk), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x + y)
+  }
+
+  /** SimHash as a DataFrame op (the scale path): explode distinct
+    * tokens, hash once per row, take 64 codegen'd bit-vote sums in one
+    * partial-aggregated groupBy, reassemble the signature. Same result
+    * as [[simhash64]], one map-side-combined shuffle on the doc id.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tk"))
+      .select(col("id"), xxhash64(col("tk")).as("h"))
+    val votes = hashed.groupBy(col("id"))
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"v$b")): _*)
+    votes.select(col("id"),
+      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((x, y) => x + y).as("sig"))
+  }
+}

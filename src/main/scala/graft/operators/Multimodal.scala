@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): media as opaque
+  * `binary` columns with typed metadata, plus feature extraction.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic stub (hash-derived pseudo-features) — clearly marked —
+  * while the Spark-side plumbing is real: schema, per-partition batch
+  * processing (one "codec handle" per partition, the mapPartitions
+  * analog of a Pandas-UDF batch), frame sampling via binary slicing,
+  * and expression-only fast paths that stay inside codegen.
+  */
+object Multimodal {
+
+  val frameBytes = 256
+
+  /** Attach a binary media column + metadata struct to a text corpus
+    * (the corpus stand-in for image/audio payloads).
+    */
+  def withMedia(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("media")).as("byte_len"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height")))
+
+  /** Expression-only feature extraction — stays in whole-stage codegen:
+    * content hash, byte length, frame count (fixed-size chunking).
+    */
+  def mediaFeatures(withMediaDf: DataFrame): DataFrame =
+    withMediaDf.select(
+      col("doc_id"),
+      col("media_meta.byte_len").as("byte_len"),
+      md5(col("media")).as("content_hash"),
+      expr(s"(octet_length(media) + ${frameBytes - 1}) div $frameBytes")
+        .as("n_frames"))
+
+  /** Frame sampling: split the payload into fixed-size chunks and hash
+    * each — the shape of a video frame-sampler (binary in, array of
+    * per-frame features out), still pure expressions.
+    */
+  def frameHashes(withMediaDf: DataFrame): DataFrame =
+    withMediaDf.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0),
+          expr(s"(octet_length(media) + ${frameBytes - 1}) div $frameBytes - 1")),
+        i => md5(substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+        .as("frame_hashes"))
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** STUB DECODER — per-partition batch decode, the Scala analog of a
+    * Pandas UDF over mapInPandas: one "codec" is initialized per
+    * partition and reused across the batch (this is where a real
+    * libjpeg/ffmpeg handle would live). The decode itself is a
+    * deterministic fake: features derived from the raw bytes.
+    */
+  def decodeStub(withMediaDf: DataFrame): DataFrame = {
+    val spark = withMediaDf.sparkSession
+    val input = withMediaDf.select(col("doc_id"), col("media"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      // per-partition "codec" init (a real decoder handle at scale)
+      val codec = new PseudoCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val f = codec.decode(bytes)
+        Row(id, bytes.length, f._1, f._2)
+      }
+    }
+    spark.createDataFrame(rdd, decodeSchema)
+  }
+
+  /** Deterministic stand-in for a media codec. */
+  final class PseudoCodec {
+    def decode(bytes: Array[Byte]): (Int, Double) = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      val channels = 1 + (bytes.length % 3)
+      val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+      (channels, mean)
+    }
+  }
+}

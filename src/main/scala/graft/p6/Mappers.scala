@@ -61,8 +61,8 @@ object Mappers {
     val badInh = filter(inhTokens, t => decodeInheritance(t).isNull)
     val chromNorm = normalizeChromosome(col("chromosome"))
     val email = emailOrDefault(col("contact_email"))
-    val startL = col("start_position").cast("long")
-    val endL = col("end_position").cast("long")
+    val startL = col("start_position").try_cast("long")
+    val endL = col("end_position").try_cast("long")
     val consistency = hgvsConsistency(col("hgvsg"), col("chromosome"),
       col("start_position"), col("end_position"), col("reference"), col("alternate"))
 
@@ -221,7 +221,7 @@ object Mappers {
       d => d.select(
         col("patient_ID").cast("string").as("patient_ID"),
         trim(col("measurement_type").cast("string")).as("measurement_type"),
-        col("measurement_value").cast("double").as("measurement_value"),
+        col("measurement_value").try_cast("double").as("measurement_value"),
         trim(col("measurement_unit").cast("string")).as("measurement_unit"),
         when(normalizeTimeLike(col("measurement_timestamp")) === "", lit(null))
           .otherwise(normalizeTimeLike(col("measurement_timestamp")))

@@ -79,22 +79,22 @@ object Ontology {
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out
     }
-    val base = pin(edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
+    // Pointer doubling: closure_{2k} = closure_k ∪ (closure_k ⋈ closure_k),
+    // so a depth-D hierarchy converges in ceil(log2 D) rounds instead of
+    // D — each round is one self-join, and every round's driver-side
+    // isEmpty barrier is a full Spark job, so halving the round count
+    // matters more than the slightly larger joins.
+    var closure = pin(edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
       .distinct())
-    var closure = base
-    var frontier = base
     var i = 0
     var done = false
     while (!done && i < maxIters) {
-      val next = pin(frontier.as("f")
-        .join(base.as("b"), col("f.ancestor") === col("b.descendant"))
+      val next = pin(closure.as("f")
+        .join(closure.as("b"), col("f.ancestor") === col("b.descendant"))
         .select(col("f.descendant").as("descendant"), col("b.ancestor").as("ancestor"))
         .except(closure))
       if (next.isEmpty) done = true
-      else {
-        closure = pin(closure.union(next))
-        frontier = next
-      }
+      else closure = pin(closure.union(next))
       i += 1
     }
     closure

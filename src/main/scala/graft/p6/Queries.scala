@@ -305,6 +305,140 @@ object Queries {
       .orderBy(col("n_ancestors"))
   }
 
+  /** Disease sheet from `orders` — passthrough mapper with a nullable
+    * label (ref: src/P6/mapper.py:643-677).
+    */
+  def diseaseSheet(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    orders.select(
+      concat(lit("P"), (k % 211).cast("string")).as("patient_ID"),
+      concat(lit("OMIM:"), (k % 5000 + 100000).cast("string")).as("disease_term"),
+      when(k % 4 === 0, lit("")).otherwise(concat(lit("Cond "), (k % 5000).cast("string")))
+        .as("disease_label"),
+      (k % 80).cast("string").as("disease_onset"),
+      when(k % 3 === 0, "1").otherwise("no").as("disease_status"))
+  }
+
+  /** Measurement sheet from `events` — e%13==0 rows carry an
+    * unparseable value (F14 error path).
+    */
+  def measurementSheet(events: DataFrame): DataFrame = {
+    val e = col("event_id")
+    events.select(
+      concat(lit("P"), (col("user_id") % 97).cast("string")).as("patient_ID"),
+      col("event_type").as("measurement_type"),
+      when(e % 13 === 0, lit("abc")).otherwise(col("value").cast("string"))
+        .as("measurement_value"),
+      lit("mg").as("measurement_unit"),
+      when(e % 5 === 0, lit(null).cast("string"))
+        .otherwise((e % 365).cast("string")).as("measurement_timestamp"))
+  }
+
+  def biosampleSheet(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(
+      concat(lit("P"), (k % 211).cast("string")).as("patient_ID"),
+      concat(lit("B"), k.cast("string")).as("biosample_id"),
+      element_at(typedLit(Seq("blood", "saliva", "tissue")), (k % 3 + 1).cast("int"))
+        .as("biosample_type"),
+      (k % 50).cast("string").as("collection_date"))
+  }
+
+  private def p6Disease(s: SparkSession, dir: String): DataFrame =
+    Mappers.mapDiseaseTable(diseaseSheet(t(s, dir, "orders"))).records
+      .orderBy(col("patient_ID"), col("disease_term"), col("disease_onset"),
+        col("disease_status"))
+
+  private def p6Measurement(s: SparkSession, dir: String): DataFrame =
+    Mappers.mapMeasurementTable(measurementSheet(t(s, dir, "events"))).records
+      .orderBy(col("patient_ID"), col("measurement_type"), col("measurement_value"),
+        col("measurement_timestamp").asc_nulls_last)
+
+  private def p6Biosample(s: SparkSession, dir: String): DataFrame =
+    Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier"))).records
+      .orderBy(col("biosample_id"))
+
+  /** Synthetic ontology over the part keys: term HP:%07d per key,
+    * every 31st obsolete, is_a edges k -> k/2 (binary tree).
+    */
+  private def partOntologyTerms(part: DataFrame): DataFrame = {
+    val k = col("p_partkey")
+    part.select(
+      concat(lit("HP:"), lpad(k.cast("string"), 7, "0")).as("term_id"),
+      concat(lit("Term "), k.cast("string")).as("name"),
+      (k % 31 === 0).as("is_obsolete"),
+      array(concat(lit("HP:"), lpad((k + 1).cast("string"), 7, "0"))).as("alt_ids"))
+  }
+
+  private def partOntologyEdges(part: DataFrame): DataFrame = {
+    val k = col("p_partkey")
+    part.filter(k >= 2).select(
+      concat(lit("HP:"), lpad(k.cast("string"), 7, "0")).as("child"),
+      concat(lit("HP:"), lpad((k / 2).cast("long").cast("string"), 7, "0")).as("parent"))
+  }
+
+  /** Phenotype records (with the raw cell label where present) aimed at
+    * the part-derived ontology, for J1-J4.
+    */
+  private def ontologyPhenotypes(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.filter(!(d % 7).isin(3, 4)).select(
+      concat(lit("P"), (d % 223).cast("string")).as("phenotype_patient_ID"),
+      concat(lit("HP:"), lpad((d % 43000).cast("string"), 7, "0")).as("HPO_ID"),
+      lit("T1").as("date_of_observation"),
+      lit(true).as("status"),
+      when(d % 7 === 2, "Myopia").otherwise("").as("__label"))
+  }
+
+  /** J1-J3: existence / obsolete / label-match warnings from one
+    * broadcast join against the ontology dimension.
+    */
+  private def p6TermChecks(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val ont = Ontology(partOntologyTerms(part), partOntologyEdges(part),
+      partOntologyEdges(part).limit(0)
+        .select(col("child").as("descendant"), col("parent").as("ancestor")))
+    val issues = Ontology.termChecks(ont, ontologyPhenotypes(t(s, dir, "documents")))
+    issues.filter(col("message").contains("not found"))
+      .agg(count(lit(1)).as("n_not_found"))
+      .crossJoin(issues.filter(col("message").contains("is obsolete"))
+        .agg(count(lit(1)).as("n_obsolete")))
+      .crossJoin(issues.filter(col("message").contains("does not match"))
+        .agg(count(lit(1)).as("n_label_mismatch")))
+  }
+
+  /** J4: phenotypic-abnormality subtree + annotation-propagation checks
+    * against the transitive closure of the part-tree ontology. Root =
+    * HP:0000118 (= part key 118).
+    */
+  private def p6BatchValidate(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val edges = partOntologyEdges(part)
+    val ont = Ontology(partOntologyTerms(part), edges, Ontology.transitiveClosure(edges))
+    val issues = Ontology.batchValidate(ont, ontologyPhenotypes(t(s, dir, "documents")))
+    issues.filter(col("message").contains("not a descendant"))
+      .agg(count(lit(1)).as("n_not_abnormality"))
+      .crossJoin(issues.filter(col("message").contains("is an ancestor"))
+        .agg(count(lit(1)).as("n_propagation")))
+  }
+
+  /** Sessionization (30-min inactivity gap) — the batch shape of the
+    * flatMapGroupsWithState streaming sessionizer.
+    */
+  private def q12Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L, 1L)
+          .otherwise(0L))
+      .groupBy((col("user_id") % 50).as("bucket"))
+      .agg(sum(col("is_new")).as("n_sessions"))
+      .orderBy(col("bucket"))
+  }
+
   // ================================================================
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
@@ -391,6 +525,61 @@ object Queries {
       .limit(50)
   }
 
+  /** Brute-force n-gram Jaccard over a bounded prefix of the corpus —
+    * the exact baseline the LSH path approximates. Integer bucket math
+    * ((10*|∩|) div |∪|) keeps the histogram float-free.
+    */
+  private def ngramJaccardHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select((size(array_intersect(col("a.sh"), col("b.sh"))) * 10).cast("long").as("i10"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("u"))
+      .select(expr("i10 div u").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** MinHash + LSH near-dup summary (no SQL oracle — xxhash64 has no
+    * DuckDB equivalent; the driver records a rows-only check).
+    */
+  private def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text")
+    verified.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
+      round(coalesce(max(col("jaccard")), lit(0.0)), 4).as("max_jaccard"))
+  }
+
+  /** SimHash bucket histogram (no SQL oracle — xxhash64-based). */
+  private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(shiftrightunsigned(col("sig"), 48).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .groupBy(col("n_docs").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size"))
+  }
+
+  /** Multimodal: binary media column + codegen-only feature extraction
+    * (SURVEY.md §7.4; decode stub exercised in MultimodalSpec).
+    */
+  private def mediaFeatureStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val feats = Multimodal.mediaFeatures(Multimodal.withMedia(t(s, dir, "documents")))
+      .withColumn("bucket", col("doc_id") % 10)
+    feats.groupBy(col("bucket"))
+      .agg(sum(col("byte_len").cast("long")).as("total_bytes"),
+        countDistinct(col("content_hash")).as("n_uniq_media"),
+        sum(col("n_frames")).as("n_frames"))
+      .orderBy(col("bucket"))
+  }
+
   // ================================================================
   // Registry
   // ================================================================
@@ -415,6 +604,16 @@ object Queries {
     "p6_chrom_email_hgvs" -> (p6ChromEmailHgvs _),
     "p6_header_normalize" -> (p6Headers _),
     "p6_ontology_closure" -> (p6Closure _),
+    "q12_sessionize" -> (q12Sessionize _),
+    "p6_disease_pipeline" -> (p6Disease _),
+    "p6_measurement_pipeline" -> (p6Measurement _),
+    "p6_biosample_pipeline" -> (p6Biosample _),
+    "p6_term_checks" -> (p6TermChecks _),
+    "p6_batch_validate" -> (p6BatchValidate _),
+    "ngram_jaccard_hist" -> (ngramJaccardHist _),
+    "minhash_neardup" -> (minhashNearDup _),
+    "simhash_buckets" -> (simhashBuckets _),
+    "media_feature_stats" -> (mediaFeatureStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "text_quality" -> (textQuality _),
@@ -582,6 +781,88 @@ object Queries {
         SELECT n_ancestors, CAST(count(*) AS BIGINT) AS n_nodes FROM (
           SELECT d, CAST(count(*) AS BIGINT) AS n_ancestors FROM anc GROUP BY d)
         GROUP BY 1 ORDER BY 1""",
+    "q12_sessionize" ->
+      """SELECT bucket, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+          SELECT user_id % 50 AS bucket,
+            CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+          FROM (
+            SELECT user_id, ts,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events))
+        GROUP BY 1 ORDER BY 1""",
+    "p6_disease_pipeline" ->
+      """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
+        'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,
+        CASE WHEN o_orderkey % 4 = 0 THEN NULL
+          ELSE 'Cond ' || CAST(o_orderkey % 5000 AS VARCHAR) END AS disease_label,
+        CAST(o_orderkey % 80 AS VARCHAR) AS disease_onset,
+        o_orderkey % 3 = 0 AS disease_status
+        FROM orders ORDER BY 1, 2, 4, 5""",
+    "p6_measurement_pipeline" ->
+      """SELECT 'P' || CAST(user_id % 97 AS VARCHAR) AS patient_ID,
+        event_type AS measurement_type,
+        value AS measurement_value,
+        'mg' AS measurement_unit,
+        CASE WHEN event_id % 5 = 0 THEN NULL
+          ELSE 'T' || CAST(event_id % 365 AS VARCHAR) END AS measurement_timestamp
+        FROM events WHERE event_id % 13 <> 0
+        ORDER BY 1, 2, 3, 5 NULLS LAST""",
+    "p6_biosample_pipeline" ->
+      """SELECT 'P' || CAST(s_suppkey % 211 AS VARCHAR) AS patient_ID,
+        'B' || CAST(s_suppkey AS VARCHAR) AS biosample_id,
+        CASE s_suppkey % 3 WHEN 0 THEN 'blood' WHEN 1 THEN 'saliva'
+          ELSE 'tissue' END AS biosample_type,
+        'T' || CAST(s_suppkey % 50 AS VARCHAR) AS collection_date
+        FROM supplier ORDER BY 2""",
+    "p6_term_checks" ->
+      """SELECT
+        CAST((SELECT count(*) FROM documents WHERE doc_id % 7 NOT IN (3, 4)
+          AND doc_id % 43000 > (SELECT max(p_partkey) FROM part)) AS BIGINT)
+          AS n_not_found,
+        CAST((SELECT count(*) FROM documents WHERE doc_id % 7 NOT IN (3, 4)
+          AND doc_id % 43000 <= (SELECT max(p_partkey) FROM part)
+          AND (doc_id % 43000) % 31 = 0) AS BIGINT) AS n_obsolete,
+        CAST((SELECT count(*) FROM documents WHERE doc_id % 7 = 2
+          AND doc_id % 43000 <= (SELECT max(p_partkey) FROM part)) AS BIGINT)
+          AS n_label_mismatch""",
+    "p6_batch_validate" ->
+      """WITH RECURSIVE ids AS (
+          SELECT DISTINCT doc_id % 43000 AS t FROM documents
+          WHERE doc_id % 7 NOT IN (3, 4)
+            AND doc_id % 43000 <= (SELECT max(p_partkey) FROM part)),
+        edges AS (SELECT p_partkey AS c, p_partkey // 2 AS p FROM part
+          WHERE p_partkey >= 2),
+        anc AS (
+          SELECT c AS d, p AS a FROM edges
+          UNION
+          SELECT anc.d, e.p FROM anc JOIN edges e ON anc.a = e.c)
+        SELECT
+          CAST((SELECT count(*) FROM ids WHERE t <> 118 AND NOT EXISTS
+            (SELECT 1 FROM anc WHERE anc.d = ids.t AND anc.a = 118)) AS BIGINT)
+            AS n_not_abnormality,
+          CAST((SELECT count(*) FROM ids i1 WHERE EXISTS
+            (SELECT 1 FROM anc JOIN ids i2 ON anc.d = i2.t WHERE anc.a = i1.t)) AS BIGINT)
+            AS n_propagation""",
+    "ngram_jaccard_hist" ->
+      """WITH d AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i + 1: i + 3], ' '))) AS sh
+          FROM (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents WHERE doc_id < 200))
+        SELECT (10 * len(list_intersect(a.sh, b.sh)))
+            // len(list_distinct(list_concat(a.sh, b.sh))) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        GROUP BY 1 ORDER BY 1""",
+    "media_feature_stats" ->
+      """SELECT doc_id % 10 AS bucket,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        count(DISTINCT md5(text)) AS n_uniq_media,
+        CAST(sum((octet_length(encode(text)) + 255) // 256) AS BIGINT) AS n_frames
+        FROM documents GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_uniq_text,
         count(DISTINCT md5(text)) AS n_uniq_hash FROM documents""",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal}
+
+/** Specs for the §7.4 expansion operators: MinHash+LSH near-dup,
+  * SimHash, n-gram shingles, and multimodal binary plumbing.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: sliding distinct n-grams, short-doc fallback") {
+    val out = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+      .select(Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"), col("id"))
+      .collect().map(r => r.getInt(1) -> r.getSeq[String](0)).toMap
+    assert(out(1) == Seq("a b c", "b c d"))
+    assert(out(2) == Seq("a b"))
+  }
+
+  test("minhash: identical docs share the full signature; disjoint docs do not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words compose this other document text"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"),
+      Dedup.minhashSignature(Dedup.shingles(Dedup.tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash LSH: near-identical pair surfaces as candidate, verified by jaccard") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text", numPerm = 32, bands = 16)
+    val verified = Dedup.jaccardVerify(cands, df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(verified.contains((1L, 2L)))
+    assert(verified((1L, 2L)) > 0.5)
+    assert(!verified.contains((1L, 3L)) || verified((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal; one-token edit stays hamming-close") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Seq(
+      (1L, "spark catalyst tungsten codegen shuffle broadcast partition"),
+      (2L, "spark catalyst tungsten codegen shuffle broadcast partition"),
+      (3L, "spark catalyst tungsten codegen shuffle broadcast pipeline"),
+      (4L, "completely unrelated content about cooking pasta and sauce"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.simhash64(Dedup.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+    assert(hamming(sigs(1L), sigs(3L)) <= 16)
+  }
+
+  test("multimodal: media features and per-partition decode stub agree") {
+    val docs = Seq((0L, "hello world", "en", "s", 11L), (1L, "x" * 600, "en", "s", 600L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.withMedia(docs)
+    val feats = Multimodal.mediaFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3)))).toMap
+    assert(feats(0L) == ((11, 1L)))   // 11 bytes -> 1 frame of 256
+    assert(feats(1L) == ((600, 3L)))  // 600 bytes -> 3 frames
+
+    val frames = Multimodal.frameHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(frames(0L).length == 1 && frames(1L).length == 3)
+
+    val decoded = Multimodal.decodeStub(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(decoded(0L)._1 == 11)
+    assert(decoded(1L)._1 == 600)
+    // 'x' = 0x78 = 120 -> mean intensity of the 600-byte payload is exactly 120
+    assert(decoded(1L)._3 == 120.0)
+    // deterministic channels stub: 1 + len % 3
+    assert(decoded(0L)._2 == 1 + 11 % 3)
+  }
+}
