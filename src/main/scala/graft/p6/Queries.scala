@@ -439,6 +439,17 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Gap-based sessions via the built-in session_window operator — the
+    * exact plan the streaming sessionizer runs (EventStreams).
+    */
+  private def q13SessionStats(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindows(t(s, dir, "events"))
+      .groupBy((col("user_id") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("bucket"))
+
   // ================================================================
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
@@ -605,6 +616,7 @@ object Queries {
     "p6_header_normalize" -> (p6Headers _),
     "p6_ontology_closure" -> (p6Closure _),
     "q12_sessionize" -> (q12Sessionize _),
+    "q13_session_stats" -> (q13SessionStats _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -791,6 +803,22 @@ object Queries {
               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
             FROM events))
         GROUP BY 1 ORDER BY 1""",
+    "q13_session_stats" ->
+      """WITH marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+          FROM marked),
+        g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+          FROM sess GROUP BY 1, 2)
+        SELECT user_id % 50 AS bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(n) AS BIGINT) AS n_events, CAST(max(n) AS BIGINT) AS max_session_events
+        FROM g GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming specs: the streaming plans must produce the
+  * same results as their batch shapes once the watermark closes.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val sample = Seq(
+    Event(1L, ts(0), "click", 1.0),
+    Event(1L, ts(10), "click", 2.0),
+    Event(1L, ts(60), "view", 3.0),   // 50-min gap -> new session
+    Event(2L, ts(5), "click", 4.0),
+    Event(2L, ts(20), "purchase", 5.0),
+    Event(2L, ts(2000), "click", 6.0)) // far future: advances watermark
+
+  test("streaming windowed counts equal the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(stream.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    stream.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .select("day", "event_type", "n", "sum_value").collect().toSet
+    val batch = EventStreams.windowedCounts(sample.toDF(), "1 hour")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session_window streaming emits closed sessions matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    stream.addData(sample.filter(_.ts.getTime < 100 * 60000L): _*)
+    q.processAllAvailable()
+    stream.addData(sample.filter(_.ts.getTime >= 100 * 60000L): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Append mode emits sessions the watermark has passed: with the
+    // t=2000min event pushing the watermark to ~1880min, every earlier
+    // session is closed and emitted.
+    val emitted = spark.table("sess_out")
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1: sessions {2 events}, {1 event}; user 2: {2 events}
+    assert(emitted == Set((1L, 2L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) matches gap semantics on batch") {
+    val sessions = EventStreams.statefulSessionize(sample.toDS())
+      .collect().map(s => (s.user_id, s.n_events)).toList.sorted
+    // user 1: [0,10] then [60]; user 2: [5,20] then [2000]
+    assert(sessions == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+  }
+
+  test("batch session query and streaming session_window agree on the corpus") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val viaSessionWindow = EventStreams.sessionWindows(events)
+      .groupBy((col("user_id") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val viaLag = graft.p6.Queries.all("q12_sessionize")(spark, "/root/testdata/sf0.001")
+    val a = viaSessionWindow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = viaLag.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
