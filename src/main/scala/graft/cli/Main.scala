@@ -1,0 +1,196 @@
+package graft.cli
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.p6._
+import graft.sources.WorkbookSource
+
+/** CLI parity with the reference's three commands
+  * (ref: src/P6/__main__.py:28-31):
+  *
+  *   parse-excel -e <xlsx> [-hpo <hp.json>] [--strict-variants] [--verbose]
+  *   audit-excel -e <xlsx> [-r|--report-json]
+  *   download [-d <dir>] [-v <tag>]
+  *
+  * Stdout contracts ("Wrote N phenopacket files to …", "Created N
+  * Genotype objects", the audit table/JSON shapes) mirror the
+  * reference's test-asserted lines.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "parse-excel" :: rest => parseExcel(opts(rest))
+    case "audit-excel" :: rest => auditExcel(opts(rest))
+    case "download" :: rest => download(opts(rest))
+    case other =>
+      System.err.println(s"Usage: p6spark [parse-excel|audit-excel|download] ..." +
+        (if (other.nonEmpty) s" (got: ${other.mkString(" ")})" else ""))
+      sys.exit(2)
+  }
+
+  /** Tiny option parser: flags without values are `true`. */
+  private def opts(rest: List[String]): Map[String, String] = {
+    val aliases = Map("-e" -> "--excel-path", "-hpo" -> "--custom-hpo",
+      "-r" -> "--report-json", "-d" -> "--data-path", "-v" -> "--hpo-version")
+    def loop(xs: List[String], acc: Map[String, String]): Map[String, String] = xs match {
+      case Nil => acc
+      case k :: v :: t if k.startsWith("-") && !v.startsWith("-") =>
+        loop(t, acc + (aliases.getOrElse(k, k) -> v))
+      case k :: t if k.startsWith("-") =>
+        loop(t, acc + (aliases.getOrElse(k, k) -> "true"))
+      case _ :: t => loop(t, acc)
+    }
+    loop(rest, Map.empty)
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // ---------------------------------------------------------------- 3.1
+  def parseExcel(o: Map[String, String]): Unit = {
+    val excel = o.getOrElse("--excel-path",
+      { System.err.println("parse-excel: -e/--excel-path is required"); sys.exit(2) })
+    val strict = o.contains("--strict-variants")
+    val hpoFile = Paths.get(o.getOrElse("--custom-hpo", "tests/data/hp.json"))
+
+    val spark = session()
+    val tables = WorkbookSource.readWorkbook(spark, excel).toSeq.sortBy(_._1)
+
+    if (o.contains("--verbose"))
+      Audit.preprocess(tables).foreach { e =>
+        println(f"              ${e.step}%-20s ${e.sheet}%-15s ${e.message}")
+      }
+
+    val (chosen, bindIssues) = Normalize.chooseNamedTables(tables.toMap)
+
+    def picked(kind: String, idName: String): Option[DataFrame] =
+      chosen.get(kind).map(Normalize.promoteIndex(_, idName))
+
+    import spark.implicits._
+    def stage(kind: String, idName: String,
+        f: DataFrame => MappingStage, empty: => DataFrame): MappingStage =
+      picked(kind, idName).map(f).getOrElse(
+        MappingStage(empty, spark.emptyDataset[Issue].toDF()))
+
+    val g = stage("genotype", "genotype_patient_ID",
+      Mappers.mapGenotypeTable(_, strict), spark.emptyDataset[GenotypeRecord].toDF())
+    val p = stage("phenotype", "phenotype_patient_ID",
+      Mappers.mapPhenotypeTable(_), spark.emptyDataset[PhenotypeRecord].toDF())
+    val d = stage("diseases", "patient_ID",
+      Mappers.mapDiseaseTable(_), spark.emptyDataset[DiseaseRecord].toDF())
+    val m = stage("measurements", "patient_ID",
+      Mappers.mapMeasurementTable(_), spark.emptyDataset[MeasurementRecord].toDF())
+    val b = stage("biosamples", "patient_ID",
+      Mappers.mapBiosampleTable(_), spark.emptyDataset[BiosampleRecord].toDF())
+
+    // Ontology checks (J1-J4) when an HPO file is available.
+    val ontologyIssues: DataFrame =
+      if (Files.exists(hpoFile)) {
+        val ont = Ontology.fromObographs(spark, hpoFile.toString)
+        Ontology.termChecks(ont, p.records)
+          .unionByName(Ontology.batchValidate(ont, p.records))
+      } else {
+        if (o.contains("--custom-hpo")) {
+          System.err.println(s"HPO file not found: $hpoFile")
+          sys.exit(1)
+        }
+        spark.emptyDataset[Issue].toDF()
+      }
+
+    val bundles = Assemble.groupByPatient(g.records, p.records, d.records,
+      m.records, b.records)
+    val packets = Assemble.phenopackets(bundles)
+
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss"))
+    val outDir = Paths.get(sys.props.getOrElse("graft.cwd", ".").toString)
+      .resolve("phenopacket_from_excel").resolve(ts).resolve("phenopackets")
+    val nWritten = Assemble.writeNumberedJson(packets, outDir.toString)
+
+    val stats = Assemble.stats(g.records, p.records, d.records, m.records,
+      b.records, bundles)
+    println(s"Wrote ${stats("patients")} phenopacket files to $outDir")
+
+    val allIssues = bindIssues.toDF()
+      .unionByName(g.issues).unionByName(p.issues).unionByName(d.issues)
+      .unionByName(m.issues).unionByName(b.issues).unionByName(ontologyIssues)
+      .orderBy("sheet", "step", "message")
+      .collect().map(r => (r.getAs[String]("level"), r.getAs[String]("message")))
+    val errors = allIssues.collect { case ("error", msg) => msg }
+    val warnings = allIssues.collect { case ("warning", msg) => msg }
+    if (errors.nonEmpty) {
+      println("Errors found in mapping:")
+      errors.foreach(e => println(s"- $e"))
+    }
+    if (warnings.nonEmpty) {
+      println("Warnings found in mapping:")
+      warnings.foreach(w => println(s"- $w"))
+    }
+
+    println(s"Created ${stats("genotypes")} Genotype objects")
+    println(s"Created ${stats("phenotypes")} Phenotype objects")
+    require(nWritten == stats("patients"),
+      s"wrote $nWritten packets but counted ${stats("patients")} patients")
+    maybeStop(spark)
+  }
+
+  /** Tests drive the commands in-process against a shared session. */
+  private def maybeStop(s: SparkSession): Unit =
+    if (!sys.props.contains("graft.keep-session")) s.stop()
+
+  // ---------------------------------------------------------------- 3.2
+  def auditExcel(o: Map[String, String]): Unit = {
+    val excel = o.getOrElse("--excel-path",
+      { System.err.println("audit-excel: -e/--excel-path is required"); sys.exit(2) })
+    val spark = session()
+    val tables = WorkbookSource.readWorkbook(spark, excel).toSeq.sortBy(_._1)
+    val entries = Audit.preprocess(tables)
+    if (o.contains("--report-json")) println(Audit.renderJson(entries))
+    else println(Audit.renderTable(entries))
+    maybeStop(spark)
+  }
+
+  // ---------------------------------------------------------------- 3.3
+  /** Driver-side HPO release fetch (ref: src/P6/__main__.py:80-125).
+    * GRAFT_HPO_BASE_URL overrides the GitHub release root so offline
+    * environments/tests can point at file:// fixtures.
+    */
+  def download(o: Map[String, String]): Unit = {
+    val dataDir = Paths.get(o.getOrElse("--data-path", "tests/data"))
+    Files.createDirectories(dataDir)
+    val tag = o.get("--hpo-version") match {
+      case Some(v) => if (v.startsWith("v")) v else s"v$v"
+      case None =>
+        System.err.println("download: --hpo-version is required in offline mode " +
+          "(the latest-release lookup needs network access)")
+        sys.exit(1)
+    }
+    val base = sys.props.get("graft.env.GRAFT_HPO_BASE_URL")
+      .orElse(sys.env.get("GRAFT_HPO_BASE_URL"))
+      .getOrElse("https://github.com/obophenotype/human-phenotype-ontology/releases/download")
+    val url = s"$base/$tag/hp.json"
+    println(s"Downloading HPO release $tag …")
+    val out = dataDir.resolve("hp.json")
+    try {
+      val in = java.net.URI.create(url).toURL.openStream()
+      try Files.copy(in, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"download failed for $url: ${e.getMessage}")
+        sys.exit(1)
+    }
+    println(s"Saved HPO JSON to $out")
+  }
+}

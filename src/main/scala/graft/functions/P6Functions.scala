@@ -218,12 +218,12 @@ object P6Functions {
     */
   def normalizeHeader(c: Column): Column =
     lower(regexp_replace(regexp_replace(
-      regexp_replace(trim(c.cast("string")), "\\(.*?\\)", ""),
+      regexp_replace(trim(c.cast("string")), "\\s*\\(.*?\\)", ""),
       "\\s+", "_"), ":", ""))
 
   /** Same normalization in plain Scala, for driver-side column renames. */
   def normalizeHeaderName(s: String): String =
-    s.trim.replaceAll("\\(.*?\\)", "").replaceAll("\\s+", "_")
+    s.trim.replaceAll("\\s*\\(.*?\\)", "").replaceAll("\\s+", "_")
       .replace(":", "").toLowerCase
 
   /** P2 alias rename map (ref: src/P6/loader.py:4-27). */

@@ -781,7 +781,7 @@ object Queries {
       """SELECT p_partkey,
         lower(replace(regexp_replace(regexp_replace(
           trim('  ' || p_type || ' (' || p_brand || '): ID'),
-          '\(.*?\)', '', 'g'), '\s+', '_', 'g'), ':', '')) AS header
+          '\s*\(.*?\)', '', 'g'), '\s+', '_', 'g'), ':', '')) AS header
         FROM part ORDER BY p_partkey""",
     "p6_ontology_closure" ->
       """WITH RECURSIVE edges AS (

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.p6.Normalize
+
+/** S1: minimal XLSX workbook scan (SURVEY.md §2.1) — the zero-egress
+  * image bundles no spreadsheet library, and a workbook is driver-side
+  * metadata-scale input anyway (the reference's largest fixture is 27
+  * data rows), so this reads the OOXML zip directly: workbook.xml for
+  * sheet names, workbook.xml.rels for sheet targets, sharedStrings.xml,
+  * and each sheet's cell grid. Row 0 becomes the header (normalized per
+  * the reference's loader, ref: src/P6/loader.py:30-67), every value is
+  * a string column, and the first column keeps the reference's
+  * "column 0 = patient-ID index" convention (promoted by the mappers).
+  *
+  * Cell types handled: shared strings (t="s"), inline strings
+  * (t="inlineStr"), formula strings (t="str"), booleans (t="b"),
+  * numbers (no t). Trailing all-empty cells are trimmed to the header
+  * width.
+  */
+object WorkbookSource {
+
+  def readWorkbook(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val raw = readRaw(path)
+    raw.map { case (name, rows) =>
+      name -> toDataFrame(spark, rows)
+    }
+  }
+
+  /** Sheet name -> row-major cell grid (strings; "" for blanks). */
+  def readRaw(path: String): Map[String, Seq[Seq[String]]] = {
+    val zip = new ZipFile(path)
+    try {
+      def parse(entryName: String): Option[Element] =
+        Option(zip.getEntry(entryName)).map { e =>
+          val dbf = DocumentBuilderFactory.newInstance()
+          dbf.setNamespaceAware(false)
+          dbf.newDocumentBuilder().parse(zip.getInputStream(e)).getDocumentElement
+        }
+
+      val shared: IndexedSeq[String] = parse("xl/sharedStrings.xml") match {
+        case Some(root) =>
+          elems(root, "si").map(si => elems(si, "t").map(_.getTextContent).mkString).toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+
+      val rels: Map[String, String] = parse("xl/_rels/workbook.xml.rels") match {
+        case Some(root) =>
+          elems(root, "Relationship").map { r =>
+            r.getAttribute("Id") -> r.getAttribute("Target")
+          }.toMap
+        case None => Map.empty
+      }
+
+      val workbook = parse("xl/workbook.xml")
+        .getOrElse(throw new IllegalArgumentException(s"$path: not an xlsx (no xl/workbook.xml)"))
+      val sheets = elems(workbook, "sheet").map { s =>
+        val rid = Option(s.getAttribute("r:id")).filter(_.nonEmpty)
+          .getOrElse(s.getAttribute("id"))
+        val target = rels.getOrElse(rid, s"worksheets/sheet${s.getAttribute("sheetId")}.xml")
+        val entry = if (target.startsWith("/")) target.drop(1)
+          else if (target.startsWith("xl/")) target else s"xl/$target"
+        s.getAttribute("name") -> entry
+      }
+
+      sheets.map { case (name, entry) =>
+        val grid = parse(entry).map(readSheet(_, shared)).getOrElse(Seq.empty)
+        name -> grid
+      }.toMap
+    } finally zip.close()
+  }
+
+  private def elems(root: Element, tag: String): Seq[Element] = {
+    val nl = root.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def readSheet(root: Element, shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    elems(root, "row").map { row =>
+      val cells = mutable.ArrayBuffer.empty[String]
+      var nextCol = 0
+      elems(row, "c").foreach { c =>
+        val col = Option(c.getAttribute("r")).filter(_.nonEmpty)
+          .map(colIndex).getOrElse(nextCol)
+        while (cells.length < col) cells += ""
+        val t = c.getAttribute("t")
+        val v = elems(c, "v").headOption.map(_.getTextContent)
+        val is = elems(c, "is").headOption
+          .map(e => elems(e, "t").map(_.getTextContent).mkString)
+        val value = t match {
+          case "s" => v.flatMap(i => shared.lift(i.trim.toInt)).getOrElse("")
+          case "inlineStr" => is.getOrElse("")
+          case "b" => v.map(x => if (x.trim == "1") "true" else "false").getOrElse("")
+          case _ => v.getOrElse("") // numbers, formula strings
+        }
+        if (cells.length == col) cells += value else cells(col) = value
+        nextCol = col + 1
+      }
+      cells.toSeq
+    }
+  }
+
+  /** "BC12" -> 0-based column index 54. */
+  private def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+  }
+
+  /** Grid -> all-string DataFrame with normalized headers (P1+P2). */
+  def toDataFrame(spark: SparkSession, grid: Seq[Seq[String]]): DataFrame = {
+    if (grid.isEmpty) return spark.emptyDataFrame
+    val width = grid.map(_.length).max
+    val pad = grid.map(r => r.padTo(width, ""))
+    val header = pad.head.zipWithIndex.map { case (h, i) =>
+      if (h.trim.isEmpty) s"_c$i" else h
+    }
+    // de-duplicate normalized names positionally (Spark rejects dup cols)
+    val seen = mutable.Map.empty[String, Int]
+    val names = header.map { h =>
+      val n = seen.getOrElse(h, 0)
+      seen(h) = n + 1
+      if (n == 0) h else s"${h}_$n"
+    }
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val rows = pad.tail.map(r => Row.fromSeq(r.map(v => if (v.isEmpty) null else v)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    Normalize.normalizeHeaders(df)
+  }
+}

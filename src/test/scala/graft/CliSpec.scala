@@ -1,0 +1,178 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.p6.Audit
+import graft.sources.WorkbookSource
+
+/** S1 xlsx ingest + CLI parity (parse-excel / audit-excel / download),
+  * mirroring the reference's CLI E2E tests (tests/test_cli_parse_excel.py,
+  * tests/test_cli_audit_excel.py, tests/test_preprocess.py).
+  */
+class CliSpec extends SparkSpec {
+
+  /** Minimal OOXML writer: enough structure for WorkbookSource (and for
+    * any standards-compliant reader) — workbook + rels + one sheet XML
+    * per sheet, inline strings for text, bare <v> for numerics.
+    */
+  private def writeXlsx(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val zip = new ZipOutputStream(Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val numeric = "^-?\\d+(\\.\\d+)?$".r
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets>""" +
+        sheets.zipWithIndex.map { case ((n, _), i) =>
+          s"""<sheet name="${esc(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>""" +
+        sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet${i + 1}.xml"/>""")
+          .mkString + "</Relationships>")
+    sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+      val body = rows.map { row =>
+        "<row>" + row.map {
+          case v if v.isEmpty => "<c/>"
+          case v if numeric.matches(v) => s"<c><v>$v</v></c>"
+          case v => s"""<c t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+        }.mkString + "</row>"
+      }.mkString
+      entry(s"xl/worksheets/sheet${i + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>""")
+    }
+    zip.close()
+  }
+
+  private def writeHpoJson(path: Path): Unit = {
+    val obo = "http://purl.obolibrary.org/obo"
+    def node(id: String, lbl: String, deprecated: Boolean = false) =
+      s"""{"id": "$obo/HP_$id", "lbl": "$lbl"""" +
+        (if (deprecated) """, "meta": {"deprecated": true}}""" else "}")
+    def edge(sub: String, obj: String) =
+      s"""{"sub": "$obo/HP_$sub", "pred": "is_a", "obj": "$obo/HP_$obj"}"""
+    Files.writeString(path,
+      s"""{"graphs": [{
+         |  "nodes": [${node("0000001", "All")}, ${node("0000118", "Phenotypic abnormality")},
+         |            ${node("0000478", "Abnormality of the eye")}, ${node("0000510", "Rod-cone dystrophy")},
+         |            ${node("0009999", "Old term", deprecated = true)}],
+         |  "edges": [${edge("0000118", "0000001")}, ${edge("0000478", "0000118")},
+         |            ${edge("0000510", "0000478")}]
+         |}]}""".stripMargin)
+  }
+
+  private val genotypeRows = Seq(
+    Seq("Patient ID", "Contact Email", "Phasing", "Chrom", "Start Position (bp)",
+      "End Position (bp)", "Ref", "Alt", "Gene", "HGVSg", "HGVSc", "HGVSp",
+      "Zygosity", "Inheritance"),
+    Seq("P100", "user@example.com", "1", "chr16", "100", "100", "A", "G", "GENE1",
+      "chr16:g.100A>G", "NM_000000.0:c.100A>G", "NP_000000.0:p.(Lys34Glu)",
+      "het", "inherited"))
+
+  private val phenotypeRows = Seq(
+    Seq("Patient ID", "HPO: Term", "Timestamp", "Status"),
+    Seq("P100", "Rod-cone dystrophy (HP:510)", "20200101", "1"),
+    Seq("P100", "NAD", "T1", "1"))
+
+  private def stdoutOf(body: => Unit): String = {
+    val buf = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(buf, true, "UTF-8")) { body }
+    buf.toString("UTF-8")
+  }
+
+  test("xlsx round-trip: headers normalized, aliases applied, values preserved") {
+    val dir = Files.createTempDirectory("xlsx")
+    val f = dir.resolve("wb.xlsx")
+    writeXlsx(f, Seq("Variants" -> genotypeRows, "HPO" -> phenotypeRows))
+    val tables = WorkbookSource.readWorkbook(spark, f.toString)
+    assert(tables.keySet == Set("Variants", "HPO"))
+    val g = tables("Variants")
+    assert(g.columns.toSeq == Seq("patient_id", "contact_email", "phasing",
+      "chromosome", "start_position", "end_position", "reference", "alternate",
+      "gene_symbol", "hgvsg", "hgvsc", "hgvsp", "zygosity", "inheritance"))
+    val row = g.collect()(0)
+    assert(row.getString(0) == "P100" && row.getString(4) == "100")
+    val p = tables("HPO")
+    assert(p.columns.toSeq == Seq("patient_id", "hpo_id", "date_of_observation", "status"))
+  }
+
+  test("audit-excel: classification entries and renderings (ref test_cli_audit_excel)") {
+    val dir = Files.createTempDirectory("xlsx")
+    val f = dir.resolve("wb.xlsx")
+    writeXlsx(f, Seq("Variants" -> genotypeRows, "HPO" -> phenotypeRows,
+      "Notes" -> Seq(Seq("id", "freeform"), Seq("1", "hello"))))
+    val tables = WorkbookSource.readWorkbook(spark, f.toString).toSeq.sortBy(_._1)
+    val entries = Audit.preprocess(tables)
+    val byKey = entries.map(e => (e.step, e.sheet) -> e.message).toMap
+    assert(byKey(("normalize-headers", "Variants")) == "13 cols")
+    assert(byKey(("classify-sheet", "Variants")) == "genotype (raw+hgvs)")
+    assert(byKey(("classify-sheet", "HPO")) == "phenotype (hgvs)") // ref quirk
+    assert(byKey(("classify-sheet", "Notes")) == "skip (hgvs)")
+    assert(!entries.exists(_.step == "variant-check")) // variant cols present
+    val table = Audit.renderTable(entries)
+    assert(table.startsWith("SHEET"))
+    val json = Audit.renderJson(entries)
+    assert(json.contains("\"step\": \"classify-sheet\""))
+  }
+
+  test("parse-excel end-to-end: packets written, stdout contract honored") {
+    val dir = Files.createTempDirectory("cli")
+    val wb = dir.resolve("wb.xlsx")
+    val hpo = dir.resolve("hp.json")
+    writeXlsx(wb, Seq("Variants" -> genotypeRows, "HPO" -> phenotypeRows))
+    writeHpoJson(hpo)
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--excel-path" -> wb.toString, "--custom-hpo" -> hpo.toString))
+    } finally { sys.props -= "graft.cwd" }
+    assert(out.contains("Wrote 1 phenopacket files to "))
+    assert(out.contains("Created 1 Genotype objects"))
+    assert(out.contains("Created 1 Phenotype objects"))
+    assert(out.contains("Warnings found in mapping:"))
+    assert(out.contains("'NAD' encountered"))
+    val packets = Files.walk(dir.resolve("phenopacket_from_excel")).iterator()
+    val jsons = scala.jdk.CollectionConverters.IteratorHasAsScala(packets).asScala
+      .filter(_.toString.endsWith(".json")).toList
+    assert(jsons.size == 1 && jsons.head.getFileName.toString == "1.json")
+    val body = Files.readString(jsons.head)
+    assert(body.contains("\"HP:0000510\""))
+    assert(body.contains("16:g.100A>G"))
+    assert(body.contains("GENO:0000135"))
+  }
+
+  test("download: file:// base URL fetch (offline mirror of ref test_download_mock)") {
+    val dir = Files.createTempDirectory("dl")
+    val releases = dir.resolve("releases").resolve("v2024-04-26")
+    Files.createDirectories(releases)
+    Files.writeString(releases.resolve("hp.json"), """{"graphs": []}""")
+    val outDir = dir.resolve("data")
+    // GRAFT_HPO_BASE_URL is read from env; drive the same path via a
+    // direct URL copy check instead: point base at the file:// tree.
+    val out = stdoutOf {
+      withEnv("GRAFT_HPO_BASE_URL", s"file://${dir.resolve("releases")}") {
+        graft.cli.Main.download(Map(
+          "--data-path" -> outDir.toString, "--hpo-version" -> "2024-04-26"))
+      }
+    }
+    assert(out.contains("Downloading HPO release v2024-04-26"))
+    assert(out.contains("Saved HPO JSON to "))
+    assert(Files.readString(outDir.resolve("hp.json")).contains("graphs"))
+  }
+
+  /** JDK 17 blocks env mutation; emulate via a sys.prop fallback the
+    * command consults first — see Main.download.
+    */
+  private def withEnv(k: String, v: String)(body: => Unit): Unit = {
+    sys.props(s"graft.env.$k") = v
+    try body finally sys.props -= s"graft.env.$k"
+  }
+}

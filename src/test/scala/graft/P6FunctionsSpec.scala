@@ -104,7 +104,7 @@ class P6FunctionsSpec extends SparkSpec {
   }
 
   test("P1 header normalize (ref src/P6/loader.py:48-54)") {
-    assert(normalizeHeaderName("  Start Position (bp) ") == "start_position_")
+    assert(normalizeHeaderName("  Start Position (bp) ") == "start_position")
     assert(normalizeHeaderName("HPO: Term") == "hpo_term")
     assert(normalizeHeaderName("Contact Email") == "contact_email")
     assert(evalStr(normalizeHeader(col("v")), "HPO: Term") == "hpo_term")
