@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §7.4).
+  *
+  * Brute-force cosine is the exact baseline (Queries.annCosineTopK);
+  * the scale path here is random-hyperplane LSH: K sign-bits from
+  * pseudo-random +/-1 hyperplanes bucket the vectors, ANN work then
+  * touches only the query's bucket (multi-probe: + Hamming-1
+  * neighbors). At 100 TB the bucketing pass is one explode +
+  * codegen'd scalar arithmetic + a map-side-combined groupBy — no
+  * shuffle of the raw vectors — and the per-bucket exact rerank sees
+  * ~n/2^K of the corpus.
+  *
+  * Hyperplanes are deterministic: component j of plane k is +/-1 by a
+  * bit of xxhash64(k, j) — reproducible across runs and executors with
+  * no side files.
+  */
+object Similarity {
+
+  /** (id, v double[]) with the embedding cast to double. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+  /** Cosine similarity between two double-array columns (sequential
+    * fold — deterministic summation order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, x) => acc + x)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Sign-random-projection bucket id (K bits) per vector: explode to
+    * (id, j, x), give each component its +/-1 weight per hyperplane
+    * (a bit of xxhash64(k, j)), sum per plane in one groupBy, pack the
+    * K signs into a long.
+    */
+  def lshBuckets(prep: DataFrame, bits: Int = 12): DataFrame = {
+    require(bits <= 62, "bucket id must fit a long")
+    val comps = prep.select(col("id"), posexplode(col("v")).as(Seq("j", "x")))
+    val proj = comps.select(col("id") +:
+      (0 until bits).map { k =>
+        (when(shiftright(xxhash64(lit(k), col("j")), 13).bitwiseAND(1) === 1,
+          col("x")).otherwise(-col("x"))).as(s"p$k")
+      }: _*)
+    val sums = proj.groupBy(col("id"))
+      .agg(sum(col("p0")).as("p0"),
+        (1 until bits).map(k => sum(col(s"p$k")).as(s"p$k")): _*)
+    sums.select(col("id"),
+      (0 until bits).map(k => when(col(s"p$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce((a, b) => a + b).as("bucket"))
+  }
+
+  /** Approximate top-k neighbors of `queryId`: exact cosine rerank
+    * restricted to the query's LSH bucket.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, bits: Int = 12): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val buckets = lshBuckets(prep, bits)
+    val withB = prep.join(buckets, "id")
+    val q = withB.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withB.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates = same LSH
+    * bucket (a < b), verified by exact cosine >= threshold. The
+    * pairwise work is per-bucket, never corpus x corpus.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 10): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val withB = prep.join(lshBuckets(prep, bits), "id")
+    withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

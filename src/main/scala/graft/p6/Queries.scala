@@ -591,6 +591,36 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** ANN via random-hyperplane LSH: exact rerank inside the query's
+    * bucket only (no oracle — hash-derived hyperplanes).
+    */
+  private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, bits = 6)
+  }
+
+  /** Embedding-cosine near-dup pair summary via LSH buckets
+    * (no oracle — hash-derived buckets).
+    */
+  private def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.5, bits = 6)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(coalesce(max(col("cos")), lit(0.0)), 4).as("max_cos"))
+  }
+
+  /** HLL sketch vs exact distinct (rows-only check — estimates are
+    * engine-specific by nature). The spec bounds the relative error.
+    */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   // ================================================================
   // Registry
   // ================================================================
@@ -631,7 +661,10 @@ object Queries {
     "text_quality" -> (textQuality _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
-    "ann_cosine_topk" -> (annCosineTopK _))
+    "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_lsh_topk" -> (annLshTopK _),
+    "emb_neardup" -> (embNearDup _),
+    "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

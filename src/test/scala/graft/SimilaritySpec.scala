@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.enrich.VvEnrichment
+import graft.enrich.VvEnrichment.{GeneXref, RetryPolicy}
+
+/** Similarity-search (LSH ANN) and VV-enrichment specs. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("LSH buckets: identical vectors share a bucket; recall vs brute force is sane") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(prep, bits = 6)
+    // deterministic across evaluations
+    val b1 = buckets.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.lshBuckets(prep, bits = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1) // vectors spread over multiple buckets
+
+    // Recall property that holds regardless of data distribution: a
+    // planted near-identical vector MUST land in the query's bucket
+    // and rank first in the ANN result with cosine 1.0.
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val ann = Similarity.annTopK(emb.unionByName(planted),
+      "vec_id", "embedding", 0L, k = 10, bits = 6).collect()
+    assert(ann.head.getLong(0) == 100000L)
+    assert(ann.head.getDouble(1) == 1.0)
+  }
+
+  test("cosine near-dup: planted duplicate pair is found in-bucket") {
+    val base = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 7L)
+      .select(lit(100007L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(base.unionByName(dup),
+      "vec_id", "embedding", threshold = 0.999, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 7L && b == 100007L && c == 1.0 })
+  }
+
+  test("VV enrichment: disabled adds null xref columns; enabled resolves distinct genes once") {
+    val recs = Seq(("P1", "BRCA1"), ("P2", "BRCA1"), ("P3", "TP53"), ("P4", ""))
+      .toDF("patient", "gene_symbol")
+
+    val off = VvEnrichment.enrich(recs, "gene_symbol", g => fail("must not call"),
+      enabled = false)
+    assert(off.columns.contains("hgnc_id") && off.filter(col("hgnc_id").isNotNull).isEmpty)
+
+    // Counter must be a JVM singleton: Spark serializes task closures
+    // even in local mode, so a captured map instance would be a copy.
+    SimilaritySpec.calls.clear()
+    val calls = SimilaritySpec.calls
+    val transport: VvEnrichment.Transport = { g =>
+      SimilaritySpec.calls.merge(g, 1, (a, b) => a + b)
+      if (g == "TP53") Left("VV: gene not found")
+      else Right(GeneXref(g, s"HGNC:$g", s"ENSG_$g", Seq(s"NM_$g.1"), Seq(s"ENST_$g")))
+    }
+    val on = VvEnrichment.enrich(recs, "gene_symbol", transport, enabled = true)
+      .collect().map(r => r.getAs[String]("patient") ->
+        ((r.getAs[String]("hgnc_id"), r.getAs[String]("vv_error")))).toMap
+    assert(on("P1") == (("HGNC:BRCA1", null)) && on("P2") == (("HGNC:BRCA1", null)))
+    assert(on("P3")._1 == null && on("P3")._2 == "VV: gene not found")
+    assert(on("P4") == ((null, null))) // blank gene: not looked up
+    // distinct-set contract: one call per unique gene (TP53 retries 4x)
+    assert(calls.get("BRCA1") == 1)
+    assert(calls.get("TP53") == 4)
+  }
+
+  test("retry policy: backoff sequence 250/500/1000 ms then gives up") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var n = 0
+    val flaky: VvEnrichment.Transport = { _ => n += 1; Left(s"boom $n") }
+    val out = VvEnrichment.withRetry(flaky,
+      RetryPolicy(sleeper = delays.append(_)))("G")
+    assert(out == Left("boom 4"))
+    assert(delays.toList == List(250L, 500L, 1000L))
+
+    var m = 0
+    val healsAfter2: VvEnrichment.Transport = { g =>
+      m += 1; if (m < 3) Left("try again") else Right(GeneXref(g, "H", "E", Nil, Nil))
+    }
+    val ok = VvEnrichment.withRetry(healsAfter2,
+      RetryPolicy(sleeper = _ => ()))("G")
+    assert(ok.isRight && m == 3)
+  }
+
+  test("approx_count_distinct stays within its rsd bound on the corpus") {
+    val r = graft.p6.Queries.all("approx_distinct")(spark, sfDir).collect()(0)
+    val (exact, approx) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts"))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
+
+object SimilaritySpec {
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
