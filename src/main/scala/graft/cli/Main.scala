@@ -72,44 +72,17 @@ object Main {
         println(f"              ${e.step}%-20s ${e.sheet}%-15s ${e.message}")
       }
 
-    val (chosen, bindIssues) = Normalize.chooseNamedTables(tables.toMap)
+    // Ontology (J1-J4) when an HPO file is available.
+    val ontology: Option[Ontology] =
+      if (Files.exists(hpoFile)) Some(Ontology.fromObographs(spark, hpoFile.toString))
+      else if (o.contains("--custom-hpo")) {
+        System.err.println(s"HPO file not found: $hpoFile")
+        sys.exit(1)
+      } else None
 
-    def picked(kind: String, idName: String): Option[DataFrame] =
-      chosen.get(kind).map(Normalize.promoteIndex(_, idName))
-
-    import spark.implicits._
-    def stage(kind: String, idName: String,
-        f: DataFrame => MappingStage, empty: => DataFrame): MappingStage =
-      picked(kind, idName).map(f).getOrElse(
-        MappingStage(empty, spark.emptyDataset[Issue].toDF()))
-
-    val g = stage("genotype", "genotype_patient_ID",
-      Mappers.mapGenotypeTable(_, strict), spark.emptyDataset[GenotypeRecord].toDF())
-    val p = stage("phenotype", "phenotype_patient_ID",
-      Mappers.mapPhenotypeTable(_), spark.emptyDataset[PhenotypeRecord].toDF())
-    val d = stage("diseases", "patient_ID",
-      Mappers.mapDiseaseTable(_), spark.emptyDataset[DiseaseRecord].toDF())
-    val m = stage("measurements", "patient_ID",
-      Mappers.mapMeasurementTable(_), spark.emptyDataset[MeasurementRecord].toDF())
-    val b = stage("biosamples", "patient_ID",
-      Mappers.mapBiosampleTable(_), spark.emptyDataset[BiosampleRecord].toDF())
-
-    // Ontology checks (J1-J4) when an HPO file is available.
-    val ontologyIssues: DataFrame =
-      if (Files.exists(hpoFile)) {
-        val ont = Ontology.fromObographs(spark, hpoFile.toString)
-        Ontology.termChecks(ont, p.records)
-          .unionByName(Ontology.batchValidate(ont, p.records))
-      } else {
-        if (o.contains("--custom-hpo")) {
-          System.err.println(s"HPO file not found: $hpoFile")
-          sys.exit(1)
-        }
-        spark.emptyDataset[Issue].toDF()
-      }
-
-    val bundles = Assemble.groupByPatient(g.records, p.records, d.records,
-      m.records, b.records)
+    val mapper: TableMapper = new DefaultMapper(ontology, strict)
+    val result = mapper.applyMapping(spark, tables.toMap)
+    val bundles = result.bundles
     val packets = Assemble.phenopackets(bundles)
 
     val ts = java.time.LocalDateTime.now()
@@ -118,13 +91,10 @@ object Main {
       .resolve("phenopacket_from_excel").resolve(ts).resolve("phenopackets")
     val nWritten = Assemble.writeNumberedJson(packets, outDir.toString)
 
-    val stats = Assemble.stats(g.records, p.records, d.records, m.records,
-      b.records, bundles)
+    val stats = result.stats
     println(s"Wrote ${stats("patients")} phenopacket files to $outDir")
 
-    val allIssues = bindIssues.toDF()
-      .unionByName(g.issues).unionByName(p.issues).unionByName(d.issues)
-      .unionByName(m.issues).unionByName(b.issues).unionByName(ontologyIssues)
+    val allIssues = result.issues
       .orderBy("sheet", "step", "message")
       .collect().map(r => (r.getAs[String]("level"), r.getAs[String]("message")))
     val errors = allIssues.collect { case ("error", msg) => msg }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.p6.Queries
+
+/** Physical-plan regression checks — the properties that make these
+  * queries scale: predicate pushdown into the parquet scan, column
+  * pruning, broadcast (not shuffle) joins for dimension tables, and
+  * whole-stage codegen coverage. If one of these regresses, the query
+  * still returns correct rows but stops being a 100 TB plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Pre-AQE physical plan (structure asserts). */
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sfDir).queryExecution.sparkPlan.toString
+
+  /** Full untruncated (filters, schema) metadata of every parquet scan. */
+  private def scanMeta(q: String): Seq[(String, String)] =
+    Queries.all(q)(spark, sfDir).queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.metadata.getOrElse("PushedFilters", ""), s.requiredSchema.simpleString)
+    }
+
+  /** Final adaptive plan after execution (codegen asserts). */
+  private def executedPlan(q: String): String = {
+    val df = Queries.all(q)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: all three predicates push down to the parquet scan") {
+    val (filters, schema) = scanMeta("q2_revenue_filter").head
+    assert(filters.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(filters.contains("LessThan(l_quantity,24.0)"))
+    assert(filters.contains("GreaterThanOrEqual(l_discount,0.03)"))
+    // and the scan reads only the four referenced columns
+    assert(schema ==
+      "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>")
+  }
+
+  test("q6: scan pruned to exactly the three needed lineitem columns") {
+    val (_, schema) = scanMeta("q6_topk_parts").head
+    assert(schema == "struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>")
+  }
+
+  test("q3/q4: dimension joins broadcast; no shuffle join anywhere") {
+    for (q <- Seq("q3_nation_revenue", "q4_region_year_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to a shuffle join")
+    }
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen with partial aggregation") {
+    val p = executedPlan("q1_pricing_summary")
+    // '*(n)' marks whole-stage-codegen stages in Spark's plan strings
+    assert(p.contains("*("), s"no codegen stages in:\n${p.take(800)}")
+    // partial (map-side) HashAggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("p6 genotype pipeline: narrow scan->explode stage, single shuffle for the groupBy") {
+    // Exchanges are inserted by EnsureRequirements: read the adaptive
+    // plan's initial physical plan, not the bare sparkPlan.
+    val p = Queries.all("p6_genotype_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "mapper pipeline should shuffle exactly once (final groupBy)")
+    assert(p.contains("Generate explode"), "G1 explode missing from plan")
+  }
+
+  test("ann_cosine_topk: query side broadcast, no shuffle of the embedding scan") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}

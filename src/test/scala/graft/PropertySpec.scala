@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.P6Functions._
+import graft.operators.Dedup
+
+/** Property-based specs (ScalaCheck): the invariants the reference's
+  * truth-table tests imply but never state. Each property evaluates
+  * its whole sample as ONE DataFrame pass.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.choose(-9999, 99999).map(_.toString),
+    Gen.choose(0.0, 9999.9).map(_.toString),
+    Gen.const(""),
+    Gen.const("  spaced out  "),
+    Gen.alphaNumStr.map(s => s"T$s"))
+
+  test("F1 normalizeTimeLike is idempotent") {
+    check(Prop.forAll(Gen.listOfN(60, cellGen)) { xs =>
+      xs.isEmpty || {
+        val out = xs.toDF("v")
+          .select(normalizeTimeLike(col("v")).as("once"))
+          .select(col("once"), normalizeTimeLike(col("once")).as("twice"))
+          .collect()
+        out.forall(r => r.getString(0) == r.getString(1))
+      }
+    })
+  }
+
+  test("F3/F4: any parsed HPO cell yields a CURIE satisfying V7") {
+    val hpoCell = for {
+      d <- Gen.choose(1, 9999999)
+      shape <- Gen.oneOf[Int => String](
+        (x: Int) => s"HP:$x", (x: Int) => s"$x", (x: Int) => s"hp$x",
+        (x: Int) => s"Some Label (HP:$x)", (x: Int) => s"  $x  ")
+    } yield shape(d)
+    check(Prop.forAll(Gen.listOfN(60, hpoCell)) { xs =>
+      xs.isEmpty || {
+        val out = xs.toDF("v")
+          .select(hpoCellToCurie(col("v")).as("c"))
+          .select(col("c"), validHpoId(col("c")).as("ok"))
+          .collect()
+        out.forall(r => !r.isNullAt(0) && r.getBoolean(1))
+      }
+    })
+  }
+
+  test("F2 toBoolLike never returns null and honors the falsy set") {
+    check(Prop.forAll(Gen.listOfN(60, cellGen)) { xs =>
+      xs.isEmpty || {
+        val out = xs.toDF("v")
+          .select(col("v"), toBoolLike(col("v")).as("b")).collect()
+        out.forall { r =>
+          val v = Option(r.getString(0)).getOrElse("").trim.toLowerCase
+          val b = r.getBoolean(1)
+          val falsy = Set("0", "false", "f", "no", "n", "")
+          val truthy = Set("1", "true", "t", "yes", "y")
+          if (falsy(v)) !b else if (truthy(v)) b else b == v.nonEmpty
+        }
+      }
+    })
+  }
+
+  test("G1 explode cardinality = min(zygosity tokens, inheritance tokens)") {
+    val zygTok = Gen.oneOf("het", "hom", "comphet", "hemi", "mosaic")
+    val inhTok = Gen.oneOf("unknown", "inherited", "denovo")
+    val gen = for {
+      nz <- Gen.choose(1, 4); ni <- Gen.choose(1, 4)
+      zs <- Gen.listOfN(nz, zygTok); is <- Gen.listOfN(ni, inhTok)
+    } yield (zs.mkString("/"), is.mkString("/"))
+    check(Prop.forAll(Gen.listOfN(30, gen)) { xs =>
+      xs.isEmpty || {
+        val out = xs.toDF("zyg", "inh")
+          .select(size(zipTruncate(slashTokens(col("zyg")), slashTokens(col("inh"))))
+            .as("n"), col("zyg"), col("inh"))
+          .collect()
+        out.forall { r =>
+          r.getInt(0) ==
+            math.min(r.getString(1).split("/").length, r.getString(2).split("/").length)
+        }
+      }
+    })
+  }
+
+  test("shingle count = max(1, tokens - n + 1) before dedup, always >= 1 after") {
+    val textGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(30, textGen)) { xs =>
+      xs.isEmpty || {
+        val out = xs.toDF("t")
+          .select(size(Dedup.shingles(Dedup.tokens(col("t")), 3)).as("n")).collect()
+        out.forall(_.getInt(0) >= 1)
+      }
+    })
+  }
+}
