@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProduct}
+
+/** Public facade over the native Catalyst vector kernels
+  * (org.apache.spark.sql.graft.DotProduct).
+  *
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` computes a dot product
+  * through interpreted higher-order lambdas — fine for one query, a
+  * bottleneck when reranking millions of candidate vectors. The native
+  * expression is a codegen'd tight loop with implicit
+  * array<float> -> array<double> input casting.
+  */
+object VectorExpressions {
+
+  /** Codegen'd dot product over two numeric-array columns. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity built on the native dot product. */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+  }
+
+  /** Register `dot_product` for SQL use on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` makes the
+  * vector functions available to plain SQL sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

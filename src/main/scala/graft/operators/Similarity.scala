@@ -25,14 +25,12 @@ object Similarity {
     df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
 
-  /** Cosine similarity between two double-array columns (sequential
-    * fold — deterministic summation order).
+  /** Cosine similarity between two double-array columns via the native
+    * codegen'd DotProduct expression (same sequential summation order
+    * as the higher-order fold, so results are bit-identical).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, x) => acc + x)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_similarity(a, b)
 
   /** Sign-random-projection bucket id (K bits) per vector: explode to
     * (id, j, x), give each component its +/-1 weight per hyperplane

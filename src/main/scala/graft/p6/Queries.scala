@@ -523,15 +523,13 @@ object Queries {
     * the scan side stays fully parallel (no shuffle, no collect).
     */
   private def annCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("v"), col("qv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4).as("sim"))
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(50)
   }
