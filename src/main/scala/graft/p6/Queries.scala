@@ -450,6 +450,38 @@ object Queries {
         max(col("n_events")).as("max_session_events"))
       .orderBy(col("bucket"))
 
+  /** Explicit two-stage salted aggregation — the skew shape for hot
+    * keys AQE cannot split (aggregation keys). Exact for sums/counts,
+    * so the oracle is the plain GROUP BY.
+    */
+  private def q14SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    Skew.saltedSum(t(s, dir, "lineitem"), col("l_returnflag"), col("l_quantity"),
+        salts = 16, keyName = "l_returnflag", sumName = "sum_qty")
+      .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"),
+        col("sum_qty_count").as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** As-of join: attach each click's most recent prior (or same-time)
+    * purchase per user. Oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  private def q15AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+        Map("value" -> "purchase_value"))
+      .groupBy((col("user_id") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("purchase_value")).as("n_with_prior_purchase"),
+        round(coalesce(sum(col("purchase_value")), lit(0.0)), 2).as("sum_attached"))
+      .orderBy(col("bucket"))
+  }
+
   // ================================================================
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
@@ -645,6 +677,8 @@ object Queries {
     "p6_ontology_closure" -> (p6Closure _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_session_stats" -> (q13SessionStats _),
+    "q14_salted_agg" -> (q14SaltedAgg _),
+    "q15_asof_join" -> (q15AsofJoin _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -850,6 +884,22 @@ object Queries {
         SELECT user_id % 50 AS bucket, CAST(count(*) AS BIGINT) AS n_sessions,
           CAST(sum(n) AS BIGINT) AS n_events, CAST(max(n) AS BIGINT) AS max_session_events
         FROM g GROUP BY 1 ORDER BY 1""",
+    "q14_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        count(*) AS n_rows
+        FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q15_asof_join" ->
+      """WITH clicks AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id % 50 AS bucket,
+          CAST(count(*) AS BIGINT) AS n_clicks,
+          CAST(count(p.value) AS BIGINT) AS n_with_prior_purchase,
+          round(coalesce(sum(p.value), 0), 2) AS sum_attached
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+        GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Skew}
+
+/** Scale-pattern specs: salting, as-of join, and bucketed co-located
+  * joins — the shapes that keep plans healthy at 1000 executors.
+  */
+class ScalePatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("salted sum equals plain groupBy sum exactly") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val salted = graft.p6.Queries.all("q14_salted_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val plainN = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val saltedN = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8).count()
+    assert(plainN == saltedN && plainN > 0)
+  }
+
+  test("as-of join semantics: latest right at-or-before left, per key") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val clicks = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"))
+      .toDF("user_id", "ts", "tag")
+    val snapshots = Seq((1L, ts(0), 100.0), (1L, ts(30), 300.0), (2L, ts(6), 999.0))
+      .toDF("user_id", "ts", "score")
+    val out = AsOfJoin.asof(clicks, snapshots, "user_id", "ts", "ts",
+        Map("score" -> "score"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble)).toMap
+    assert(out("c1") == Some(100.0)) // before the t=30 snapshot
+    assert(out("c2") == Some(300.0)) // same-time snapshot visible (inclusive)
+    assert(out("c3") == None)        // only future snapshots exist for user 2
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    try {
+      val joined = spark.table("li_bucketed").join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
