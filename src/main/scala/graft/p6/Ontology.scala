@@ -66,14 +66,29 @@ object Ontology {
     * so this runs in a handful of local iterations; the result is cached
     * and broadcast into the fact-side joins.
     */
-  def transitiveClosure(edges: DataFrame, maxIters: Int = 40): DataFrame = {
-    // Semi-naive fixpoint: only join the newly-discovered frontier each
-    // round. Each iteration is "pinned" — rebuilt from its RDD with a
-    // clean schema — which truncates the logical plan (otherwise lineage
-    // grows superlinearly and the driver OOMs on plan bookkeeping) and
-    // sheds stale constraint attributes (Union constraint rewriting
-    // chokes on checkpointed plans that still carry them).
+  /** Transitive closure with a two-tier strategy:
+    *
+    *  - Dimension-sized graphs (edge count <= driverMaxEdges) are
+    *    closed ON THE DRIVER with a memoized DAG walk and the result
+    *    parallelized back — an ontology is a dimension table (HPO is
+    *    ~18k terms), and a driver pass beats ~log(depth) Spark jobs by
+    *    an order of magnitude. This is the "compute once, broadcast"
+    *    shape from SURVEY §4.2.
+    *  - Larger graphs fall back to the distributed pointer-doubling
+    *    fixpoint below (exercised in tests via driverMaxEdges = 0).
+    */
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 40,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
+    val named0 = edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
+      .distinct()
+    if (driverMaxEdges > 0 && named0.count() <= driverMaxEdges)
+      return driverClosure(spark, named0)
+    // Distributed path. Each iteration is "pinned" — rebuilt from its
+    // RDD with a clean schema — which truncates the logical plan
+    // (otherwise lineage grows superlinearly and the driver OOMs on
+    // plan bookkeeping) and sheds stale constraint attributes (Union
+    // constraint rewriting chokes on checkpointed plans).
     def pin(df: DataFrame): DataFrame = {
       val out = spark.createDataFrame(df.rdd, df.schema)
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,6 +113,50 @@ object Ontology {
       i += 1
     }
     closure
+  }
+
+  /** Driver-side closure of a dimension-sized DAG: memoized ancestor
+    * sets via an explicit-stack post-order walk (no recursion-depth
+    * limit; cycles, which a well-formed ontology cannot contain, are
+    * broken by the in-progress mark rather than looping forever).
+    */
+  private def driverClosure(spark: SparkSession, named: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val schema = named.schema
+    val pairs = named.collect()
+    val parents = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    pairs.foreach { r =>
+      parents.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    val memo = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Any]]
+    val onStack = mutable.HashSet.empty[Any]
+    parents.keysIterator.foreach { root =>
+      if (!memo.contains(root)) {
+        val stack = mutable.ArrayDeque[(Any, Boolean)]((root, false))
+        while (stack.nonEmpty) {
+          val (node, expanded) = stack.removeLast()
+          if (expanded) {
+            val acc = mutable.LinkedHashSet.empty[Any]
+            parents.get(node).foreach(_.foreach { p =>
+              acc += p
+              memo.get(p).foreach(acc ++= _)
+            })
+            memo(node) = acc
+            onStack.remove(node)
+          } else if (!memo.contains(node) && onStack.add(node)) {
+            stack.append((node, true))
+            parents.get(node).foreach(_.foreach { p =>
+              if (!memo.contains(p) && !onStack.contains(p)) stack.append((p, false))
+            })
+          }
+        }
+      }
+    }
+    val rows = parents.keysIterator.flatMap { d =>
+      memo(d).iterator.map(a => org.apache.spark.sql.Row(d, a))
+    }.toSeq
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** J1-J3: per-row ontology checks on parsed phenotype records

@@ -44,6 +44,17 @@ class ScalePatternSpec extends SparkSpec {
     assert(out("c3") == None)        // only future snapshots exist for user 2
   }
 
+  test("driver-side and distributed transitive closure agree") {
+    val edges = Tables(spark, sfDir, "part").filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("child"),
+        (col("p_partkey") / 2).cast("long").as("parent"))
+    val driver = graft.p6.Ontology.transitiveClosure(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distributed = graft.p6.Ontology.transitiveClosure(edges, driverMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver == distributed && driver.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
