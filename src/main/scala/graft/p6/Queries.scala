@@ -482,6 +482,22 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Custom physical operator: top-3 orders per market segment via the
+    * TopKPerKey exec (bounded per-key heaps — no partition sort). The
+    * oracle is the row_number window formulation.
+    */
+  private def q16TopKPerKey(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKeyApi
+    val joined = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    TopKPerKeyApi.topKPerKey(joined,
+        keyNames = Seq("c_mktsegment"),
+        order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   // ================================================================
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
@@ -679,6 +695,7 @@ object Queries {
     "q13_session_stats" -> (q13SessionStats _),
     "q14_salted_agg" -> (q14SaltedAgg _),
     "q15_asof_join" -> (q15AsofJoin _),
+    "q16_topk_per_key" -> (q16TopKPerKey _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -900,6 +917,13 @@ object Queries {
         FROM clicks c ASOF LEFT JOIN purch p
           ON c.user_id = p.user_id AND p.ts <= c.ts
         GROUP BY 1 ORDER BY 1""",
+    "q16_topk_per_key" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,

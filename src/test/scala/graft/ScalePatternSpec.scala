@@ -44,6 +44,29 @@ class ScalePatternSpec extends SparkSpec {
     assert(out("c3") == None)        // only future snapshots exist for user 2
   }
 
+  test("TopKPerKey exec: matches the window formulation, no sort in the plan") {
+    import org.apache.spark.sql.graft.TopKPerKeyApi
+    val orders = Tables(spark, sfDir, "orders")
+    val topk = TopKPerKeyApi.topKPerKey(orders,
+      Seq("o_orderstatus"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 5)
+    val plan = topk.queryExecution.executedPlan.toString
+    // physical node prints without the Exec suffix (TreeNode.nodeName)
+    assert(plan.contains("TopKPerKey 5,"), "custom exec not planned")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "should shuffle exactly once on the key")
+    assert(!plan.contains("Sort "), "bounded-heap operator must not sort partitions")
+
+    val got = topk.collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("o_orderkey"))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("o_orderstatus"), col("o_orderkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("driver-side and distributed transitive closure agree") {
     val edges = Tables(spark, sfDir, "part").filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("child"),
