@@ -23,17 +23,11 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val pheno = Queries.phenotypeSheet(t(spark, dir, "documents"))
-    val geno = Queries.genotypeSheet(t(spark, dir, "part"))
-    val g = Mappers.mapGenotypeTable(geno)
-    val p = Mappers.mapPhenotypeTable(pheno)
-    import spark.implicits._
-    val bundles = Assemble.groupByPatient(
-      g.records, p.records,
-      spark.emptyDataset[DiseaseRecord].toDF(),
-      spark.emptyDataset[MeasurementRecord].toDF(),
-      spark.emptyDataset[BiosampleRecord].toDF())
-    Assemble.phenopackets(bundles)
+    val workbook = Map(
+      "variants" -> Queries.genotypeSheet(t(spark, dir, "part")),
+      "hpo" -> Queries.phenotypeSheet(t(spark, dir, "documents")))
+    val result = new DefaultMapper().applyMapping(spark, workbook)
+    Assemble.phenopackets(result.bundles)
       .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
   }
 

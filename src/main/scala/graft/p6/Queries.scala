@@ -498,6 +498,43 @@ object Queries {
       .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Range join: events matched to synthetic promo windows (epoch-ms
+    * integer intervals derived from part keys) via the bin-bucketed
+    * equi-join — never a nested-loop non-equi plan.
+    */
+  private def q17RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val base = 1704067200000L // 2024-01-01 UTC
+    val day = 86400000L
+    val k = col("p_partkey")
+    val promos = t(s, dir, "part").select(k.as("promo_key"),
+      (lit(base) + (k % 29) * day).as("start_ms"),
+      (lit(base) + (k % 29) * day + (k % 3 + 1) * day).as("end_ms"))
+    val points = t(s, dir, "events")
+      .select(unix_millis(col("ts")).as("t_ms"), col("value"))
+    RangeJoin.pointInInterval(points, "t_ms", promos, "start_ms", "end_ms", day)
+      .groupBy((col("promo_key") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n_matches"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Rollup (hierarchical super-aggregates). */
+  private def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot (columns from values) with an explicit value list. */
+  private def q19Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+
   // ================================================================
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
@@ -696,6 +733,9 @@ object Queries {
     "q14_salted_agg" -> (q14SaltedAgg _),
     "q15_asof_join" -> (q15AsofJoin _),
     "q16_topk_per_key" -> (q16TopKPerKey _),
+    "q17_range_join" -> (q17RangeJoin _),
+    "q18_rollup" -> (q18Rollup _),
+    "q19_pivot" -> (q19Pivot _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -924,6 +964,25 @@ object Queries {
               ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders JOIN customer ON o_custkey = c_custkey)
         WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
+    "q17_range_join" ->
+      """SELECT p.p_partkey % 50 AS bucket,
+        CAST(count(*) AS BIGINT) AS n_matches,
+        round(sum(e.value), 2) AS sum_value
+        FROM part p JOIN events e
+          ON epoch_ms(e.ts) >= 1704067200000 + (p.p_partkey % 29) * 86400000
+         AND epoch_ms(e.ts) <  1704067200000 + (p.p_partkey % 29) * 86400000
+                                + (p.p_partkey % 3 + 1) * 86400000
+        GROUP BY 1 ORDER BY 1""",
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q19_pivot" ->
+      """SELECT l_returnflag,
+        round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        FROM lineitem GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,

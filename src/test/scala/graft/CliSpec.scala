@@ -144,9 +144,17 @@ class CliSpec extends SparkSpec {
       .filter(_.toString.endsWith(".json")).toList
     assert(jsons.size == 1 && jsons.head.getFileName.toString == "1.json")
     val body = Files.readString(jsons.head)
-    assert(body.contains("\"HP:0000510\""))
-    assert(body.contains("16:g.100A>G"))
-    assert(body.contains("GENO:0000135"))
+    // golden document: exact GA4GH phenopacket shape for P100
+    val golden = """{"id":"P100","subject":{"id":"P100"},""" +
+      """"phenotypic_features":[{"type":{"id":"HP:0000510"},"excluded":false}],""" +
+      """"interpretations":[{"id":"P100-interpretation-0",""" +
+      """"progress_status":"COMPLETED","diagnosis":{"genomic_interpretations":""" +
+      """[{"subject_or_biosample_id":"P100","interpretation_status":"CONTRIBUTORY",""" +
+      """"variant_interpretation":{"variation_descriptor":{"expressions":""" +
+      """[{"syntax":"hgvs","value":"16:g.100A>G"}],"allelic_state":""" +
+      """{"id":"GENO:0000135","label":"heterozygous"},"gene_context":""" +
+      """{"symbol":"GENE1"}}}}]}}],"diseases":[],"measurements":[],"biosamples":[]}"""
+    assert(body == golden)
   }
 
   test("download: file:// base URL fetch (offline mirror of ref test_download_mock)") {
