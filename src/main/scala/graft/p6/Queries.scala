@@ -619,6 +619,42 @@ object Queries {
       .limit(50)
   }
 
+  /** TF-IDF vocabulary statistics: document frequency and idf for the
+    * highest-df terms (explode -> distinct doc-term -> agg).
+    */
+  private def q20TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count() // corpus size for idf (driver scalar, one job)
+    docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("term"), col("df"),
+        round(log(lit(n.toDouble) / col("df")), 6).as("idf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(25)
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`).
+    */
+  private def q21Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Statistical aggregates (corr / covariance / stddev / variance). */
+  private def q22StatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"))
+      .orderBy(col("l_returnflag"))
+
   /** Brute-force n-gram Jaccard over a bounded prefix of the corpus —
     * the exact baseline the LSH path approximates. Integer bucket math
     * ((10*|∩|) div |∪|) keeps the histogram float-free.
@@ -736,6 +772,9 @@ object Queries {
     "q17_range_join" -> (q17RangeJoin _),
     "q18_rollup" -> (q18Rollup _),
     "q19_pivot" -> (q19Pivot _),
+    "q20_tfidf_terms" -> (q20TfidfTerms _),
+    "q21_percentiles" -> (q21Percentiles _),
+    "q22_stats_agg" -> (q22StatsAgg _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -982,6 +1021,26 @@ object Queries {
       """SELECT l_returnflag,
         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q20_tfidf_terms" ->
+      """WITH dt AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents)
+        SELECT term, count(DISTINCT doc_id) AS df,
+          round(ln((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)), 6) AS idf
+        FROM dt GROUP BY term ORDER BY df DESC, term LIMIT 25""",
+    "q21_percentiles" ->
+      """SELECT event_type,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.9), 4) AS p90,
+        round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q22_stats_agg" ->
+      """SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_discount), 6) AS var_disc
         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
