@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.p6._
+
+/** S4 sink layouts and the SQL-view API surface. */
+class SinksAndSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def onePatientBundles = {
+    val geno = Seq(
+      ("P100", "u@e.co", "1", "16", "1", "1", "A", "G", "G1",
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het", "inherited"),
+      ("P200", "u@e.co", "1", "16", "2", "2", "A", "G", "G1",
+        "16:g.2A>G", "NM_1:c.2A>G", "p.X", "hom", "denovo"))
+      .toDF("genotype_patient_ID", "contact_email", "phasing", "chromosome",
+        "start_position", "end_position", "reference", "alternate",
+        "gene_symbol", "hgvsg", "hgvsc", "hgvsp", "zygosity", "inheritance")
+    val g = Mappers.mapGenotypeTable(geno)
+    Assemble.groupByPatient(g.records,
+      spark.emptyDataset[PhenotypeRecord].toDF(),
+      spark.emptyDataset[DiseaseRecord].toDF(),
+      spark.emptyDataset[MeasurementRecord].toDF(),
+      spark.emptyDataset[BiosampleRecord].toDF())
+  }
+
+  test("S4 numbered sink: 1.json..N.json in patient order") {
+    val dir = Files.createTempDirectory("sink").toString
+    val n = Assemble.writeNumberedJson(Assemble.phenopackets(onePatientBundles), dir)
+    assert(n == 2)
+    val one = Files.readString(java.nio.file.Paths.get(dir, "1.json"))
+    val two = Files.readString(java.nio.file.Paths.get(dir, "2.json"))
+    assert(one.contains("\"id\":\"P100\"") && two.contains("\"id\":\"P200\""))
+  }
+
+  test("S4 partitioned sink: patient_id=... directory layout (the at-scale shape)") {
+    val dir = Files.createTempDirectory("sinkp").toString + "/out"
+    Assemble.writePartitioned(Assemble.phenopackets(onePatientBundles), dir)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs == Set("patient_id=P100", "patient_id=P200"))
+    val read = spark.read.text(dir + "/patient_id=P100").collect()
+    assert(read.length == 1 && read(0).getString(0).contains("GENO:0000135"))
+  }
+
+  test("catalog-of-views: registerAll exposes the corpus to plain SQL") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT n_name, count(*) AS n FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 3""").collect()
+    assert(n.length == 3 && n(0).getLong(1) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = stream.toDF().toDF("id", "ts", "payload")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    stream.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-replay"))
+    q.processAllAvailable()
+    stream.addData((1L, ts(3), "a-replay-2"), (3L, ts(4), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
