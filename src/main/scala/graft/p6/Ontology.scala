@@ -155,8 +155,13 @@ object Ontology {
     val rows = parents.keysIterator.flatMap { d =>
       memo(d).iterator.map(a => org.apache.spark.sql.Row(d, a))
     }.toSeq
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
+    // parallelize instead of a LocalRelation: a quarter-million-row
+    // LocalRelation gets copied into every plan that references it
+    // (planning cost + task binary bloat); an RDD-backed frame is
+    // referenced, not embedded.
+    val rdd = spark.sparkContext.parallelize(rows,
+      math.max(2, spark.sparkContext.defaultParallelism / 4))
+    spark.createDataFrame(rdd, schema)
   }
 
   /** J1-J3: per-row ontology checks on parsed phenotype records

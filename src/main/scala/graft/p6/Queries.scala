@@ -655,6 +655,21 @@ object Queries {
         round(var_samp(col("l_discount")), 6).as("var_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic hash split — the stable train/test partitioner a
+    * training pipeline needs: membership depends only on the id (md5
+    * prefix, lexicographic), never on partitioning, sampling seeds, or
+    * engine, so the split is reproducible everywhere.
+    */
+  private def q23StableSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+          .otherwise("train").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
   /** Brute-force n-gram Jaccard over a bounded prefix of the corpus —
     * the exact baseline the LSH path approximates. Integer bucket math
     * ((10*|∩|) div |∪|) keeps the histogram float-free.
@@ -775,6 +790,7 @@ object Queries {
     "q20_tfidf_terms" -> (q20TfidfTerms _),
     "q21_percentiles" -> (q21Percentiles _),
     "q22_stats_agg" -> (q22StatsAgg _),
+    "q23_stable_split" -> (q23StableSplit _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -1042,6 +1058,12 @@ object Queries {
         round(stddev_samp(l_quantity), 4) AS sd_qty,
         round(var_samp(l_discount), 6) AS var_disc
         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q23_stable_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+          THEN 'test' ELSE 'train' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,
