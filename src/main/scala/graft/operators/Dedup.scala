@@ -66,13 +66,27 @@ object Dedup {
       .select(col("id"), array((0 until numPerm).map(p => col(s"h$p")): _*).as("sig"))
   }
 
+  /** MinHash signatures via the native TypedImperativeAggregate
+    * (org.apache.spark.sql.graft.MinHashAgg): one array-buffer
+    * aggregate instead of numPerm scalar min() columns — same hash
+    * family, same signatures, half the shuffle bookkeeping.
+    */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graft.MinHashAggApi.minhash_agg
+    df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), shingleLen)).as("s"))
+      .groupBy(col("id"))
+      .agg(minhash_agg(col("s"), numPerm).as("sig"))
+  }
+
   /** Candidate near-dup pairs (a < b) via MinHash + LSH.
     * numPerm must be divisible by bands.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val sig = minhashSignatures(df, idCol, textCol, shingleLen, numPerm)
+    val sig = minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm)
     val buckets = sig
       .select(col("id"), explode(lshBands(col("sig"), bands, numPerm / bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))

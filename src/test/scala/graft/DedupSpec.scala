@@ -30,6 +30,15 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("native MinHashAgg produces the same signatures as the min-column formulation") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaCols = Dedup.minhashSignatures(docs, "doc_id", "text", numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaCols && viaAgg.nonEmpty)
+  }
+
   test("minhash LSH: near-identical pair surfaces as candidate, verified by jaccard") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
