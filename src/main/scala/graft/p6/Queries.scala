@@ -586,18 +586,28 @@ object Queries {
     * synthetic, so this exercises the operator, not real linguistics.
     */
   private def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    def score(words: Seq[String]) = size(filter(toks, tk => tk.isin(words: _*)))
-    val en = score(Seq("the", "a", "and", "of", "to"))
-    val fr = score(Seq("le", "la", "les", "et", "des"))
-    val de = score(Seq("der", "die", "und", "das", "ein"))
-    val es = score(Seq("el", "los", "las", "y", "una"))
-    val predicted = when(en >= fr && en >= de && en >= es, "en")
-      .when(fr >= de && fr >= es, "fr")
-      .when(de >= es, "de")
+    // explode -> conditional sums (codegen) rather than interpreted
+    // list_filter lambdas per marker set
+    val markers = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "fr" -> Seq("le", "la", "les", "et", "des"),
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "es" -> Seq("el", "los", "las", "y", "una"))
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("tk").isin(markers.head._2: _*), 1).otherwise(0)).as("s_en"),
+        markers.tail.map { case (l, ws) =>
+          sum(when(col("tk").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+        }: _*)
+    val predicted =
+      when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_es"), "en")
+      .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+      .when(col("s_de") >= col("s_es"), "de")
       .otherwise("es")
-    t(s, dir, "documents")
-      .select(col("lang"), predicted.as("predicted"))
+    scored.select(col("lang"), predicted.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))

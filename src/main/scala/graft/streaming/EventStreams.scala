@@ -31,6 +31,26 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Watermarked stream-stream join: purchases attributed to the click
+    * that preceded them within `window` per user. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state is evictable — the canonical funnel/attribution shape.
+    * Works identically on batch inputs (watermarks become no-ops).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          purchase_ts >= click_ts AND
+          purchase_ts <= click_ts + interval $window"""))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

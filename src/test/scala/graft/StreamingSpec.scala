@@ -67,6 +67,31 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
   }
 
+  test("stream-stream join: purchases attributed to preceding click within window") {
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: event times must sit well past the epoch — the initial
+    // watermark is 1970-00:00, and watermark-minus-delay math near it
+    // classifies epoch-adjacent rows as late, silently dropping them.
+    val base = 1704067200000L // 2024-01-01
+    def bts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, bts(0), "click", 0.0), Event(2L, bts(5), "click", 0.0))
+    purchases.addData(
+      Event(1L, bts(30), "purchase", 9.99),   // within 1h of user 1's click
+      Event(2L, bts(400), "purchase", 5.0),   // 395 min later: outside window
+      Event(3L, bts(10), "purchase", 1.0))    // no click at all
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib_out")
+      .select("c_user", "purchase_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 9.99)))
+  }
+
   test("batch session query and streaming session_window agree on the corpus") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaSessionWindow = EventStreams.sessionWindows(events)
