@@ -629,6 +629,42 @@ object Queries {
       .limit(50)
   }
 
+  /** Semi-structured columns: parse the JSON props payload and
+    * aggregate an extracted field (from_json with an explicit schema —
+    * the shredding shape; schema-on-read stays at the edge).
+    */
+  private def q24JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Cube: all grouping-set combinations. */
+  private def q25Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** NTILE quartiles over a global ordering. */
+  private def q26Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy(col("quartile"))
+  }
+
   /** TF-IDF vocabulary statistics: document frequency and idf for the
     * highest-df terms (explode -> distinct doc-term -> agg).
     */
@@ -801,6 +837,9 @@ object Queries {
     "q21_percentiles" -> (q21Percentiles _),
     "q22_stats_agg" -> (q22StatsAgg _),
     "q23_stable_split" -> (q23StableSplit _),
+    "q24_json_extract" -> (q24JsonExtract _),
+    "q25_cube" -> (q25Cube _),
+    "q26_ntile" -> (q26Ntile _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -1074,6 +1113,24 @@ object Queries {
         count(*) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q24_json_extract" ->
+      """SELECT event_type,
+        count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q25_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q26_ntile" ->
+      """SELECT quartile, count(*) AS n,
+        round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+        FROM (SELECT c_acctbal,
+          ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer)
+        GROUP BY 1 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,
