@@ -31,16 +31,30 @@ object Ontology {
       regexp_replace(regexp_extract(c, "([^/]+)$", 1), "_", ":")
 
     val nodes = graph.select(explode(col("nodes")).as("n")).select(col("n.*"))
-    val hasDeprecated = nodes.schema.fields.exists(_.name == "meta") &&
-      nodes.select(col("meta.*")).schema.fields.exists(_.name == "deprecated")
+    val metaFields: Set[String] =
+      if (nodes.schema.fields.exists(_.name == "meta"))
+        nodes.select(col("meta.*")).schema.fields.map(_.name).toSet
+      else Set.empty
     val deprecatedCol =
-      if (hasDeprecated) coalesce(col("meta.deprecated"), lit(false))
+      if (metaFields.contains("deprecated")) coalesce(col("meta.deprecated"), lit(false))
       else lit(false)
+    // Replacement ids for obsolete terms (J2's alt_term_ids): obographs
+    // carries them as meta.basicPropertyValues entries with the
+    // IAO:0100001 ("term replaced by") predicate.
+    val altIdsCol =
+      if (metaFields.contains("basicPropertyValues"))
+        coalesce(
+          transform(
+            filter(col("meta.basicPropertyValues"),
+              bpv => bpv.getField("pred").endsWith("IAO_0100001")),
+            bpv => shortId(bpv.getField("val"))),
+          lit(Array.empty[String]))
+      else lit(Array.empty[String])
     val terms = nodes
       .select(shortId(col("id")).as("term_id"),
         col("lbl").as("name"),
         deprecatedCol.as("is_obsolete"),
-        lit(Array.empty[String]).as("alt_ids"))
+        altIdsCol.as("alt_ids"))
       .filter(col("term_id").startsWith("HP:"))
 
     val edges = graph.select(explode(col("edges")).as("e"))

@@ -55,7 +55,10 @@ class CliSpec extends SparkSpec {
     val obo = "http://purl.obolibrary.org/obo"
     def node(id: String, lbl: String, deprecated: Boolean = false) =
       s"""{"id": "$obo/HP_$id", "lbl": "$lbl"""" +
-        (if (deprecated) """, "meta": {"deprecated": true}}""" else "}")
+        (if (deprecated)
+          s""", "meta": {"deprecated": true, "basicPropertyValues": [
+             |{"pred": "$obo/IAO_0100001", "val": "$obo/HP_0000510"}]}}""".stripMargin
+        else "}")
     def edge(sub: String, obj: String) =
       s"""{"sub": "$obo/HP_$sub", "pred": "is_a", "obj": "$obo/HP_$obj"}"""
     Files.writeString(path,
@@ -155,6 +158,22 @@ class CliSpec extends SparkSpec {
       """{"id":"GENO:0000135","label":"heterozygous"},"gene_context":""" +
       """{"symbol":"GENE1"}}}}]}}],"diseases":[],"measurements":[],"biosamples":[]}"""
     assert(body == golden)
+  }
+
+  test("fromObographs: deprecated flag + IAO:0100001 replacement ids (J2 alt_term_ids)") {
+    val dir = Files.createTempDirectory("obo")
+    val hpo = dir.resolve("hp.json")
+    writeHpoJson(hpo)
+    val ont = graft.p6.Ontology.fromObographs(spark, hpo.toString)
+    val old = ont.terms.filter(org.apache.spark.sql.functions.col("term_id") === "HP:0009999")
+      .collect()(0)
+    assert(old.getAs[Boolean]("is_obsolete"))
+    assert(old.getSeq[String](old.fieldIndex("alt_ids")) == Seq("HP:0000510"))
+    // non-deprecated nodes carry no replacements
+    val live = ont.terms.filter(org.apache.spark.sql.functions.col("term_id") === "HP:0000510")
+      .collect()(0)
+    assert(!live.getAs[Boolean]("is_obsolete"))
+    assert(live.getSeq[String](live.fieldIndex("alt_ids")).isEmpty)
   }
 
   test("download: file:// base URL fetch (offline mirror of ref test_download_mock)") {
