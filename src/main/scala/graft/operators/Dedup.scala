@@ -29,14 +29,18 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
       .otherwise(array(array_join(toks, " ")))
 
-  /** MinHash signature: numPerm independent permutations simulated by
-    * seeding xxhash64 with the permutation index (xxhash64 is Spark's
-    * codegen'd 64-bit hash; feeding the index as a leading column gives
-    * an independent hash family member per permutation).
+  /** MinHash permutation family: ONE xxhash64 of the shingle STRING,
+    * then per member a seeded xxhash64 of that base LONG. Hashing the
+    * string once instead of numPerm times is the dominant cost at
+    * scale; re-hashing a fixed 8-byte long is a handful of multiplies.
+    * (A plain affine permutation would be cheaper still, but ANSI mode
+    * makes wrapping long multiplication throw.)
     */
-  def minhashSignature(sh: Column, numPerm: Int): Column =
+  def minhashSignature(sh: Column, numPerm: Int): Column = {
+    val hashes = transform(sh, s => xxhash64(s))
     array((0 until numPerm).map(p =>
-      array_min(transform(sh, s => xxhash64(lit(p), s)))): _*)
+      array_min(transform(hashes, h => xxhash64(lit(p), h)))): _*)
+  }
 
   /** LSH banding: hash each band's slice of the signature to a bucket
     * key. Docs sharing any (band, key) become candidates.
@@ -58,8 +62,9 @@ object Dedup {
       shingleLen: Int = 3, numPerm: Int = 32): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(shingles(tokens(col(textCol)), shingleLen)).as("s"))
-    val hashed = exploded.select(col("id") +:
-      (0 until numPerm).map(p => xxhash64(lit(p), col("s")).as(s"h$p")): _*)
+    val hashed = exploded.select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id") +:
+        (0 until numPerm).map(p => xxhash64(lit(p), col("h")).as(s"h$p")): _*)
     hashed.groupBy(col("id"))
       .agg(min(col("h0")).as("h0"),
         (1 until numPerm).map(p => min(col(s"h$p")).as(s"h$p")): _*)

@@ -33,15 +33,20 @@ case class MinHashAgg(child: Expression, numPerm: Int,
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numPerm)(Long.MaxValue)
 
+  // Same permutation family as graft.operators.Dedup: ONE xxhash64 of
+  // the value string, then per member a seeded xxhash64 of that base
+  // long — replicating the expression xxhash64(lit(p), h), which folds
+  // hash(p, Int, 42) into the seed for hash(h, Long, _).
+  private lazy val permSeeds: Array[Long] = Array.tabulate(numPerm)(p =>
+    XxHash64Function.hash(p, org.apache.spark.sql.types.IntegerType, 42L))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
+      val base = XxHash64Function.hash(v, StringType, 42L)
       var p = 0
       while (p < numPerm) {
-        // seed the hash family with the permutation index, matching
-        // Dedup.minhashSignatures' xxhash64(lit(p), shingle)
-        val h = XxHash64Function.hash(v, StringType,
-          XxHash64Function.hash(p, org.apache.spark.sql.types.IntegerType, 42L))
+        val h = XxHash64Function.hash(base, LongType, permSeeds(p))
         if (h < buf(p)) buf(p) = h
         p += 1
       }
