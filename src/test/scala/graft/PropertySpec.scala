@@ -92,6 +92,43 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("as-of join matches a brute-force reference on random event sets") {
+    import graft.operators.AsOfJoin
+    val base = 1704067200000L
+    val evGen = for {
+      k <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 500L)
+      v <- Gen.choose(1, 999)
+    } yield (k, t, v.toDouble)
+    val caseGen = for {
+      lefts <- Gen.listOfN(40, evGen)
+      rights <- Gen.listOfN(40, evGen)
+    } yield (lefts, rights)
+    check(Prop.forAll(caseGen) { case (lefts0, rights0) =>
+      // unique (key, ts) per side: equal-timestamp right rows are an
+      // ambiguous input the operator does not promise to break ties on
+      val lefts = lefts0.distinctBy(e => (e._1, e._2))
+      val rights = rights0.distinctBy(e => (e._1, e._2))
+      val l = lefts.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(base + t * 60000L), v) }
+        .toDF("user_id", "ts", "lv")
+      val r = rights.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(base + t * 60000L), v) }
+        .toDF("user_id", "ts", "score")
+      val got = AsOfJoin.asof(l, r, "user_id", "ts", "ts", Map("score" -> "score"))
+        .collect()
+        .map(row => (row.getLong(0), row.getTimestamp(1).getTime) ->
+          Option(row.getAs[java.lang.Double]("score")).map(_.toDouble))
+        .toMap
+      val want = lefts.map { case (k, t, _) =>
+        val lt = base + t * 60000L
+        val cands = rights.filter(rr => rr._1 == k && base + rr._2 * 60000L <= lt)
+        (k, lt) -> cands.sortBy(rr => rr._2).lastOption.map(_._3)
+      }.toMap
+      got == want
+    })
+  }
+
   test("shingle count = max(1, tokens - n + 1) before dedup, always >= 1 after") {
     val textGen = Gen.choose(1, 30).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
