@@ -79,8 +79,9 @@ object Dedup {
   def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32): DataFrame = {
     import org.apache.spark.sql.graft.MinHashAggApi.minhash_agg
+    import org.apache.spark.sql.graft.ShingleGeneratorApi.shingle_explode
     df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), shingleLen)).as("s"))
+        shingle_explode(tokens(col(textCol)), shingleLen).as("s"))
       .groupBy(col("id"))
       .agg(minhash_agg(col("s"), numPerm).as("sig"))
   }

@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("shingle_explode generator matches the built-in shingle formulation") {
+    import org.apache.spark.sql.graft.ShingleGeneratorApi.shingle_explode
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaGen = docs.select(col("doc_id"),
+        shingle_explode(Dedup.tokens(col("text")), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBuiltins = docs.select(col("doc_id"),
+        explode(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaGen == viaBuiltins && viaGen.nonEmpty)
+    // short-doc fallback matches too
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(shingle_explode(Dedup.tokens(col("text")), 3).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(short == Seq("a b"))
+  }
+
   test("native MinHashAgg produces the same signatures as the min-column formulation") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val viaCols = Dedup.minhashSignatures(docs, "doc_id", "text", numPerm = 16)
