@@ -665,6 +665,19 @@ object Queries {
       .orderBy(col("quartile"))
   }
 
+  /** Datetime extraction battery (year/month/day/hour align across
+    * engines; weekday numbering deliberately avoided — Spark and
+    * DuckDB disagree on the origin).
+    */
+  private def q27DatetimeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(hour(col("ts"))).as("n_active_hours"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("y"), col("m"), col("d"))
+
   /** TF-IDF vocabulary statistics: document frequency and idf for the
     * highest-df terms (explode -> distinct doc-term -> agg).
     */
@@ -840,6 +853,7 @@ object Queries {
     "q24_json_extract" -> (q24JsonExtract _),
     "q25_cube" -> (q25Cube _),
     "q26_ntile" -> (q26Ntile _),
+    "q27_datetime_agg" -> (q27DatetimeAgg _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -1131,6 +1145,12 @@ object Queries {
           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
           FROM customer)
         GROUP BY 1 ORDER BY 1""",
+    "q27_datetime_agg" ->
+      """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        count(*) AS n,
+        count(DISTINCT hour(ts)) AS n_active_hours,
+        round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,
