@@ -76,4 +76,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q17 range join: bin equi-join, never a nested-loop plan") {
+    val p = plan("q17_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested-loop plan")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q15 as-of join: one keyed window, no join operator at all") {
+    val p = plan("q15_asof_join")
+    assert(p.contains("Window"), "as-of lost its window formulation")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
