@@ -113,6 +113,23 @@ class PipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("chr16"))
   }
 
+  test("strict_variants escalates HGVS mismatch from warning to error (ref --strict-variants)") {
+    val geno = Seq(
+      ("P1", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
+        "16:g.1C>T", "NM_1:c.1A>G", "p.X", "het", "inherited")) // C>T vs A/G raw
+      .toDF("genotype_patient_ID", "contact_email", "phasing", "chromosome",
+        "start_position", "end_position", "reference", "alternate",
+        "gene_symbol", "hgvsg", "hgvsc", "hgvsp", "zygosity", "inheritance")
+    val lax = Mappers.mapGenotypeTable(geno, strictVariants = false)
+    val strict = Mappers.mapGenotypeTable(geno, strictVariants = true)
+    def levels(st: MappingStage) = st.issues
+      .filter($"step" === "check-hgvs").select("level").collect().map(_.getString(0)).toSeq
+    assert(levels(lax) == Seq("warning"))
+    assert(levels(strict) == Seq("error"))
+    // the record itself is kept either way (the reference only drops on parse errors)
+    assert(lax.records.count() == 1 && strict.records.count() == 1)
+  }
+
   test("phenotype NAD skip + unparseable error (ref test_mapper_parse_phenotype_row)") {
     val pheno = Seq(
       ("P1", "NAD", "T1", "1"),
