@@ -678,6 +678,31 @@ object Queries {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("y"), col("m"), col("d"))
 
+  /** Set-valued aggregation rendered as a canonical string (arrays are
+    * hash-compare-hostile across engines; a joined sorted list isn't).
+    */
+  private def q28CollectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  /** String-function battery (levenshtein / reverse / lpad / repeat /
+    * substring arithmetic) over part names.
+    */
+  private def q29StringFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"),
+        levenshtein(col("p_type"), lit("PROMO")).as("lev_promo"),
+        reverse(col("p_brand")).as("rev_brand"),
+        lpad(col("p_name"), 12, ".").as("padded"),
+        substring(col("p_name"), 2, 5).as("mid"),
+        (length(col("p_name")) + length(col("p_type"))).as("total_len"))
+      .orderBy(col("p_partkey"))
+
   /** TF-IDF vocabulary statistics: document frequency and idf for the
     * highest-df terms (explode -> distinct doc-term -> agg).
     */
@@ -854,6 +879,8 @@ object Queries {
     "q25_cube" -> (q25Cube _),
     "q26_ntile" -> (q26Ntile _),
     "q27_datetime_agg" -> (q27DatetimeAgg _),
+    "q28_collect_set" -> (q28CollectSet _),
+    "q29_string_fns" -> (q29StringFns _),
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
@@ -1151,6 +1178,19 @@ object Queries {
         count(DISTINCT hour(ts)) AS n_active_hours,
         round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q28_collect_set" ->
+      """SELECT o_orderstatus,
+        array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q29_string_fns" ->
+      """SELECT p_partkey,
+        levenshtein(p_type, 'PROMO') AS lev_promo,
+        reverse(p_brand) AS rev_brand,
+        lpad(p_name, 12, '.') AS padded,
+        substr(p_name, 2, 5) AS mid,
+        CAST(length(p_name) + length(p_type) AS INTEGER) AS total_len
+        FROM part WHERE p_partkey < 500 ORDER BY 1""",
     "p6_disease_pipeline" ->
       """SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS patient_ID,
         'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS disease_term,
