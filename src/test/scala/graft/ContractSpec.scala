@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards: naming drift between the query registry and
+  * the oracle map silently downgrades a query to a rows-only check, so
+  * pin the invariants here.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("oracle coverage is complete except the documented hash/sketch queries") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set("minhash_neardup", "simhash_buckets",
+      "ann_lsh_topk", "emb_neardup", "approx_distinct")
+    assert(rowsOnly == documented,
+      s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
+  }
+
+  test("every multi-row oracle carries a deterministic ORDER BY") {
+    val singleRow = Set("q2_revenue_filter", "q7_semi_anti_join", "q8_set_ops",
+      "q9_distinct_counts", "dedup_exact", "dedup_fingerprint",
+      "p6_term_checks", "p6_batch_validate")
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql) if !singleRow(name) &&
+        !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+  }
+
+  test("oracle SQL avoids DuckDB HUGEINT (raw sum over integer columns)") {
+    // sums of known integer columns/expressions must be CAST to BIGINT
+    // window sums (sum(...) OVER) stay internal to the query and never
+    // reach the output schema, so they are exempt
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      "(?i)(?<!CAST\\()sum\\((?:o_orderkey|p_partkey|doc_id|event_id|n_chars|is_new)\\w*\\)(?!\\s*OVER)"
+        .r.findFirstIn(sql).isDefined
+    }.keySet
+    assert(offenders.isEmpty, s"possible HUGEINT sums: $offenders")
+  }
+}
