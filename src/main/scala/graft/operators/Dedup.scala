@@ -118,6 +118,63 @@ object Dedup {
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair table (a, b) via
+    * iterative min-label propagation. Near-dup clusters have tiny
+    * diameters, so this converges in a handful of rounds; each round
+    * is pinned (createDataFrame(rdd, schema) + persist) to keep plan
+    * lineage flat, mirroring Ontology.transitiveClosure.
+    * Returns (id, component) where component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out
+    }
+    val edges = pin(pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y"))).distinct())
+    var labels = pin(edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "y2"), col("y") === col("y2"))
+        .groupBy(col("x").as("id")).agg(min(col("component")).as("ncomp"))
+      val next = pin(labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component")))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+      if (changed.isEmpty) done = true
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup RESOLUTION: detect candidate pairs (MinHash +
+    * LSH), verify by Jaccard, cluster transitively, keep the smallest
+    * id per cluster. Returns the deduplicated corpus.
+    */
+  def dedupDocuments(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.7, shingleLen: Int = 3,
+      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val verified = jaccardVerify(
+      minhashCandidates(df, idCol, textCol, shingleLen, numPerm, bands),
+      df, idCol, textCol, shingleLen)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a"), col("b"))
+    val comps = connectedComponents(verified)
+    df.join(comps.withColumnRenamed("id", "__cid"),
+        col(idCol) === col("__cid"), "left")
+      .filter(col("__cid").isNull || col(idCol) === col("component"))
+      .drop("__cid", "component")
+  }
+
   /** 64-bit SimHash over distinct tokens: per bit, tokens vote +/-1
     * according to that bit of their xxhash64; the sign of the vote sum
     * becomes the signature bit. Hamming-close signatures => similar docs.

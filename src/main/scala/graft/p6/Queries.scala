@@ -784,6 +784,18 @@ object Queries {
       round(coalesce(max(col("jaccard")), lit(0.0)), 4).as("max_jaccard"))
   }
 
+  /** End-to-end near-dup resolution: detect -> verify -> cluster ->
+    * keep one canonical doc per cluster (no oracle — MinHash-based).
+    */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.dedupDocuments(docs, "doc_id", "text", jaccardThreshold = 0.5)
+    docs.agg(count(lit(1)).as("n_in"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_out")))
+      .select(col("n_in"), col("n_out"), (col("n_in") - col("n_out")).as("n_removed"))
+  }
+
   /** SimHash bucket histogram (no SQL oracle — xxhash64-based). */
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -888,6 +900,7 @@ object Queries {
     "p6_batch_validate" -> (p6BatchValidate _),
     "ngram_jaccard_hist" -> (ngramJaccardHist _),
     "minhash_neardup" -> (minhashNearDup _),
+    "dedup_corpus" -> (dedupCorpus _),
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
     "dedup_exact" -> (dedupExact _),

@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) <= 16)
   }
 
+  test("connected components: transitive clusters resolve to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupDocuments keeps one canonical doc per near-dup chain") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val t0 = base.filter(col("doc_id") === 0L).collect()(0).getString(1)
+    // chain: 9001 ~ doc0 (identical), 9002 ~ 9001 (one extra token) —
+    // transitively one cluster even if 9002 vs doc0 misses the bar
+    val planted = Seq((9001L, t0), (9002L, t0 + " extra")).toDF("doc_id", "text")
+    val deduped = Dedup.dedupDocuments(base.unionByName(planted),
+      "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!deduped.contains(9001L) && !deduped.contains(9002L))
+    assert(deduped.contains(0L))
+    // untouched docs survive
+    assert(deduped.contains(1L))
+  }
+
   test("multimodal: media features and per-partition decode stub agree") {
     val docs = Seq((0L, "hello world", "en", "s", 11L), (1L, "x" * 600, "en", "s", 600L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
