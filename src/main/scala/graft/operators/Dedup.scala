@@ -149,10 +149,15 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
+      // isEmpty materializes `next`, so the superseded iteration's
+      // cached blocks can be released (long sessions would otherwise
+      // accumulate one persisted frame per round).
       if (changed.isEmpty) done = true
+      labels.unpersist()
       labels = next
       i += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -57,8 +57,17 @@ object Mappers {
 
     val zygTokens = slashTokens(col("zygosity"))
     val inhTokens = slashTokens(col("inheritance"))
-    val badZyg = filter(zygTokens, t => decodeZygosity(t).isNull)
-    val badInh = filter(inhTokens, t => decodeInheritance(t).isNull)
+    // The reference validates only the zip-TRUNCATED pairs, zygosity
+    // before inheritance within each pair (src/P6/mapper.py:257-270):
+    // a bad token beyond the shorter list is never seen, and the first
+    // bad pair (in pair order) determines the error message.
+    val nPairs = least(size(zygTokens), size(inhTokens))
+    val badPairs = filter(
+      zip_with(slice(zygTokens, lit(1), nPairs), slice(inhTokens, lit(1), nPairs),
+        (z, i) => struct(z.as("zyg"), i.as("inh"))),
+      p => decodeZygosity(p.getField("zyg")).isNull ||
+        decodeInheritance(p.getField("inh")).isNull)
+    val firstBad = element_at(badPairs, 1)
     val chromNorm = normalizeChromosome(col("chromosome"))
     val email = emailOrDefault(col("contact_email"))
     val startL = col("start_position").try_cast("long")
@@ -68,14 +77,18 @@ object Mappers {
 
     // First failing check wins, mirroring the reference's sequential bail.
     val rowError =
-      when(size(badZyg) > 0, concat(lit(s"Sheet '$sheet': Unrecognized zygosity code '"),
-        element_at(badZyg, 1), lit("'")))
-      .when(size(badInh) > 0, concat(lit(s"Sheet '$sheet': Unrecognized inheritance code '"),
-        element_at(badInh, 1), lit("'")))
+      when(size(badPairs) > 0 && decodeZygosity(firstBad.getField("zyg")).isNull,
+        concat(lit(s"Sheet '$sheet': Unrecognized zygosity code '"),
+          firstBad.getField("zyg"), lit("'")))
+      .when(size(badPairs) > 0,
+        concat(lit(s"Sheet '$sheet': Unrecognized inheritance code '"),
+          firstBad.getField("inh"), lit("'")))
       .when(chromNorm.isNull, lit(s"Sheet '$sheet': Missing chromosome"))
       .when(startL.isNull || endL.isNull || startL < 0 || endL < 0,
         lit(s"Sheet '$sheet': positions must be non-negative integers"))
-      .when(!validPatientId(col("genotype_patient_ID").cast("string")),
+      // rlike yields NULL for a NULL id — coalesce so null IDs are
+      // flagged instead of silently passing the when().
+      .when(!coalesce(validPatientId(col("genotype_patient_ID").cast("string")), lit(false)),
         lit(s"Sheet '$sheet': patient ID must be alphanumeric"))
       .when(!validEmail(email), lit(s"Sheet '$sheet': invalid contact_email"))
       .when(!validChromosome(chromNorm), lit(s"Sheet '$sheet': invalid chromosome"))
@@ -169,7 +182,8 @@ object Mappers {
     val rowError =
       when(!isNad && curie.isNull,
         concat(lit(s"Sheet '$sheet': Cannot parse HPO term+ID from '"), cell, lit("'")))
-      .when(!validPatientId(pid), lit(s"Sheet '$sheet': patient ID must be alphanumeric"))
+      .when(!coalesce(validPatientId(pid), lit(false)),
+        lit(s"Sheet '$sheet': patient ID must be alphanumeric"))
       .when(!(date === "" || validObservationDate(date)),
         lit(s"Sheet '$sheet': date_of_observation must match T<digits>"))
 

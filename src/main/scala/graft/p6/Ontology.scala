@@ -117,13 +117,24 @@ object Ontology {
       .distinct())
     var i = 0
     var done = false
+    // Frames superseded in round k stay cached until round k+1's
+    // isEmpty has materialized the union built on top of them — only
+    // then is dropping their blocks free (the union is lazy; pin()
+    // truncates the plan but not the RDD lineage).
+    var retired: List[DataFrame] = Nil
     while (!done && i < maxIters) {
       val next = pin(closure.as("f")
         .join(closure.as("b"), col("f.ancestor") === col("b.descendant"))
         .select(col("f.descendant").as("descendant"), col("b.ancestor").as("ancestor"))
         .except(closure))
-      if (next.isEmpty) done = true
-      else closure = pin(closure.union(next))
+      val empty = next.isEmpty // materializes next AND this round's closure
+      retired.foreach(_.unpersist())
+      retired = Nil
+      if (empty) { next.unpersist(); done = true }
+      else {
+        retired = List(closure, next)
+        closure = pin(closure.union(next))
+      }
       i += 1
     }
     closure

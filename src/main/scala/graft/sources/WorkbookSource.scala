@@ -40,8 +40,16 @@ object WorkbookSource {
     try {
       def parse(entryName: String): Option[Element] =
         Option(zip.getEntry(entryName)).map { e =>
+          // Workbooks are untrusted input: disallow DTDs and external
+          // entities outright (XXE / billion-laughs hardening) — OOXML
+          // sheet parts never legitimately carry either.
           val dbf = DocumentBuilderFactory.newInstance()
           dbf.setNamespaceAware(false)
+          dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+          dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+          dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+          dbf.setXIncludeAware(false)
+          dbf.setExpandEntityReferences(false)
           dbf.newDocumentBuilder().parse(zip.getInputStream(e)).getDocumentElement
         }
 

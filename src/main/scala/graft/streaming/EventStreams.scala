@@ -57,39 +57,84 @@ object EventStreams {
       n_events: Long)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+  /** Fold this batch's events (sorted by event time) into the open
+    * session, emitting every session closed by a gap; returns the
+    * still-open trailing session (None only for an empty iterator).
+    */
+  private def foldSessions(uid: Long, events: Seq[Event], open: Option[SessionState],
+      gapMs: Long, out: scala.collection.mutable.ArrayBuffer[SessionOut]): Option[SessionState] = {
+    var cur = open
+    events.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs <= gapMs =>
+          cur = Some(SessionState(s.startMs, t, s.n + 1))
+        case Some(s) =>
+          out += SessionOut(uid, s.startMs, s.lastMs, s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur
+  }
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the
     * KeyValueGroupedDataset escape hatch for session logic the built-in
     * session_window can't express (per-session aggregates, custom close
-    * rules). Batch mode processes each group in one call (state unused
-    * across calls); streaming mode carries open sessions across
-    * micro-batches and closes them on event-time timeout.
+    * rules).
+    *
+    * Batch input: each group arrives complete in one call, so the last
+    * session closes at end-of-group (oracle-checkable shape).
+    *
+    * Streaming input: the open session is CARRIED ACROSS micro-batches
+    * in GroupState and closed by event-time timeout — when the
+    * watermark (event time minus `watermarkDelay`) passes the session's
+    * last event plus the gap, the timed-out state emits the session.
+    * A later in-gap event instead extends the open session and pushes
+    * the timeout forward.
     */
-  def statefulSessionize(events: Dataset[Event],
-      gapMs: Long = 1800000L): Dataset[SessionOut] = {
+  def statefulSessionize(events: Dataset[Event], gapMs: Long = 1800000L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, it, state) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastMs <= gapMs =>
-                cur = Some(SessionState(s.startMs, t, s.n + 1))
-              case Some(s) =>
-                out += SessionOut(uid, s.startMs, s.lastMs, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+    if (events.isStreaming) {
+      events.withWatermark("ts", watermarkDelay)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (uid, it, state) =>
+            if (state.hasTimedOut) {
+              val s = state.get
+              state.remove()
+              Iterator.single(SessionOut(uid, s.startMs, s.lastMs, s.n))
+            } else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+              val cur = foldSessions(uid, it.toSeq.sortBy(_.ts.getTime),
+                state.getOption, gapMs, out)
+              cur match {
+                case Some(s) =>
+                  state.update(s)
+                  // timeout timestamps must be ahead of the watermark
+                  state.setTimeoutTimestamp(
+                    math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+                case None => state.remove()
+              }
+              out.iterator
             }
-          }
-          // Batch mode: the group is complete — close the last session.
-          cur.foreach(s => out += SessionOut(uid, s.startMs, s.lastMs, s.n))
-          state.remove()
-          out.iterator
-      }
+        }
+    } else {
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (uid, it, state) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            val cur = foldSessions(uid, it.toSeq.sortBy(_.ts.getTime),
+              None, gapMs, out)
+            // the group is complete — close the trailing session
+            cur.foreach(s => out += SessionOut(uid, s.startMs, s.lastMs, s.n))
+            state.remove()
+            out.iterator
+        }
+    }
   }
 }

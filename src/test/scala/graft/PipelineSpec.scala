@@ -98,16 +98,30 @@ class PipelineSpec extends SparkSpec {
         "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/hom", "denovo"),
       // unknown zygosity kills the whole row
       ("P3", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
-        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/bogus", "inherited/denovo"))
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/bogus", "inherited/denovo"),
+      // bad token OUTSIDE the zip-truncated pairs is never validated:
+      // zip(['het','nope'], ['inherited']) = [('het','inherited')]
+      // -> one valid record (ref src/P6/mapper.py:257-270)
+      ("P4", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/nope", "inherited"),
+      // first bad pair wins in PAIR order: pair 0 has the bad
+      // inheritance, pair 1 the bad zygosity -> inheritance error
+      ("P5", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/bogus", "wrong/denovo"),
+      // null patient ID must be flagged, not silently emitted
+      (null, "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het", "inherited"))
       .toDF("genotype_patient_ID", "contact_email", "phasing", "chromosome",
         "start_position", "end_position", "reference", "alternate",
         "gene_symbol", "hgvsg", "hgvsc", "hgvsp", "zygosity", "inheritance")
     val stage = Mappers.mapGenotypeTable(geno)
     val byPatient = stage.records.groupBy("genotype_patient_ID").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byPatient == Map("P1" -> 2L, "P2" -> 1L))
+    assert(byPatient == Map("P1" -> 2L, "P2" -> 1L, "P4" -> 1L))
     val errs = stage.issues.filter($"level" === "error").select("message").collect()
     assert(errs.exists(_.getString(0).contains("Unrecognized zygosity code 'bogus'")))
+    assert(errs.exists(_.getString(0).contains("Unrecognized inheritance code 'wrong'")))
+    assert(errs.exists(_.getString(0).contains("patient ID must be alphanumeric")))
     // chromosome got normalized on surviving records
     assert(stage.records.select("chromosome").distinct().collect()
       .map(_.getString(0)).toSet == Set("chr16"))

@@ -67,6 +67,38 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
   }
 
+  test("stateful sessionizer streaming: sessions carry across micro-batches, close on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01, well past the epoch watermark floor
+    def bts(m: Long) = new Timestamp(base + m * 60000L)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.statefulSessionize(stream.toDS(),
+        gapMs = 30 * 60000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("stateful_sess_out")
+      .outputMode("append").start()
+    // batch 1: open session for user 1 = [0, 10]
+    stream.addData(Event(1L, bts(0), "click", 1.0), Event(1L, bts(10), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: in-gap event EXTENDS the carried session to [0, 20] (n=3);
+    // user 9's event pushes the watermark to 90 min, past user 1's
+    // timeout (20+30 min) -> the follow-up no-data micro-batch times the
+    // state out and emits the MERGED session (n=3 proves the carry)
+    stream.addData(Event(1L, bts(20), "click", 1.0), Event(9L, bts(100), "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("stateful_sess_out").as[EventStreams.SessionOut].collect().toSet
+      == Set(EventStreams.SessionOut(1L, base, base + 20 * 60000L, 3L)))
+    // batch 3: user 9's new event is 100 min past its open session
+    // -> gap-closes it
+    stream.addData(Event(9L, bts(200), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stateful_sess_out")
+      .as[EventStreams.SessionOut].collect().toSet
+    assert(out == Set(
+      EventStreams.SessionOut(1L, base, base + 20 * 60000L, 3L),
+      EventStreams.SessionOut(9L, base + 100 * 60000L, base + 100 * 60000L, 1L)))
+  }
+
   test("stream-stream join: purchases attributed to preceding click within window") {
     implicit val sqlCtx = spark.sqlContext
     // NOTE: event times must sit well past the epoch — the initial
