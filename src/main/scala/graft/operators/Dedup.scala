@@ -104,12 +104,18 @@ object Dedup {
   }
 
   /** Exact Jaccard over shingle sets for a pair table (a, b) —
-    * the verification stage after LSH candidate generation.
+    * the verification stage after LSH candidate generation. Shingle
+    * sets are computed ONLY for docs that appear in a candidate pair
+    * (left-semi join first): for near-dup-rate corpora that is a tiny
+    * fraction, so at scale the expensive re-shingling touches
+    * O(candidates) docs, not O(corpus).
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), shingleLen).as("sh"))
+    val ids = pairs.select(col("a").as("__pid"))
+      .union(pairs.select(col("b").as("__pid")))
+    val sh = df.join(ids, col(idCol) === col("__pid"), "left_semi")
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), shingleLen).as("sh"))
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -138,6 +144,15 @@ object Dedup {
       .select(col("id"), col("id").as("component")))
     var i = 0
     var done = false
+    // Min-label propagation only ever DECREASES labels, so the label
+    // sum is a strictly decreasing convergence measure: comparing one
+    // cheap aggregate per round replaces a join-with-previous +
+    // isEmpty check (one scan of the cached frame vs an extra shuffle).
+    // Decimal sum: exact and overflow-free for any long id domain.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!done && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "y2"), col("y") === col("y2"))
@@ -146,13 +161,11 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-      // isEmpty materializes `next`, so the superseded iteration's
-      // cached blocks can be released (long sessions would otherwise
-      // accumulate one persisted frame per round).
-      if (changed.isEmpty) done = true
+      val nextSum = labelSum(next) // materializes `next`, so the
+      // superseded iteration's cached blocks can be released (long
+      // sessions would otherwise accumulate one frame per round)
+      if (nextSum == prevSum) done = true
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       i += 1

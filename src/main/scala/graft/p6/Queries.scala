@@ -652,12 +652,14 @@ object Queries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
-  /** NTILE quartiles over a global ordering. */
+  /** NTILE quartiles over a global ordering — via the distributed
+    * [[graft.operators.GlobalRank]] (range-partitioned sort + offsets),
+    * NOT a partition-less Window, which would move every row to a
+    * single task.
+    */
   private def q26Ntile(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(s, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w))
+    graft.operators.GlobalRank.ntile(
+        t(s, dir, "customer"), 4, Seq(col("c_acctbal"), col("c_custkey")), "quartile")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("c_acctbal")), 2).as("min_bal"),

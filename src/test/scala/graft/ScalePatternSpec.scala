@@ -29,6 +29,30 @@ class ScalePatternSpec extends SparkSpec {
     assert(plainN == saltedN && plainN > 0)
   }
 
+  test("GlobalRank.ntile matches the single-partition window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables(spark, sfDir, "customer")
+    val order = Seq(col("c_acctbal"), col("c_custkey"))
+    val viaWindow = cust
+      .withColumn("quartile", ntile(4).over(Window.orderBy(order: _*)))
+      .select(col("c_custkey"), col("quartile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val viaRank = graft.operators.GlobalRank.ntile(cust, 4, order, "quartile")
+      .select(col("c_custkey"), col("quartile"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRank == viaWindow)
+    // uneven split: 7 rows into 3 buckets -> sizes 3/2/2
+    val seven = (1 to 7).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val sizes = graft.operators.GlobalRank.ntile(seven, 3, Seq(col("v"), col("id")))
+      .groupBy("bucket").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    // fewer rows than buckets: each row its own leading bucket
+    val two = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val tiny = graft.operators.GlobalRank.ntile(two, 4, Seq(col("v"), col("id")))
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("as-of join semantics: latest right at-or-before left, per key") {
     def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
     val clicks = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"))
