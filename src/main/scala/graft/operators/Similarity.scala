@@ -70,6 +70,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest centroid in ONE pass against the broadcast centroid
+    * table (argmax cosine via max_by; ties break to the lowest
+    * centroid id). Centroids are the `nlist` lowest-id vectors —
+    * deterministic, no side files; a k-means refinement would drop in
+    * by swapping the `centroids` frame. Returns (assignments(id, cid),
+    * centroids(cid, cv)).
+    */
+  def ivfIndex(prep: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val centroids = prep.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assign = prep.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cid"))
+    (assign, centroids)
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids closest to the query,
+    * exact-rerank only vectors assigned to those lists — the classic
+    * coarse-quantization scale path (~nprobe/nlist of the corpus sees
+    * a distance computation; the rest is pruned by the broadcast
+    * probe-list semi join).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val (assign, centroids) = ivfIndex(prep, nlist)
+    val q = prep.filter(col("id") === queryId).select(col("v").as("qv"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid")).limit(nprobe)
+      .select(col("cid"))
+    prep.join(assign, "id").join(broadcast(probed), "cid")
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates = same LSH
     * bucket (a < b), verified by exact cosine >= threshold. The
     * pairwise work is per-bucket, never corpus x corpus.

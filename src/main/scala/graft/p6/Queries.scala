@@ -853,6 +853,172 @@ object Queries {
       countDistinct(col("l_orderkey")).as("exact_orders"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Analytic window-function battery: row_number / lag / lead /
+    * first_value over the date order, rank / dense_rank / percent_rank
+    * / cume_dist over the price order, per customer. Both orderings
+    * end in the unique order key, so every value is deterministic.
+    */
+  private def q30WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(byDate).as("rn"),
+        round(lag(col("o_totalprice"), 1).over(byDate), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(byDate), 2).as("next_price"),
+        round(first(col("o_totalprice")).over(byDate), 2).as("first_price"),
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrice).as("price_dense_rank"),
+        round(percent_rank().over(byPrice), 6).as("price_pct_rank"),
+        round(cume_dist().over(byPrice), 6).as("price_cume_dist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Array-function battery over tokenized text: size / distinct /
+    * min / max / sorted slice / membership / lambda filter.
+    */
+  private def q31ArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        element_at(sort_array(toks), 1).as("tok_min"),
+        element_at(sort_array(toks), -1).as("tok_max"),
+        concat_ws("-", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3"),
+        array_contains(toks, "the").cast("int").as("has_the"),
+        size(filter(array_distinct(toks), tk => tk.isin(stopwords: _*)))
+          .as("n_stop_kinds"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Explicit GROUPING SETS (finer than rollup/cube) + grouping()
+    * indicators, via the Spark 4 Dataset.groupingSets API.
+    */
+  private def q32GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Time-range rolling aggregates: per-user trailing-1h event count
+    * and value sum via a RANGE BETWEEN frame over epoch millis — the
+    * sliding-lookback shape (rows at the same instant share a frame,
+    * so ties cannot flip results).
+    */
+  private def q33RollingRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, 0L)
+    t(s, dir, "events").filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 2).as("sum_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Sliding (overlapping) event-time windows: 1-day windows every
+    * 6 hours — each event lands in 4 windows. Same plan shape as the
+    * streaming windowed aggregation with a slide.
+    */
+  private def q34SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Conditional / positional aggregate battery: count_if, bool_or,
+    * bool_and, max_by / min_by (deterministic — keyed on the unique
+    * order key), filtered avg.
+    */
+  private def q35ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2)
+          .as("avg_f_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Deterministic per-stratum sampling: md5-prefix membership with a
+    * different rate per language — reproducible stratified sampling
+    * with no seeds, no sampleBy, no partitioning dependence.
+    */
+  private def q36StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val thr = when(col("lang") === "en", "14").when(col("lang") === "fr", "28")
+      .when(col("lang") === "de", "46").otherwise("80")
+    t(s, dir, "documents").filter(h < thr)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** regexp_extract_all + explode: every digit run in the corpus,
+    * aggregated per doc bucket.
+    */
+  private def q37RegexpExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") % 10).as("bucket"),
+        explode(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("num"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("num")).as("n_distinct"),
+        max(length(col("num"))).as("max_len"))
+      .orderBy(col("bucket"))
+
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    * every 5-token shingle, keep the MIN hash of each 4-shingle
+    * window (a rows-frame window min), distinct per doc. md5 keeps
+    * the rolling hash oracle-checkable; at scale xxhash64 drops in.
+    * Guarantee: any shared run of >= 8 tokens yields a shared
+    * fingerprint.
+    */
+  private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(sequence(lit(0), size(col("toks")) - 5)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
+    val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    sh.withColumn("nsh", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(winFrame))
+      .filter(col("i") <= greatest(col("nsh") - 4, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_fps"),
+        countDistinct(col("fp")).as("n_uniq_fps"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** IVF ANN top-10 (no oracle — centroid assignment has no SQL
+    * equivalent; SimilaritySpec pins subset-correctness and recall).
+    */
+  private def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nlist = 32, nprobe = 8)
+  }
+
   // ================================================================
   // Registry
   // ================================================================
@@ -913,7 +1079,17 @@ object Queries {
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "emb_neardup" -> (embNearDup _),
-    "approx_distinct" -> (approxDistinct _))
+    "approx_distinct" -> (approxDistinct _),
+    "q30_window_battery" -> (q30WindowBattery _),
+    "q31_array_fns" -> (q31ArrayFns _),
+    "q32_grouping_sets" -> (q32GroupingSets _),
+    "q33_rolling_range" -> (q33RollingRange _),
+    "q34_sliding_window" -> (q34SlidingWindow _),
+    "q35_conditional_agg" -> (q35ConditionalAgg _),
+    "q36_stratified_sample" -> (q36StratifiedSample _),
+    "q37_regexp_extract" -> (q37RegexpExtract _),
+    "winnow_fingerprint" -> (winnowFingerprint _),
+    "ann_ivf_topk" -> (annIvfTopK _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1334,5 +1510,100 @@ object Queries {
             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
              * sqrt(list_dot_product(qv, qv))), 4) AS sim
         FROM embeddings, q
-        ORDER BY sim DESC, vec_id LIMIT 50""")
+        ORDER BY sim DESC, vec_id LIMIT 50""",
+    "q30_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        row_number() OVER bydate AS rn,
+        round(lag(o_totalprice, 1) OVER bydate, 2) AS prev_price,
+        round(lead(o_totalprice, 1) OVER bydate, 2) AS next_price,
+        round(first_value(o_totalprice) OVER bydate, 2) AS first_price,
+        rank() OVER byprice AS price_rank,
+        dense_rank() OVER byprice AS price_dense_rank,
+        round(percent_rank() OVER byprice, 6) AS price_pct_rank,
+        round(cume_dist() OVER byprice, 6) AS price_cume_dist
+        FROM orders WHERE o_custkey < 200
+        WINDOW bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          byprice AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""",
+    "q31_array_fns" ->
+      """SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_distinct,
+        list_sort(toks)[1] AS tok_min,
+        list_sort(toks)[-1] AS tok_max,
+        array_to_string(list_sort(list_distinct(toks))[1:3], '-') AS first3,
+        CAST(list_contains(toks, 'the') AS INT) AS has_the,
+        len(list_filter(list_distinct(toks),
+          x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop_kinds
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 500)
+        ORDER BY doc_id""",
+    "q32_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q33_rolling_range" ->
+      """SELECT user_id, event_id,
+        count(*) OVER w AS n_1h,
+        round(sum(value) OVER w, 2) AS sum_1h
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""",
+    "q34_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS w_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q35_conditional_agg" ->
+      """SELECT o_orderpriority,
+        CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+        bool_or(o_orderstatus = 'F') AS any_f,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        arg_max(o_orderstatus, o_orderkey) AS latest_status,
+        arg_min(o_orderstatus, o_orderkey) AS first_status,
+        round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS avg_f_price
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q36_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '14' WHEN 'fr' THEN '28'
+                    WHEN 'de' THEN '46' ELSE '80' END
+        GROUP BY 1 ORDER BY 1""",
+    "q37_regexp_extract" ->
+      """SELECT bucket, count(*) AS n_matches,
+        CAST(count(DISTINCT num) AS BIGINT) AS n_distinct,
+        CAST(max(length(num)) AS INT) AS max_len
+        FROM (SELECT doc_id % 10 AS bucket,
+                unnest(regexp_extract_all(text, '[0-9]+')) AS num
+              FROM documents)
+        GROUP BY 1 ORDER BY 1""",
+    "winnow_fingerprint" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+          FROM tk WHERE len(toks) >= 5),
+        sh AS (
+          SELECT doc_id, i, md5(array_to_string(toks[i+1:i+5], ' ')) AS h
+          FROM pos),
+        win AS (
+          SELECT doc_id, i,
+            min(h) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            count(*) OVER (PARTITION BY doc_id) AS nsh
+          FROM sh),
+        fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= greatest(nsh - 4, 0))
+        SELECT doc_id % 10 AS bucket,
+          count(*) AS n_fps,
+          CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq_fps,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM fps GROUP BY 1 ORDER BY 1""")
 }

@@ -57,6 +57,20 @@ object EventStreams {
       n_events: Long)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+  /** Streaming exact dedup by id with BOUNDED state: duplicates
+    * arriving within the watermark window are dropped, and state for
+    * ids older than the watermark is evicted (dropDuplicates without
+    * the watermark variant would grow state forever — the difference
+    * between a demo and a pipeline that survives at scale). Batch
+    * inputs get plain dropDuplicates, the oracle-checkable shape.
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else events.dropDuplicates(idCols)
+
   /** Fold this batch's events (sorted by event time) into the open
     * session, emitting every session closed by a gap; returns the
     * still-open trailing session (None only for an empty iterator).

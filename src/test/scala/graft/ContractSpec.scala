@@ -16,7 +16,8 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage is complete except the documented hash/sketch queries") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("minhash_neardup", "simhash_buckets",
-      "ann_lsh_topk", "emb_neardup", "approx_distinct", "dedup_corpus")
+      "ann_lsh_topk", "emb_neardup", "approx_distinct", "dedup_corpus",
+      "ann_ivf_topk")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }

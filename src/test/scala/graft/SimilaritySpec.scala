@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
+import graft.p6.Queries
 import graft.enrich.VvEnrichment
 import graft.enrich.VvEnrichment.{GeneXref, RetryPolicy}
 
@@ -31,6 +32,37 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", 0L, k = 10, bits = 6).collect()
     assert(ann.head.getLong(0) == 100000L)
     assert(ann.head.getDouble(1) == 1.0)
+  }
+
+  test("IVF ANN: returned sims are exact, planted duplicate is found, recall is sane") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // subset-correctness: every (id, sim) the IVF path returns must
+    // equal the brute-force cosine for that id (IVF prunes lists, it
+    // never approximates the distance itself)
+    val exact = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, nlist = 32, nprobe = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    ivf.filter { case (id, _) => exact.contains(id) }.foreach { case (id, sim) =>
+      assert(sim == exact(id), s"vec $id: ivf sim $sim != exact ${exact(id)}")
+    }
+    // a planted near-identical vector must be assigned to the same
+    // list as the query (same argmax centroid) and rank first
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val ann = Similarity.ivfTopK(emb.unionByName(planted), "vec_id", "embedding",
+      queryId = 0L, k = 10, nlist = 32, nprobe = 8).collect()
+    assert(ann.head.getLong(0) == 100000L && ann.head.getDouble(1) == 1.0)
+    // probing 8/32 lists should still recover a decent share of the
+    // exact top-50 (loose bound — guards against a broken assignment)
+    val top50 = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val wide = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 50, nlist = 32, nprobe = 8).collect().map(_.getLong(0)).toSet
+    val recall = (wide & top50).size.toDouble / 50
+    assert(recall >= 0.2, s"IVF recall@50 too low: $recall")
   }
 
   test("cosine near-dup: planted duplicate pair is found in-bucket") {

@@ -124,6 +124,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 9.99)))
   }
 
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def bts(m: Long) = new Timestamp(base + m * 60000L)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(stream.toDF(), Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(Event(1L, bts(0), "click", 1.0), Event(2L, bts(1), "view", 2.0))
+    q.processAllAvailable()
+    // duplicate user_id 1 arrives in a LATER micro-batch, still within
+    // the watermark -> dropped; user 3 is new -> kept
+    stream.addData(Event(1L, bts(5), "click", 9.0), Event(3L, bts(6), "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // batch shape: plain dropDuplicates, one row per user
+    val batch = EventStreams.dedupEvents(sample.toDF(), Seq("user_id"))
+    assert(batch.count() == sample.map(_.user_id).distinct.size)
+  }
+
   test("batch session query and streaming session_window agree on the corpus") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaSessionWindow = EventStreams.sessionWindows(events)
