@@ -1010,6 +1010,34 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) — the token-counting pass a training pipeline
+    * runs before byte-pair merges. Same regex on both engines.
+    */
+  private def bpeTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+    t(s, dir, "documents")
+      .select((col("doc_id") % 10).as("bucket"), col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).as("tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_uniq_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("tok"))).cast("bigint").as("sum_tok_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Approximate-percentile sketch vs exact (rows-only — sketch
+    * internals are engine-specific; SimilaritySpec bounds the error).
+    */
+  private def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
+      round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+      round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
+      round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
+
   /** Bloom-pruned join: lineitem rows are pre-filtered by a broadcast
     * Bloom filter over the high-value order keys before the exact
     * join — shuffle volume scales with matches, not corpus. Exact
@@ -1106,7 +1134,9 @@ object Queries {
     "q37_regexp_extract" -> (q37RegexpExtract _),
     "winnow_fingerprint" -> (winnowFingerprint _),
     "ann_ivf_topk" -> (annIvfTopK _),
-    "q38_bloom_join" -> (q38BloomJoin _))
+    "q38_bloom_join" -> (q38BloomJoin _),
+    "bpe_token_stats" -> (bpeTokenStats _),
+    "approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1629,5 +1659,15 @@ object Queries {
         round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000
+        GROUP BY 1 ORDER BY 1""",
+    "bpe_token_stats" ->
+      """SELECT bucket, count(*) AS n_tokens,
+        CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq_tokens,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(length(tok)) AS BIGINT) AS sum_tok_chars
+        FROM (SELECT doc_id % 10 AS bucket, doc_id,
+                unnest(regexp_extract_all(lower(text),
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS tok
+              FROM documents)
         GROUP BY 1 ORDER BY 1""")
 }

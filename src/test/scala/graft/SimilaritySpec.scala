@@ -122,6 +122,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ok.isRight && m == 3)
   }
 
+  test("approx_percentile stays close to the exact percentile") {
+    val r = Queries.all("approx_percentiles")(spark, sfDir).collect()(0)
+    val (p50a, p50e) = (r.getDouble(0), r.getDouble(1))
+    val (p99a, p99e) = (r.getDouble(2), r.getDouble(3))
+    // accuracy=1000 => rank error <= n/1000; translate loosely to value space
+    assert(math.abs(p50a - p50e) <= math.max(1.0, 0.05 * math.abs(p50e)),
+      s"p50 approx $p50a vs exact $p50e")
+    assert(math.abs(p99a - p99e) <= math.max(1.0, 0.05 * math.abs(p99e)),
+      s"p99 approx $p99a vs exact $p99e")
+  }
+
   test("approx_count_distinct stays within its rsd bound on the corpus") {
     val r = graft.p6.Queries.all("approx_distinct")(spark, sfDir).collect()(0)
     val (exact, approx) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts"))
