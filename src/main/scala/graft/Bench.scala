@@ -13,10 +13,16 @@ object Bench {
     // Warm up the session (codegen compiler, parquet footer reads, JIT)
     // so the first measured query doesn't absorb one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.keys.take(1).foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // The noop sink consumes EVERY column of EVERY row: unlike count(),
+    // which lets the optimizer prune final projections and sorts, this
+    // times the plan users actually run.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    SparkEntry.queries.keys.take(1).foreach(run)
+    val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(name) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -759,6 +759,13 @@ object Queries {
   /** Brute-force n-gram Jaccard over a bounded prefix of the corpus —
     * the exact baseline the LSH path approximates. Integer bucket math
     * ((10*|∩|) div |∪|) keeps the histogram float-free.
+    *
+    * Deliberately all-pairs: an inverted-index formulation (explode +
+    * self-join on the shingle) was measured SLOWER on this corpus —
+    * common shingles ("the ... of ...") appear in every doc, so the
+    * index join degenerates to quadratic pair expansion per shingle.
+    * Bounded exact baselines brute-force; the corpus-scale near-dup
+    * path is MinHash+LSH (minhash_neardup / dedup_corpus).
     */
   private def ngramJaccardHist(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
