@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ColumnBridge, DotProduct}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProduct, SortedIntersectSize}
 
 /** Public facade over the native Catalyst vector kernels
   * (org.apache.spark.sql.graft.DotProduct).
@@ -26,6 +26,13 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.sqrt
     dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
   }
+
+  /** Codegen'd |a ∩ b| for two sorted, distinct string arrays (one
+    * merge pass; no per-row hash sets). |a ∪ b| = size(a)+size(b)-∩.
+    */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register `dot_product` for SQL use on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -112,16 +112,22 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3): DataFrame = {
+    import graft.functions.VectorExpressions.sorted_intersect_size
     val ids = pairs.select(col("a").as("__pid"))
       .union(pairs.select(col("b").as("__pid")))
+    // sorted + distinct shingles => the codegen'd merge kernel counts
+    // |∩| in one pass per pair; |∪| = |a|+|b|-|∩|
     val sh = df.join(ids, col(idCol) === col("__pid"), "left_semi")
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), shingleLen).as("sh"))
+      .select(col(idCol).as("id"),
+        sort_array(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+        (sorted_intersect_size(col("sha"), col("shb")).cast("double") /
+          (size(col("sha")) + size(col("shb")) -
+            sorted_intersect_size(col("sha"), col("shb"))).cast("double"))
+          .as("jaccard"))
   }
 
   /** Connected components over an undirected pair table (a, b) via

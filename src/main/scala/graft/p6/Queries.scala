@@ -769,12 +769,17 @@ object Queries {
     */
   private def ngramJaccardHist(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    // shingles are distinct; sorting once lets the codegen'd merge
+    // kernel compute |∩| per pair with no per-row hash sets, and
+    // |∪| = |a|+|b|-|∩|
     val d = t(s, dir, "documents").filter(col("doc_id") < 200)
-      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"),
+        sort_array(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
     d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select((size(array_intersect(col("a.sh"), col("b.sh"))) * 10).cast("long").as("i10"),
-        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("u"))
-      .select(expr("i10 div u").as("bucket"))
+      .select(sorted_intersect_size(col("a.sh"), col("b.sh")).cast("long").as("i"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("ab"))
+      .select(expr("(10 * i) div (ab - i)").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
   }

@@ -43,6 +43,27 @@ class VectorExprSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 32.0)
   }
 
+  test("sorted_intersect_size equals array_intersect on sorted distinct arrays") {
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("tk"))
+    val pairs = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val mismatches = pairs.select(
+        sorted_intersect_size(col("a.tk"), col("b.tk")).as("fast"),
+        size(array_intersect(col("a.tk"), col("b.tk"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // empty vs non-empty and identical arrays
+    val edge = Seq((Seq.empty[String], Seq("a", "b")), (Seq("a", "b"), Seq("a", "b")))
+      .toDF("x", "y")
+      .select(sorted_intersect_size(col("x"), col("y")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 2))
+  }
+
   test("expression compiles under whole-stage codegen (no fallback)") {
     // needs a real scan: a local relation of literals gets planned
     // without a WholeStageCodegen subtree at all
