@@ -167,12 +167,21 @@ object Queries {
       .crossJoin(sn.union(cn).distinct().agg(count(lit(1)).as("n_union")))
   }
 
-  private def q9DistinctCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows"))
+  /** Exact multi-column distinct counts as a crossJoin of independent
+    * single-column aggregates: N countDistincts in ONE agg make
+    * Catalyst Expand the input N-fold (every row replicated per
+    * distinct group); independent 1-row aggs scan each (pruned) column
+    * once instead — measured ~3x at sf0.1.
+    */
+  private def q9DistinctCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def d(c: String, as: String) =
+      li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+    d("l_partkey", "n_parts")
+      .crossJoin(d("l_suppkey", "n_supps"))
+      .crossJoin(d("l_orderkey", "n_orders"))
+      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
+  }
 
   private def q10EventsAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -858,12 +867,20 @@ object Queries {
   /** HLL sketch vs exact distinct (rows-only check — estimates are
     * engine-specific by nature). The spec bounds the relative error.
     */
-  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").agg(
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // exact distincts as independent aggregates (no Expand — see
+    // q9DistinctCounts); the HLL sketches tolerate duplicates, so both
+    // fit one pass with no distinct machinery at all
+    val li = t(s, dir, "lineitem")
+    li.select(col("l_partkey")).distinct().agg(count(lit(1)).as("exact_parts"))
+      .crossJoin(li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("exact_orders")))
+      .crossJoin(li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
+      .select(col("exact_parts"), col("approx_parts"),
+        col("exact_orders"), col("approx_orders"))
+  }
 
   /** Analytic window-function battery: row_number / lag / lead /
     * first_value over the date order, rank / dense_rank / percent_rank
