@@ -30,6 +30,28 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("plan hygiene, whole registry: no partition-less window, no cartesian product") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    Queries.all.foreach { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.sparkPlan
+      val globalWindows = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name: partition-less WindowExec (single-partition bottleneck at scale)")
+      val cartesian = p.collect { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty,
+        s"$name: CartesianProductExec (unbounded pairwise shuffle at scale)")
+    }
+  }
+
+  test("q38 bloom probe is a scan-level filter, not a join condition") {
+    val s = plan("q38_bloom_join")
+    assert(s.contains("bloom_might_contain(bloom_blob("))
+    assert(!s.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q2: all three predicates push down to the parquet scan") {
     val (filters, schema) = scanMeta("q2_revenue_filter").head
     assert(filters.contains("GreaterThanOrEqual(l_shipdate"))
