@@ -1039,6 +1039,71 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Null-handling battery: coalesce / nullif / nvl2-style branching /
+    * null-safe equality (Spark `<=>` == DuckDB IS NOT DISTINCT FROM).
+    */
+  private def q39NullFns(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val a = when(k % 3 === 0, lit(null).cast("long")).otherwise(k % 7)
+    val b = when(k % 5 === 0, lit(null).cast("long")).otherwise(k % 7)
+    t(s, dir, "part").filter(k < 2000)
+      .select(k.as("p_partkey"),
+        coalesce(a, b, lit(-1L)).as("first_present"),
+        nullif(a, b).as("null_if_equal"),
+        when(a.isNotNull, lit("has_a")).otherwise(lit("no_a")).as("nvl2_style"),
+        (a <=> b).as("null_safe_eq"),
+        (a.isNull && b.isNull).as("both_null"))
+      .orderBy(k)
+  }
+
+  /** Bag-semantics set ops: UNION ALL / EXCEPT ALL / INTERSECT ALL
+    * keep duplicates — counts differ from the distinct variants (q8)
+    * exactly by multiplicity.
+    */
+  private def q40SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "supplier").select((col("s_nationkey") % 10).as("nk"))
+    val cn = t(s, dir, "customer").select((col("c_nationkey") % 10).as("nk"))
+    sn.unionAll(cn).agg(count(lit(1)).as("n_union_all"))
+      .crossJoin(sn.exceptAll(cn).agg(count(lit(1)).as("n_except_all")))
+      .crossJoin(sn.intersectAll(cn).agg(count(lit(1)).as("n_intersect_all")))
+  }
+
+  /** Higher-order lambda battery: transform / filter / aggregate /
+    * zip_with / exists / forall over token arrays.
+    */
+  private def q41HigherOrder(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        aggregate(transform(toks, tk => length(tk)), lit(0),
+          (acc, x) => acc + x).as("sum_tok_len"),
+        size(filter(toks, tk => length(tk) > 4)).as("n_long_toks"),
+        exists(toks, tk => tk === "the").as("has_the"),
+        forall(toks, tk => length(tk) < 20).as("all_short"),
+        aggregate(zip_with(toks, reverse(toks), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, x) => acc + x).as("n_palindrome_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Date arithmetic battery: date_add / datediff / month-boundary
+    * arithmetic / trunc / last_day / quarter over order dates.
+    * (months_between and weekday numbering are deliberately avoided —
+    * Spark and DuckDB disagree on fractional-month semantics and the
+    * weekday origin.)
+    */
+  private def q42DateArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"),
+        date_add(d, 30).cast("string").as("plus_30d"),
+        datediff(lit("1998-01-01").cast("date"), d).as("days_to_98"),
+        ((lit(1998) - year(d)) * 12 + (lit(1) - month(d))).as("months_to_98"),
+        trunc(d, "month").cast("string").as("month_start"),
+        last_day(d).cast("string").as("month_end"),
+        quarter(d).as("q"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape:
     * contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs) — the token-counting pass a training pipeline
@@ -1165,7 +1230,11 @@ object Queries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "q38_bloom_join" -> (q38BloomJoin _),
     "bpe_token_stats" -> (bpeTokenStats _),
-    "approx_percentiles" -> (approxPercentiles _))
+    "approx_percentiles" -> (approxPercentiles _),
+    "q39_null_fns" -> (q39NullFns _),
+    "q40_set_ops_all" -> (q40SetOpsAll _),
+    "q41_higher_order" -> (q41HigherOrder _),
+    "q42_date_arithmetic" -> (q42DateArithmetic _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1698,5 +1767,48 @@ object Queries {
                 unnest(regexp_extract_all(lower(text),
                   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS tok
               FROM documents)
-        GROUP BY 1 ORDER BY 1""")
+        GROUP BY 1 ORDER BY 1""",
+    "q39_null_fns" ->
+      """SELECT p_partkey,
+        coalesce(a, b, -1) AS first_present,
+        nullif(a, b) AS null_if_equal,
+        CASE WHEN a IS NOT NULL THEN 'has_a' ELSE 'no_a' END AS nvl2_style,
+        a IS NOT DISTINCT FROM b AS null_safe_eq,
+        (a IS NULL AND b IS NULL) AS both_null
+        FROM (SELECT p_partkey,
+                CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_partkey % 7 END AS a,
+                CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_partkey % 7 END AS b
+              FROM part WHERE p_partkey < 2000)
+        ORDER BY p_partkey""",
+    "q40_set_ops_all" ->
+      """WITH sn AS (SELECT s_nationkey % 10 AS nk FROM supplier),
+        cn AS (SELECT c_nationkey % 10 AS nk FROM customer)
+        SELECT
+          (SELECT count(*) FROM (SELECT nk FROM sn UNION ALL SELECT nk FROM cn)) AS n_union_all,
+          (SELECT count(*) FROM (SELECT nk FROM sn EXCEPT ALL SELECT nk FROM cn)) AS n_except_all,
+          (SELECT count(*) FROM (SELECT nk FROM sn INTERSECT ALL SELECT nk FROM cn)) AS n_intersect_all""",
+    "q41_higher_order" ->
+      """SELECT doc_id,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS sum_tok_len,
+        CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long_toks,
+        list_contains(toks, 'the') AS has_the,
+        len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short,
+        CAST(list_sum(list_transform(generate_series(1, len(toks)),
+          i -> CASE WHEN toks[i] = toks[len(toks) + 1 - i] THEN 1 ELSE 0 END))
+          AS INT) AS n_palindrome_pos
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 300)
+        ORDER BY doc_id""",
+    "q42_date_arithmetic" ->
+      """SELECT o_orderkey,
+        CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+          AS days_to_98,
+        CAST((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS INT)
+          AS months_to_98,
+        CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_start,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        CAST(quarter(o_orderdate) AS INT) AS q
+        FROM orders WHERE o_orderkey < 5000
+        ORDER BY o_orderkey""")
 }
