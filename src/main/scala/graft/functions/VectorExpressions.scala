@@ -41,8 +41,10 @@ object VectorExpressions {
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
-  * or `spark.sql.extensions=graft.functions.GraftExtensions` makes the
-  * vector functions available to plain SQL sessions.
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` registers
+  * every graft Catalyst extension on a plain SQL session: the native
+  * functions, the TopKPerKey planner strategy, and the
+  * MultiDistinctToJoin optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -50,5 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.SortedIntersectSize]
+        .getCanonicalName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.graft.SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.MultiDistinctToJoin)
   }
 }

@@ -64,6 +64,63 @@ class VectorExprSpec extends SparkSpec {
     assert(edge == Seq(0, 2))
   }
 
+  test("MultiDistinctToJoin rule: rewrites multi-column distinct aggs, same results, no Expand") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{ColumnBridge, MultiDistinctToJoin}
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val df = li.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+    // apply at the analyzed stage (injected operator-optimization rules
+    // run before RewriteDistinctAggregates erases the isDistinct flags)
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = MultiDistinctToJoin(analyzed)
+    assert(rewritten != analyzed, "rule should fire on two distinct columns")
+    val out = ColumnBridge.ofRows(spark, rewritten)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.collect().toSeq == df.collect().toSeq)
+    assert(!out.queryExecution.sparkPlan.toString.contains("Expand"))
+    assert(df.queryExecution.sparkPlan.toString.contains("Expand"), "baseline uses Expand")
+    // conservative: single distinct column or grouped aggregates untouched
+    val single = li.agg(countDistinct(col("l_partkey")).as("n")).queryExecution.analyzed
+    assert(MultiDistinctToJoin(single) == single)
+    val grouped = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"), countDistinct(col("l_suppkey")).as("m"))
+      .queryExecution.analyzed
+    assert(MultiDistinctToJoin(grouped) == grouped)
+  }
+
+  test("GraftExtensions: functions, strategy, and optimizer rule register on a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      Tables(s2, "/root/testdata/sf0.001", "lineitem").createOrReplaceTempView("li")
+      val viaSql = s2.sql(
+        """SELECT count(DISTINCT l_partkey) AS a, count(DISTINCT l_suppkey) AS b FROM li""")
+      assert(!viaSql.queryExecution.sparkPlan.toString.contains("Expand"))
+      val Array(r) = viaSql.collect()
+      val Array(ref) = s2.sql(
+        """SELECT count(DISTINCT l_partkey) AS a, count(DISTINCT l_suppkey) AS b
+           FROM (SELECT * FROM li)""").collect() // same numbers either path
+      assert(r == ref)
+      assert(s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .collect()(0).getDouble(0) == 11.0)
+      assert(s2.sql(
+        "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d'))")
+        .collect()(0).getInt(0) == 2)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("expression compiles under whole-stage codegen (no fallback)") {
     // needs a real scan: a local relation of literals gets planned
     // without a WholeStageCodegen subtree at all
