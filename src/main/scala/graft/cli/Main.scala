@@ -65,7 +65,7 @@ object Main {
     val hpoFile = Paths.get(o.getOrElse("--custom-hpo", "tests/data/hp.json"))
 
     val spark = session()
-    val tables = WorkbookSource.readWorkbook(spark, excel).toSeq.sortBy(_._1)
+    val tables = readInput(spark, excel).toSeq.sortBy(_._1)
 
     if (o.contains("--verbose"))
       Audit.preprocess(tables).foreach { e =>
@@ -115,6 +115,13 @@ object Main {
     maybeStop(spark)
   }
 
+  /** A workbook path may be an .xlsx file or a DIRECTORY of .csv/.tsv
+    * sheets (one file per sheet, named by basename).
+    */
+  private def readInput(spark: SparkSession, path: String): Map[String, DataFrame] =
+    if (Files.isDirectory(Paths.get(path))) WorkbookSource.readSheetDir(spark, path)
+    else WorkbookSource.readWorkbook(spark, path)
+
   /** Tests drive the commands in-process against a shared session. */
   private def maybeStop(s: SparkSession): Unit =
     if (!sys.props.contains("graft.keep-session")) s.stop()
@@ -124,7 +131,7 @@ object Main {
     val excel = o.getOrElse("--excel-path",
       { System.err.println("audit-excel: -e/--excel-path is required"); sys.exit(2) })
     val spark = session()
-    val tables = WorkbookSource.readWorkbook(spark, excel).toSeq.sortBy(_._1)
+    val tables = readInput(spark, excel).toSeq.sortBy(_._1)
     val entries = Audit.preprocess(tables)
     if (o.contains("--report-json")) println(Audit.renderJson(entries))
     else println(Audit.renderTable(entries))

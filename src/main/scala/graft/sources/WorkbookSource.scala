@@ -121,6 +121,51 @@ object WorkbookSource {
     letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
   }
 
+  /** S1 variant: a DIRECTORY of .csv/.tsv files as a workbook — sheet
+    * name = file basename, one file per sheet. Follows the same
+    * driver-side grid path as the xlsx reader (sheets are
+    * metadata-scale inputs); minimal RFC-4180 quoting: embedded
+    * separators and "" escapes, no embedded newlines.
+    */
+  def readSheetDir(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val dir = java.nio.file.Paths.get(path)
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".csv") || p.toString.endsWith(".tsv"))
+        .map { p =>
+          val fileName = p.getFileName.toString
+          val name = fileName.replaceAll("\\.(csv|tsv)$", "")
+          val sep = if (fileName.endsWith(".tsv")) '\t' else ','
+          val grid = java.nio.file.Files.readAllLines(p).asScala.toSeq
+            .filter(_.nonEmpty).map(l => parseDelimited(l, sep))
+          name -> toDataFrame(spark, grid)
+        }.toMap
+    } finally stream.close()
+  }
+
+  /** One delimited line -> fields (RFC-4180 quoting, "" escapes). */
+  private[sources] def parseDelimited(line: String, sep: Char): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += c
+      } else if (c == '"') inQ = true
+      else if (c == sep) { out += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
   /** Grid -> all-string DataFrame with normalized headers (P1+P2). */
   def toDataFrame(spark: SparkSession, grid: Seq[Seq[String]]): DataFrame = {
     if (grid.isEmpty) return spark.emptyDataFrame

@@ -160,6 +160,34 @@ class CliSpec extends SparkSpec {
     assert(body == golden)
   }
 
+  test("csv sheet-dir ingest: same pipeline as xlsx, RFC-4180 quoting honored") {
+    val dir = Files.createTempDirectory("csvwb")
+    def csv(rows: Seq[Seq[String]]): String = rows.map(_.map { f =>
+      if (f.exists(c => c == ',' || c == '"')) "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    }.mkString(",")).mkString("\n")
+    Files.writeString(dir.resolve("Variants.csv"), csv(genotypeRows))
+    Files.writeString(dir.resolve("HPO.csv"), csv(phenotypeRows))
+    Files.writeString(dir.resolve("Notes.tsv"), "id\tfreeform\n1\t\"a, \"\"b\"\"\"")
+    val tables = WorkbookSource.readSheetDir(spark, dir.toString)
+    assert(tables.keySet == Set("Variants", "HPO", "Notes"))
+    assert(tables("Variants").columns.toSeq.take(2) == Seq("patient_id", "contact_email"))
+    assert(tables("Variants").collect()(0).getString(0) == "P100")
+    assert(tables("Notes").collect()(0).getString(1) == "a, \"b\"") // quoted tsv field
+
+    // the CLI accepts the directory wherever an xlsx path goes
+    val hpo = dir.resolve("hp.json")
+    writeHpoJson(hpo)
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--excel-path" -> dir.toString, "--custom-hpo" -> hpo.toString))
+    } finally { sys.props -= "graft.cwd" }
+    assert(out.contains("Wrote 1 phenopacket files to "))
+    assert(out.contains("Created 1 Genotype objects"))
+  }
+
   test("fromObographs: deprecated flag + IAO:0100001 replacement ids (J2 alt_term_ids)") {
     val dir = Files.createTempDirectory("obo")
     val hpo = dir.resolve("hp.json")
