@@ -82,6 +82,36 @@ object Multimodal {
     spark.createDataFrame(rdd, decodeSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("media_meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("byte_len", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** STUB RESIZE — same per-partition batch shape as [[decodeStub]]:
+    * payload transformed to the target dimensions' byte budget, the
+    * metadata struct rewritten to match. A real implementation swaps
+    * PseudoCodec.resize for the codec call; schema and partitioning
+    * stay identical.
+    */
+  def resizeStub(withMediaDf: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = withMediaDf.sparkSession
+    val input = withMediaDf.select(col("doc_id"), col("media"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      val codec = new PseudoCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val resized = codec.resize(r.getAs[Array[Byte]](1), width, height)
+        Row(id, resized,
+          Row("application/octet-stream", resized.length, width, height))
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Deterministic stand-in for a media codec. */
   final class PseudoCodec {
     def decode(bytes: Array[Byte]): (Int, Double) = {
@@ -91,6 +121,18 @@ object Multimodal {
       val channels = 1 + (bytes.length % 3)
       val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
       (channels, mean)
+    }
+
+    /** Fake resample: cycle the source bytes into the target byte
+      * budget (one byte per target pixel) — deterministic, size-exact.
+      */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(0, width * height))
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+      }
+      out
     }
   }
 }

@@ -131,5 +131,16 @@ class DedupSpec extends SparkSpec {
     assert(decoded(1L)._3 == 120.0)
     // deterministic channels stub: 1 + len % 3
     assert(decoded(0L)._2 == 1 + 11 % 3)
+
+    // resize stub: payload re-budgeted to width*height bytes, metadata
+    // struct rewritten to match
+    val resized = Multimodal.resizeStub(media, 16, 8).collect()
+      .map { r =>
+        val m = r.getStruct(2)
+        r.getLong(0) -> ((r.getAs[Array[Byte]](1).length,
+          m.getInt(1), m.getInt(2), m.getInt(3)))
+      }.toMap
+    assert(resized(0L) == ((128, 128, 16, 8)))
+    assert(resized(1L) == ((128, 128, 16, 8)))
   }
 }
