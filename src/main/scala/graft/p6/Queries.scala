@@ -1039,6 +1039,56 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** End-to-end corpus-curation funnel (the exact-stage training-data
+    * shape): quality gate -> fingerprint dedup (canonical keep = min
+    * doc_id, deterministic) -> stable hash split. One row of stage
+    * counts; the LSH near-dup variant of the same funnel is
+    * dedup_corpus.
+    */
+  private def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = docs.filter(
+      size(split(trim(col("text")), "\\s+")) >= 5 && col("n_chars") >= 30)
+    val uniq = quality.groupBy(md5(normText).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val split2 = uniq.select(
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+        .otherwise("train").as("split"))
+    docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
+      .crossJoin(split2.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")))
+  }
+
+  /** ANSI-mode safety battery: try_cast coerce-or-null on ints, longs,
+    * doubles, and dates (fractional-string-to-int deliberately avoided
+    * — engines disagree on round-vs-reject).
+    */
+  private def q43TryCast(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val cell = when(k % 4 === 0, concat(k.cast("string")))
+      .when(k % 4 === 1, lit("abc"))
+      .when(k % 4 === 2, concat((k % 100).cast("string"), lit(".25")))
+      .otherwise(lit(""))
+    // integer cell has no fractional strings: DuckDB truncates
+    // '2.25'->2 where Spark's ANSI try_cast rejects to NULL
+    val intCell = when(k % 3 === 0, concat(k.cast("string")))
+      .when(k % 3 === 1, lit("xyz"))
+      .otherwise(lit(""))
+    val dateCell = when(k % 3 === 0, lit("2020-01-15"))
+      .when(k % 3 === 1, lit("2020-13-01")) // invalid month
+      .otherwise(lit("nope"))
+    t(s, dir, "part").filter(k < 2000)
+      .select(k.as("p_partkey"),
+        intCell.try_cast("long").as("as_long"),
+        cell.try_cast("double").as("as_double"),
+        dateCell.try_cast("date").cast("string").as("as_date"),
+        coalesce(cell.try_cast("double"), lit(-1.0)).as("coerced"))
+      .orderBy(k)
+  }
+
   /** Null-handling battery: coalesce / nullif / nvl2-style branching /
     * null-safe equality (Spark `<=>` == DuckDB IS NOT DISTINCT FROM).
     */
@@ -1234,7 +1284,9 @@ object Queries {
     "q39_null_fns" -> (q39NullFns _),
     "q40_set_ops_all" -> (q40SetOpsAll _),
     "q41_higher_order" -> (q41HigherOrder _),
-    "q42_date_arithmetic" -> (q42DateArithmetic _))
+    "q42_date_arithmetic" -> (q42DateArithmetic _),
+    "q43_try_cast" -> (q43TryCast _),
+    "corpus_funnel" -> (corpusFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1810,5 +1862,40 @@ object Queries {
         CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
         CAST(quarter(o_orderdate) AS INT) AS q
         FROM orders WHERE o_orderkey < 5000
-        ORDER BY o_orderkey""")
+        ORDER BY o_orderkey""",
+    "q43_try_cast" ->
+      """SELECT p_partkey,
+        TRY_CAST(intcell AS BIGINT) AS as_long,
+        TRY_CAST(cell AS DOUBLE) AS as_double,
+        CAST(TRY_CAST(datecell AS DATE) AS VARCHAR) AS as_date,
+        coalesce(TRY_CAST(cell AS DOUBLE), -1.0) AS coerced
+        FROM (SELECT p_partkey,
+          CASE WHEN p_partkey % 4 = 0 THEN CAST(p_partkey AS VARCHAR)
+               WHEN p_partkey % 4 = 1 THEN 'abc'
+               WHEN p_partkey % 4 = 2 THEN CAST(p_partkey % 100 AS VARCHAR) || '.25'
+               ELSE '' END AS cell,
+          CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey AS VARCHAR)
+               WHEN p_partkey % 3 = 1 THEN 'xyz'
+               ELSE '' END AS intcell,
+          CASE WHEN p_partkey % 3 = 0 THEN '2020-01-15'
+               WHEN p_partkey % 3 = 1 THEN '2020-13-01'
+               ELSE 'nope' END AS datecell
+          FROM part WHERE p_partkey < 2000)
+        ORDER BY p_partkey""",
+    "corpus_funnel" ->
+      """WITH q AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+            AND n_chars >= 30),
+        u AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp),
+        s AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test' ELSE 'train' END AS split FROM u)
+        SELECT
+          (SELECT count(*) FROM documents) AS n_total,
+          (SELECT count(*) FROM q) AS n_quality,
+          (SELECT count(*) FROM u) AS n_unique,
+          CAST((SELECT count(*) FROM s WHERE split = 'train') AS BIGINT) AS n_train,
+          CAST((SELECT count(*) FROM s WHERE split = 'test') AS BIGINT) AS n_test""")
 }
