@@ -71,6 +71,46 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
     else events.dropDuplicates(idCols)
 
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Arbitrary stateful processing via the Spark 4 transformWithState
+    * API (the successor to flatMapGroupsWithState: typed state
+    * variables, TTL, timers, RocksDB-backed). Keeps a running per-user
+    * (count, sum) across micro-batches and emits the updated totals
+    * for users seen in each batch. Requires the RocksDB state store
+    * provider on the session.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      implicit val enc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      totals = getHandle.getValueState[(Long, Double)]("totals", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator.single(UserRunning(key, n, sum))
+    }
+  }
+
+  /** Running per-user totals over a stream (transformWithState). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OM.Update())
+  }
+
   /** Fold this batch's events (sorted by event time) into the open
     * session, emitting every session closed by a gap; returns the
     * still-open trailing session (None only for an empty iterator).

@@ -147,6 +147,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == sample.map(_.user_id).distinct.size)
   }
 
+  test("transformWithState: running totals persist across micro-batches (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.runningTotals(stream.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      stream.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(1), "click", 2.0),
+        Event(2L, ts(2), "view", 5.0))
+      q.processAllAvailable()
+      // second batch: totals must ACCUMULATE on top of batch-1 state
+      stream.addData(Event(1L, ts(3), "click", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out")
+        .as[EventStreams.UserRunning].collect().toSet
+      assert(rows == Set(
+        EventStreams.UserRunning(1L, 2L, 3.0),   // batch 1
+        EventStreams.UserRunning(2L, 1L, 5.0),   // batch 1
+        EventStreams.UserRunning(1L, 3L, 7.0)))  // batch 2: carried state
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file sink + checkpoint: restart resumes from committed offsets exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toFile
