@@ -145,7 +145,7 @@ object WorkbookSource {
   }
 
   /** One delimited line -> fields (RFC-4180 quoting, "" escapes). */
-  private[sources] def parseDelimited(line: String, sep: Char): Seq[String] = {
+  private[graft] def parseDelimited(line: String, sep: Char): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0

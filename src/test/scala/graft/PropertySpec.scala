@@ -140,4 +140,54 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("Bloom kernels: NEVER a false negative; inserted keys always probe true") {
+    import org.apache.spark.sql.graft.BloomKernels
+    val keysGen = Gen.listOfN(200, Gen.choose(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(keysGen) { keys =>
+      val buf = new Array[Byte](1 << 12)
+      keys.foreach { k =>
+        BloomKernels.set(buf, BloomKernels.hashLong(k, BloomKernels.Seed1),
+          BloomKernels.hashLong(k, BloomKernels.Seed2), 5)
+      }
+      keys.forall(k => BloomKernels.mightContainLong(buf, k, 5))
+    })
+  }
+
+  test("sorted-merge intersect == set intersection for any two token sets") {
+    import org.apache.spark.sql.graft.BloomKernels // just for import stability
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    val toksGen = Gen.listOfN(40, Gen.oneOf("a", "bb", "ccc", "d1", "e", "", "ff", "zz9"))
+    check(Prop.forAll(toksGen, toksGen) { (xs, ys) =>
+      val out = Seq((xs.distinct.sorted, ys.distinct.sorted)).toDF("x", "y")
+        .select(sorted_intersect_size(col("x"), col("y"))).collect()(0).getInt(0)
+      out == (xs.toSet & ys.toSet).size
+    })
+  }
+
+  test("GlobalRank.ntile: bucket sizes follow the SQL allocation for any n, buckets") {
+    check(Prop.forAll(Gen.choose(1, 60), Gen.choose(1, 8)) { (n, b) =>
+      val df = (1 to n).map(i => (i.toLong, (i * 37 % 11).toDouble)).toDF("id", "v")
+      val sizes = graft.operators.GlobalRank
+        .ntile(df, b, Seq(col("v"), col("id")))
+        .groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = (1 to math.min(b, n)).map { i =>
+        i.toLong -> (n / b + (if (i <= n % b) 1 else 0)).toLong
+      }.filter(_._2 > 0).toMap
+      sizes == expect
+    })
+  }
+
+  test("delimited-line parser: encode -> parse round-trips any fields") {
+    val fieldGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
+      Gen.const("a,b"), Gen.const("say \"hi\""), Gen.const(" pad "))
+    check(Prop.forAll(Gen.listOfN(6, fieldGen)) { fields =>
+      val line = fields.map { f =>
+        if (f.exists(c => c == ',' || c == '"')) "\"" + f.replace("\"", "\"\"") + "\""
+        else f
+      }.mkString(",")
+      graft.sources.WorkbookSource.parseDelimited(line, ',') == fields
+    })
+  }
 }
