@@ -71,6 +71,26 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
     else events.dropDuplicates(idCols)
 
+  /** Left-outer variant of [[clickToPurchase]]: clicks with NO
+    * purchase inside the window still emit (null purchase columns) —
+    * but only once the watermark proves no match can arrive. The
+    * conversion-funnel "abandoned" branch; same state eviction as the
+    * inner join.
+    */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          purchase_ts >= click_ts AND
+          purchase_ts <= click_ts + interval $window"""), "left_outer")
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Arbitrary stateful processing via the Spark 4 transformWithState

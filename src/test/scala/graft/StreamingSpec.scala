@@ -147,6 +147,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == sample.map(_.user_id).distinct.size)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def bts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickToPurchaseOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, bts(0), "click", 0.0), Event(2L, bts(5), "click", 0.0))
+    purchases.addData(Event(1L, bts(30), "purchase", 9.99))
+    q.processAllAvailable()
+    // push both watermarks far past click+window+delay so user 2's
+    // unmatched click is provably final and emits with null purchase
+    clicks.addData(Event(9L, bts(600), "click", 0.0))
+    purchases.addData(Event(9L, bts(601), "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_outer")
+      .select(col("c_user"), col("purchase_value")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((1L, Some(9.99))))       // matched within window
+    assert(rows.contains((2L, None)))             // unmatched -> nulls
+    assert(rows.contains((9L, Some(1.0))))        // late pair matched
+  }
+
   test("transformWithState: running totals persist across micro-batches (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
