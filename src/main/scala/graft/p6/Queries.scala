@@ -472,6 +472,21 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Salt-replicated join (the hot-key shape AQE can't always split):
+    * big side salts its key, small side replicates over the salt
+    * domain — exact equi-join semantics, so the oracle is the plain
+    * join.
+    */
+  private def q44SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** As-of join: attach each click's most recent prior (or same-time)
     * purchase per user. Oracle is DuckDB's native ASOF LEFT JOIN.
     */
@@ -1286,7 +1301,8 @@ object Queries {
     "q41_higher_order" -> (q41HigherOrder _),
     "q42_date_arithmetic" -> (q42DateArithmetic _),
     "q43_try_cast" -> (q43TryCast _),
-    "corpus_funnel" -> (corpusFunnel _))
+    "corpus_funnel" -> (corpusFunnel _),
+    "q44_salted_join" -> (q44SaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1897,5 +1913,10 @@ object Queries {
           (SELECT count(*) FROM q) AS n_quality,
           (SELECT count(*) FROM u) AS n_unique,
           CAST((SELECT count(*) FROM s WHERE split = 'train') AS BIGINT) AS n_train,
-          CAST((SELECT count(*) FROM s WHERE split = 'test') AS BIGINT) AS n_test""")
+          CAST((SELECT count(*) FROM s WHERE split = 'test') AS BIGINT) AS n_test""",
+    "q44_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")
 }

@@ -138,6 +138,21 @@ class ScalePatternSpec extends SparkSpec {
     assert(hitsCodegen >= trueHits && trueHits > 0)
   }
 
+  test("partitionBy write reads back with partition pruning at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val orders = Tables(spark, sfDir, "orders")
+    orders.withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("status") === "F")
+    val scans = read.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "status filter must prune partitions, not scan-and-filter")
+    assert(read.count() == orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
