@@ -111,6 +111,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization: per-vector max-abs scale, components
+    * mapped to [-127, 127] bytes — 4x the vectors per byte of shuffle
+    * and cache, the first lever when the embedding table itself is
+    * the IO bottleneck. cos(a,b) is scale-invariant, so similarity
+    * search runs directly in the quantized domain (error ~1/254 per
+    * component); exact rerank on the float vectors can follow for the
+    * finalists.
+    */
+  def quantize(prep: DataFrame): DataFrame = {
+    val absMax = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+    prep.select(col("id"), (absMax / 127.0).as("scale"),
+      transform(col("v"), x => round(x / (absMax / 127.0)).cast("byte")).as("q"))
+  }
+
+  /** Approximate top-k by cosine over the QUANTIZED vectors (the
+    * reduced-precision rerank path; compose with lshBuckets/ivfIndex
+    * for candidate pruning at scale).
+    */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10): DataFrame = {
+    val qz = quantize(prepared(df, idCol, vecCol))
+      .select(col("id"), transform(col("q"), x => x.cast("double")).as("qv"))
+    val q = qz.filter(col("id") === queryId).select(col("qv").as("query"))
+    qz.join(broadcast(q))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(cosine(col("qv"), col("query")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates = same LSH
     * bucket (a < b), verified by exact cosine >= threshold. The
     * pairwise work is per-bucket, never corpus x corpus.

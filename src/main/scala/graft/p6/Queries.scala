@@ -1197,6 +1197,16 @@ object Queries {
       round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
       round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
 
+  /** Int8-quantized cosine top-10 (no oracle — reduced-precision sims
+    * are approximate by design; SimilaritySpec bounds the error and
+    * recall vs the float path).
+    */
+  private def annQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+  }
+
   /** Bloom-pruned join: lineitem rows are pre-filtered by a broadcast
     * Bloom filter over the high-value order keys before the exact
     * join — shuffle volume scales with matches, not corpus. Exact
@@ -1302,7 +1312,8 @@ object Queries {
     "q42_date_arithmetic" -> (q42DateArithmetic _),
     "q43_try_cast" -> (q43TryCast _),
     "corpus_funnel" -> (corpusFunnel _),
-    "q44_salted_join" -> (q44SaltedJoin _))
+    "q44_salted_join" -> (q44SaltedJoin _),
+    "ann_quantized_topk" -> (annQuantizedTopK _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

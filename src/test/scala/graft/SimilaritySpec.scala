@@ -65,6 +65,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@50 too low: $recall")
   }
 
+  test("int8 quantization: byte storage, bounded sim error, high recall vs float path") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qz = Similarity.quantize(Similarity.prepared(emb, "vec_id", "embedding"))
+    // storage really is bytes (4x smaller than float32 per component)
+    val qField = qz.schema("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(qField == org.apache.spark.sql.types.ByteType)
+    // quantized sims track exact sims closely for the returned top-k
+    val exact = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(quant.nonEmpty)
+    quant.filter { case (id, _) => exact.contains(id) }.foreach { case (id, sim) =>
+      assert(math.abs(sim - exact(id)) <= 0.02, s"vec $id: quantized $sim vs ${exact(id)}")
+    }
+    // recall@10 vs the float brute-force top-10
+    val top10 = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().take(10).map(_.getLong(0)).toSet - 0L
+    val got = quant.map(_._1).toSet
+    val recall = (got & top10).size.toDouble / math.max(1, top10.size)
+    assert(recall >= 0.6, s"quantized recall@10 too low: $recall")
+  }
+
   test("cosine near-dup: planted duplicate pair is found in-bucket") {
     val base = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
