@@ -1197,6 +1197,23 @@ object Queries {
       round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
       round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
 
+  /** Fuzzy string join (edit distance <= 1) via the deletion-
+    * neighborhood equi-join — matched against DuckDB's brute-force
+    * levenshtein join, proving the blocking is lossless.
+    */
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val a = t(s, dir, "part")
+      .select(split(col("p_name"), " ").getItem(0).as("s")).distinct()
+    val b = a.select(
+      when(length(col("s")) > 3, col("s").substr(lit(1), length(col("s")) - 1))
+        .otherwise(col("s")).as("t")).distinct()
+    FuzzyJoin.levenshtein1Join(a, "s", b, "t")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("s")).as("n_left_matched"),
+        countDistinct(col("t")).as("n_right_matched"))
+  }
+
   /** Int8-quantized cosine top-10 (no oracle — reduced-precision sims
     * are approximate by design; SimilaritySpec bounds the error and
     * recall vs the float path).
@@ -1313,7 +1330,8 @@ object Queries {
     "q43_try_cast" -> (q43TryCast _),
     "corpus_funnel" -> (corpusFunnel _),
     "q44_salted_join" -> (q44SaltedJoin _),
-    "ann_quantized_topk" -> (annQuantizedTopK _))
+    "ann_quantized_topk" -> (annQuantizedTopK _),
+    "fuzzy_join" -> (fuzzyJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1929,5 +1947,13 @@ object Queries {
       """SELECT o_orderpriority, count(*) AS n,
         round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY 1""")
+        GROUP BY 1 ORDER BY 1""",
+    "fuzzy_join" ->
+      """WITH a AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS s FROM part),
+        b AS (SELECT DISTINCT CASE WHEN length(s) > 3
+            THEN substr(s, 1, length(s) - 1) ELSE s END AS t FROM a)
+        SELECT count(*) AS n_pairs,
+          CAST(count(DISTINCT s) AS BIGINT) AS n_left_matched,
+          CAST(count(DISTINCT t) AS BIGINT) AS n_right_matched
+        FROM a JOIN b ON levenshtein(s, t) <= 1""")
 }

@@ -179,6 +179,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("deletion-neighborhood join == brute-force levenshtein<=1 join on random strings") {
+    val strGen = Gen.listOfN(25,
+      Gen.chooseNum(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+    check(Prop.forAll(strGen, strGen) { (ls, rs) =>
+      val (l, r) = (ls.distinct, rs.distinct)
+      (l.isEmpty || r.isEmpty) || {
+        val fast = graft.operators.FuzzyJoin
+          .levenshtein1Join(l.toDF("s"), "s", r.toDF("t"), "t")
+          .collect().map(x => (x.getString(0), x.getString(1))).toSet
+        val brute = l.toDF("s").crossJoin(r.toDF("t"))
+          .filter(levenshtein(col("s"), col("t")) <= 1)
+          .collect().map(x => (x.getString(0), x.getString(1))).toSet
+        fast == brute
+      }
+    })
+  }
+
   test("delimited-line parser: encode -> parse round-trips any fields") {
     val fieldGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
       Gen.const("a,b"), Gen.const("say \"hi\""), Gen.const(" pad "))
