@@ -91,6 +91,27 @@ object EventStreams {
           purchase_ts <= click_ts + interval $window"""), "left_outer")
   }
 
+  /** Materialize a complete-mode streaming aggregate as a parquet
+    * SNAPSHOT via foreachBatch — file sinks only support append, so
+    * the canonical pattern for "latest totals as a table" is: each
+    * micro-batch overwrites the snapshot atomically (write to a fresh
+    * subdir would make it fully atomic; overwrite suffices for the
+    * single-writer case). Returns the StreamingQuery; read the
+    * snapshot path for the current totals.
+    */
+  def aggregateSnapshot(events: DataFrame, snapshotPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.write.mode("overwrite").parquet(snapshotPath)
+      }
+      .start()
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Arbitrary stateful processing via the Spark 4 transformWithState

@@ -229,6 +229,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("foreachBatch snapshot: complete-mode totals land in parquet, latest wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+    val snap = new java.io.File(root, "snap").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val stream = MemoryStream[Event]
+    val q = EventStreams.aggregateSnapshot(stream.toDF(), snap, ckpt)
+    stream.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(1), "click", 2.0))
+    q.processAllAvailable()
+    stream.addData(Event(1L, ts(2), "view", 3.0), Event(2L, ts(3), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // snapshot reflects ALL data (complete mode), not just the last batch
+    val rows = spark.read.parquet(snap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows == Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0))))
+  }
+
   test("batch session query and streaming session_window agree on the corpus") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaSessionWindow = EventStreams.sessionWindows(events)
