@@ -130,15 +130,26 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Connected components over an undirected pair table (a, b) via
-    * iterative min-label propagation. Near-dup clusters have tiny
-    * diameters, so this converges in a handful of rounds; each round
-    * is pinned (createDataFrame(rdd, schema) + persist) to keep plan
-    * lineage flat, mirroring Ontology.transitiveClosure.
+  /** Connected components over an undirected pair table (a, b).
     * Returns (id, component) where component = min id in the cluster.
+    *
+    * Two-tier, mirroring Ontology.transitiveClosure: a verified
+    * near-dup PAIR set is orders of magnitude smaller than the corpus
+    * (it is the output of LSH + Jaccard filtering), so up to
+    * `driverMaxPairs` edges are closed ON THE DRIVER with union-find
+    * (one collect, no per-round Spark jobs); larger graphs fall back
+    * to the distributed min-label-propagation fixpoint below
+    * (exercised in tests via driverMaxPairs = 0).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      driverMaxPairs: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
+    if (driverMaxPairs > 0) {
+      val cap = math.min(driverMaxPairs, Int.MaxValue - 2L).toInt
+      val sample = pairs.select(col("a"), col("b")).limit(cap + 1).collect()
+      if (sample.length <= cap) return driverComponents(spark, sample,
+        pairs.schema.fields.head.dataType)
+    }
     def pin(df: DataFrame): DataFrame = {
       val out = spark.createDataFrame(df.rdd, df.schema)
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -178,6 +189,49 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find with path compression; component label =
+    * minimum member id (same contract as the distributed path). Ids
+    * must be mutually Comparable (long doc ids, string keys).
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      pairRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairRows.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = mutable.HashMap.empty[Any, Any]
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    parent.keysIterator.foreach { id =>
+      val r = find(id)
+      minOf.get(r) match {
+        case Some(m) => if (lt(id, m)) minOf(r) = id
+        case None => minOf(r) = id
+      }
+    }
+    val rows = parent.keysIterator
+      .map(id => org.apache.spark.sql.Row(id, minOf(find(id)))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(2, spark.sparkContext.defaultParallelism / 4)), schema)
   }
 
   /** End-to-end near-dup RESOLUTION: detect candidate pairs (MinHash +

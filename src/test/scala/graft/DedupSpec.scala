@@ -94,6 +94,18 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("driver union-find and distributed label propagation agree") {
+    // ring + chain + star + isolated pair, shuffled edge order
+    val edges = Seq((5L, 1L), (1L, 3L), (3L, 5L), (20L, 21L), (21L, 22L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (40L, 41L)).toDF("a", "b")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSpark = Dedup.connectedComponents(edges, driverMaxPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaSpark)
+    assert(viaDriver(5L) == 1L && viaDriver(22L) == 20L && viaDriver(33L) == 30L)
+  }
+
   test("dedupDocuments keeps one canonical doc per near-dup chain") {
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
