@@ -253,6 +253,36 @@ object Dedup {
       .drop("__cid", "component")
   }
 
+  /** SimHash near-dup pairs with hamming(sig_a, sig_b) <= maxDist via
+    * PIGEONHOLE banding: split the 64-bit signature into maxDist+1
+    * equal bands — a pair within maxDist differs in at most maxDist
+    * bits, so at least one band matches EXACTLY (lossless blocking).
+    * Candidates come from band equi-joins; a popcount of the XOR
+    * verifies. Work scales with band collisions, never |corpus|^2.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    require(64 % bands == 0, s"maxDist+1 must divide 64 (got $bands bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** 64-bit SimHash over distinct tokens: per bit, tokens vote +/-1
     * according to that bit of their xxhash64; the sign of the vote sum
     * becomes the signature bit. Hamming-close signatures => similar docs.

@@ -845,6 +845,20 @@ object Queries {
       .orderBy(col("bucket_size"))
   }
 
+  /** SimHash hamming-distance near-dup pairs via pigeonhole banding
+    * (no oracle — xxhash64-based; DedupSpec proves the banding is
+    * lossless vs brute-force hamming).
+    */
+  private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.simhashNearDupPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
+      maxDist = 3)
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      coalesce(min(col("hamming")), lit(-1)).cast("int").as("min_hamming"),
+      coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
+  }
+
   /** Multimodal: binary media column + codegen-only feature extraction
     * (SURVEY.md §7.4; decode stub exercised in MultimodalSpec).
     */
@@ -1331,7 +1345,8 @@ object Queries {
     "corpus_funnel" -> (corpusFunnel _),
     "q44_salted_join" -> (q44SaltedJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
-    "fuzzy_join" -> (fuzzyJoin _))
+    "fuzzy_join" -> (fuzzyJoin _),
+    "simhash_neardup_pairs" -> (simhashNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -106,6 +106,25 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver(5L) == 1L && viaDriver(22L) == 20L && viaDriver(33L) == 30L)
   }
 
+  test("simhash pigeonhole banding is LOSSLESS vs brute-force hamming<=3") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    // plant an identical doc (hamming 0) so at least one true pair exists;
+    // a one-token edit can flip >3 of 64 bits on short docs
+    val t0 = docs.filter(col("doc_id") === 0L).collect()(0).getString(1)
+    val corpus = docs.unionByName(Seq((9000L, t0)).toDF("doc_id", "text"))
+    val banded = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhash(corpus, "doc_id", "text")
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    assert(banded.exists { case (a, b) => a == 0L && b == 9000L })
+  }
+
   test("dedupDocuments keeps one canonical doc per near-dup chain") {
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
