@@ -33,6 +33,8 @@ object FuzzyJoin {
     */
   def levenshtein1Join(left: DataFrame, lCol: String,
       right: DataFrame, rCol: String): DataFrame = {
+    require(lCol != rCol,
+      s"left and right join columns must have distinct names (got '$lCol' twice)")
     val lk = left.select(col(lCol),
       explode(deletionNeighborhood(col(lCol))).as("__k"))
     val rk = right.select(col(rCol),
