@@ -8,8 +8,21 @@ import graft.functions.P6Functions._
   * error/warning side-channel (SURVEY.md §2.9). Both are lazy plans —
   * a single pass computes rows and their validation verdicts; records
   * and issues are two filters over that pass.
+  *
+  * [[typed]] exposes the records as a `Dataset[T]` with the case-class
+  * Encoder — same plan, compile-time field access for downstream
+  * type-safe transforms (`.map`, `.filter(_.field ...)`) where that
+  * helps; the DataFrame stays the lingua franca for Catalyst-first
+  * column work.
   */
-final case class MappingStage(records: DataFrame, issues: DataFrame)
+final case class MappingStage(records: DataFrame, issues: DataFrame) {
+  def typed[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] =
+    records.as[T]
+  def typedIssues: org.apache.spark.sql.Dataset[Issue] = {
+    import issues.sparkSession.implicits._
+    issues.as[Issue]
+  }
+}
 
 /** Per-table normalize -> validate -> record pipelines. The reference
   * walks rows imperatively (src/P6/mapper.py iterrows loops); here each

@@ -127,6 +127,22 @@ class PipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("chr16"))
   }
 
+  test("typed Dataset facade: records round-trip through case-class encoders") {
+    val geno = Seq(
+      ("P1", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
+        "16:g.1A>G", "NM_1:c.1A>G", "p.X", "het/hom", "inherited/denovo"))
+      .toDF("genotype_patient_ID", "contact_email", "phasing", "chromosome",
+        "start_position", "end_position", "reference", "alternate",
+        "gene_symbol", "hgvsg", "hgvsc", "hgvsp", "zygosity", "inheritance")
+    val stage = Mappers.mapGenotypeTable(geno)
+    val ds: org.apache.spark.sql.Dataset[GenotypeRecord] = stage.typed[GenotypeRecord]
+    // compile-time field access in a typed transform
+    val zygs = ds.map(_.zygosity).collect().sorted.toSeq
+    assert(zygs == Seq("heterozygous", "homozygous"))
+    assert(ds.filter(_.chromosome == "chr16").count() == 2)
+    assert(stage.typedIssues.collect().isEmpty)
+  }
+
   test("strict_variants escalates HGVS mismatch from warning to error (ref --strict-variants)") {
     val geno = Seq(
       ("P1", "u@e.co", "1", "16", 1L, 1L, "A", "G", "G1",
