@@ -1211,6 +1211,23 @@ object Queries {
       round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
       round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
 
+  /** Typed Aggregator (Dataset-native UDAF): Welford single-pass
+    * variance per event type, checked against var_samp — the typed
+    * entry point of the §2.10 UDAF matrix.
+    */
+  private def q45TypedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TypedAggs
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(new TypedAggs.WelfordVarianceOf[(String, Double)](_._2)
+        .toColumn.name("var"))
+      .select(col("key").as("event_type"), round(col("var"), 4).as("var_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fuzzy string join (edit distance <= 1) via the deletion-
     * neighborhood equi-join — matched against DuckDB's brute-force
     * levenshtein join, proving the blocking is lossless.
@@ -1346,7 +1363,8 @@ object Queries {
     "q44_salted_join" -> (q44SaltedJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
     "fuzzy_join" -> (fuzzyJoin _),
-    "simhash_neardup_pairs" -> (simhashNearDup _))
+    "simhash_neardup_pairs" -> (simhashNearDup _),
+    "q45_typed_agg" -> (q45TypedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1970,5 +1988,8 @@ object Queries {
         SELECT count(*) AS n_pairs,
           CAST(count(DISTINCT s) AS BIGINT) AS n_left_matched,
           CAST(count(DISTINCT t) AS BIGINT) AS n_right_matched
-        FROM a JOIN b ON levenshtein(s, t) <= 1""")
+        FROM a JOIN b ON levenshtein(s, t) <= 1""",
+    "q45_typed_agg" ->
+      """SELECT event_type, round(var_samp(value), 4) AS var_value
+        FROM events GROUP BY 1 ORDER BY 1""")
 }
