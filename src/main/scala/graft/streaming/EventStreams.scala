@@ -163,7 +163,11 @@ object EventStreams {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.lastMs <= gapMs =>
-          cur = Some(SessionState(s.startMs, t, s.n + 1))
+          // a LATE in-gap event (cross-batch, t < lastMs) must not move
+          // the session end backwards — that would shrink the session
+          // and mistime the streaming timeout; extend start/end instead
+          cur = Some(SessionState(math.min(s.startMs, t),
+            math.max(s.lastMs, t), s.n + 1))
         case Some(s) =>
           out += SessionOut(uid, s.startMs, s.lastMs, s.n)
           cur = Some(SessionState(t, t, 1))

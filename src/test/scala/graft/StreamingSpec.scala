@@ -147,6 +147,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == sample.map(_.user_id).distinct.size)
   }
 
+  test("stateful sessionizer: late in-gap event must not shrink the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def bts(m: Long) = new Timestamp(base + m * 60000L)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.statefulSessionize(stream.toDS(),
+        gapMs = 30 * 60000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    stream.addData(Event(1L, bts(10), "click", 1.0), Event(1L, bts(20), "click", 1.0))
+    q.processAllAvailable()
+    // m15 arrives in a LATER batch: late (before the session end) but
+    // above the watermark -> must extend membership, keep end at m20
+    stream.addData(Event(1L, bts(15), "click", 1.0), Event(9L, bts(100), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("late_sess_out")
+      .as[EventStreams.SessionOut].collect().filter(_.user_id == 1L).toSeq
+    assert(u1 == Seq(EventStreams.SessionOut(1L,
+      base + 10 * 60000L, base + 20 * 60000L, 3L)))
+  }
+
   test("stream-stream LEFT OUTER join: unmatched clicks emit nulls after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
