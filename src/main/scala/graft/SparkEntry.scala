@@ -25,7 +25,10 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val workbook = Map(
       "variants" -> Queries.genotypeSheet(t(spark, dir, "part")),
-      "hpo" -> Queries.phenotypeSheet(t(spark, dir, "documents")))
+      "hpo" -> Queries.phenotypeSheet(t(spark, dir, "documents")),
+      "diseases" -> Queries.diseaseSheet(t(spark, dir, "orders")),
+      "measurements" -> Queries.measurementSheet(t(spark, dir, "events")),
+      "biosamples" -> Queries.biosampleSheet(t(spark, dir, "supplier")))
     val result = new DefaultMapper().applyMapping(spark, workbook)
     Assemble.phenopackets(result.bundles)
       .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
