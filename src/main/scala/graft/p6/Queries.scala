@@ -1211,6 +1211,32 @@ object Queries {
       round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
       round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
 
+  /** SQL subquery battery via spark.sql: EXISTS, IN, NOT IN — with
+    * the three-valued NOT-IN-with-NULLs trap pinned to the standard
+    * answer (zero rows) on both engines — and a scalar subquery.
+    */
+  private def q46Subqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM customer_v c WHERE EXISTS
+          (SELECT 1 FROM orders_v o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000))
+          AS n_big_customers,
+        (SELECT count(*) FROM customer_v WHERE c_custkey IN
+          (SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'F'))
+          AS n_f_customers,
+        (SELECT count(*) FROM customer_v WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'F'))
+          AS n_not_f,
+        (SELECT count(*) FROM customer_v WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+           FROM orders_v)) AS n_not_in_with_nulls,
+        (SELECT round(max(o_totalprice), 2) FROM orders_v) AS max_price
+    """)
+  }
+
   /** Typed Aggregator (Dataset-native UDAF): Welford single-pass
     * variance per event type, checked against var_samp — the typed
     * entry point of the §2.10 UDAF matrix.
@@ -1364,7 +1390,8 @@ object Queries {
     "ann_quantized_topk" -> (annQuantizedTopK _),
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
-    "q45_typed_agg" -> (q45TypedAgg _))
+    "q45_typed_agg" -> (q45TypedAgg _),
+    "q46_subqueries" -> (q46Subqueries _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1991,5 +2018,21 @@ object Queries {
         FROM a JOIN b ON levenshtein(s, t) <= 1""",
     "q45_typed_agg" ->
       """SELECT event_type, round(var_samp(value), 4) AS var_value
-        FROM events GROUP BY 1 ORDER BY 1""")
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q46_subqueries" ->
+      """SELECT
+        (SELECT count(*) FROM customer c WHERE EXISTS
+          (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000))
+          AS n_big_customers,
+        (SELECT count(*) FROM customer WHERE c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+          AS n_f_customers,
+        (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+          AS n_not_f,
+        (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+           FROM orders)) AS n_not_in_with_nulls,
+        (SELECT round(max(o_totalprice), 2) FROM orders) AS max_price""")
 }
