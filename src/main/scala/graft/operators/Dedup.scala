@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators for large-scale training-data
@@ -86,20 +87,88 @@ object Dedup {
       .agg(minhash_agg(col("s"), numPerm).as("sig"))
   }
 
-  /** Candidate near-dup pairs (a < b) via MinHash + LSH.
-    * numPerm must be divisible by bands.
+  /** Default per-(band,key) bucket size above which the self-join
+    * degrades to representative-star linking (see [[cappedPairs]]).
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+  val DefaultMaxBucket = 256
+
+  /** All within-bucket pairs (a < b) with hot-bucket defense.
+    *
+    * Input columns: (id, band, key, p) where p is an arbitrary payload
+    * carried through to the output as (pa, pb) — pass `lit(0)` when
+    * unused. One window shuffle on (band, key) computes each bucket's
+    * size and its minimum-id representative (the struct min carries
+    * the representative's payload along); the pair join then reuses
+    * that partitioning, so the defense costs no extra shuffle.
+    *
+    * Buckets with <= maxBucket members emit every pair, exactly as the
+    * plain self-join would. A DEGENERATE bucket — boilerplate docs or
+    * near-constant embeddings all colliding on one key — would make
+    * that self-join quadratic in the bucket (the classic skew-killer
+    * at 100 TB), so oversized buckets instead emit only the star
+    * (representative, member) pairs: O(n) per bucket, and every member
+    * stays reachable from the representative, which is what the
+    * connected-components stage needs — a cluster of true duplicates
+    * is still fully merged via the representative. What is given up is
+    * the EXPLICIT enumeration of the other intra-bucket pairs;
+    * [[hotBucketReport]] returns exactly which buckets degraded and
+    * how many pairs were skipped, so the loss is queryable, not
+    * silent.
+    */
+  private[operators] def cappedPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("key"))
+    val stats = buckets.select(col("id"), col("band"), col("key"), col("p"),
+      count(lit(1)).over(w).as("bsz"),
+      min(struct(col("id"), col("p"))).over(w).as("rep"))
+    val small = stats.filter(col("bsz") <= maxBucket)
+      .select(col("id"), col("band"), col("key"), col("p"))
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    // rep.id is the bucket minimum, so a < b holds by construction
+    val starPairs = stats.filter(col("bsz") > maxBucket && col("id") =!= col("rep.id"))
+      .select(col("rep.id").as("a"), col("id").as("b"),
+        col("rep.p").as("pa"), col("p").as("pb"))
+    smallPairs.unionByName(starPairs)
+  }
+
+  /** Buckets that exceeded `maxBucket` and the number of intra-bucket
+    * pairs the star degradation skipped for each — the queryable audit
+    * trail for [[cappedPairs]]. Empty on a corpus with no hot buckets.
+    */
+  def hotBucketReport(buckets: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
+      .select(col("band"), col("key"), col("size"),
+        ((col("size") * (col("size") - 1) / 2).cast("long") - (col("size") - 1))
+          .as("skipped_pairs"))
+
+  /** (id, band, key) LSH bucket membership for a corpus — the shared
+    * candidate-generation input for [[minhashCandidates]] and
+    * [[hotBucketReport]].
+    */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val sig = minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm)
-    val buckets = sig
-      .select(col("id"), explode(lshBands(col("sig"), bands, numPerm / bands)).as("bk"))
+    sig.select(col("id"), explode(lshBands(col("sig"), bands, numPerm / bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+  }
+
+  /** Candidate near-dup pairs (a < b) via MinHash + LSH.
+    * numPerm must be divisible by bands. Buckets larger than
+    * `maxBucket` degrade to representative-star linking (see
+    * [[cappedPairs]]) so one degenerate bucket cannot go quadratic.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, shingleLen, numPerm, bands)
+    cappedPairs(buckets.withColumn("p", lit(0)), maxBucket)
+      .select(col("a"), col("b"))
       .distinct()
   }
 
@@ -261,24 +330,25 @@ object Dedup {
     * verifies. Work scales with band collisions, never |corpus|^2.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = maxDist + 1
     require(64 % bands == 0, s"maxDist+1 must divide 64 (got $bands bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhash(df, idCol, textCol)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"), col("sig").as("p"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask).as("key"))): _*))
         .as("bk"))
-      .select(col("id"), col("sig"),
+      .select(col("id"), col("p"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+    // Hot buckets (boilerplate corpora where one band value dominates)
+    // degrade to star pairs against the bucket representative — the
+    // hamming verify below still applies, so no false pair survives.
+    cappedPairs(banded, maxBucket)
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
       .distinct() // a pair may collide on several bands
       .filter(col("hamming") <= maxDist)
   }

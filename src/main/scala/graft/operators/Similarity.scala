@@ -37,34 +37,72 @@ object Similarity {
     * (a bit of xxhash64(k, j)), sum per plane in one groupBy, pack the
     * K signs into a long.
     */
-  def lshBuckets(prep: DataFrame, bits: Int = 12): DataFrame = {
+  def lshBuckets(prep: DataFrame, bits: Int = 12): DataFrame =
+    lshBucketsMulti(prep, bits, tables = 1).select(col("id"), col("bucket"))
+
+  /** Multi-table LSH membership: `tables` INDEPENDENT hyperplane sets
+    * (plane index t*bits+k seeds the hash, so table 0 reproduces
+    * [[lshBuckets]]), all projected in ONE explode + one map-side-
+    * combined groupBy — the corpus is scanned once no matter how many
+    * tables. Returns (id, table, bucket), `tables` rows per vector,
+    * a few dozen bytes each: the membership index shuffles light even
+    * when the vectors are wide.
+    *
+    * Multiple tables are the standard recall lever when neighbors sit
+    * at wide angles (each table is an independent chance to collide);
+    * probing stays cheap because candidates come from the membership
+    * index, and the raw vectors are only touched for the candidate
+    * rerank.
+    */
+  def lshBucketsMulti(prep: DataFrame, bits: Int, tables: Int): DataFrame = {
     require(bits <= 62, "bucket id must fit a long")
+    require(tables >= 1, "need at least one table")
+    val total = bits * tables
     val comps = prep.select(col("id"), posexplode(col("v")).as(Seq("j", "x")))
     val proj = comps.select(col("id") +:
-      (0 until bits).map { k =>
+      (0 until total).map { k =>
         (when(shiftright(xxhash64(lit(k), col("j")), 13).bitwiseAND(1) === 1,
           col("x")).otherwise(-col("x"))).as(s"p$k")
       }: _*)
     val sums = proj.groupBy(col("id"))
       .agg(sum(col("p0")).as("p0"),
-        (1 until bits).map(k => sum(col(s"p$k")).as(s"p$k")): _*)
-    sums.select(col("id"),
-      (0 until bits).map(k => when(col(s"p$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-        .reduce((a, b) => a + b).as("bucket"))
+        (1 until total).map(k => sum(col(s"p$k")).as(s"p$k")): _*)
+    sums.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        (0 until bits).map(b => when(col(s"p${t * bits + b}") > 0,
+          lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a + c).as("bucket"))
+    }: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
   /** Approximate top-k neighbors of `queryId`: exact cosine rerank
-    * restricted to the query's LSH bucket.
+    * restricted to the union, over `tables` independent LSH tables, of
+    * the query's bucket plus its `bits` Hamming-1 neighbor buckets
+    * (multi-probe). A sign bit flips exactly when the projection is
+    * near the hyperplane, so the nearest missed neighbors concentrate
+    * in Hamming-1 buckets; each extra table is an independent chance
+    * to catch a neighbor the first hyperplane set split away. The
+    * probe set is a broadcast of tables*(bits+1) rows against the
+    * light (id, table, bucket) membership index — the raw vectors are
+    * only touched for the bucketing scan and the candidate rerank.
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int = 10, bits: Int = 12): DataFrame = {
+      k: Int = 10, bits: Int = 12, tables: Int = 8): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
-    val buckets = lshBuckets(prep, bits)
-    val withB = prep.join(buckets, "id")
-    val q = withB.filter(col("id") === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
-    withB.join(broadcast(q), col("bucket") === col("qbucket"))
+    val memb = lshBucketsMulti(prep, bits, tables)
+    val qv = prep.filter(col("id") === queryId).select(col("v").as("qv"))
+    val probes = memb.filter(col("id") === queryId)
+      .select(col("table").as("ptable"), explode(array(
+        col("bucket") +:
+          (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*
+      )).as("pbucket"))
+    val candidates = memb.join(broadcast(probes),
+        col("table") === col("ptable") && col("bucket") === col("pbucket"))
+      .select(col("id")).distinct()
+    prep.join(candidates, Seq("id"), "left_semi")
       .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qv))
       .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
@@ -143,16 +181,21 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: candidates = same LSH
     * bucket (a < b), verified by exact cosine >= threshold. The
-    * pairwise work is per-bucket, never corpus x corpus.
+    * pairwise work is per-bucket, never corpus x corpus; a bucket
+    * larger than `maxBucket` (near-constant embeddings all hashing to
+    * one sign pattern) degrades to star pairs against the bucket's
+    * min-id representative via [[graft.operators.Dedup.cappedPairs]],
+    * so one degenerate bucket cannot go quadratic.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 10): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 10,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val withB = prep.join(lshBuckets(prep, bits), "id")
-    withB.as("x").join(withB.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .select(col("id"), col("v").as("p"), lit(0).as("band"), col("bucket").as("key"))
+    Dedup.cappedPairs(withB, maxBucket)
+      .select(col("a"), col("b"),
+        round(cosine(col("pa"), col("pb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -873,13 +873,15 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
-  /** ANN via random-hyperplane LSH: exact rerank inside the query's
-    * bucket only (no oracle — hash-derived hyperplanes).
+  /** ANN via multi-table multi-probe random-hyperplane LSH: exact
+    * rerank over the union of the query's bucket and its Hamming-1
+    * neighbors across 8 independent tables (no oracle — hash-derived
+    * hyperplanes; SimilaritySpec pins recall@10 >= 0.9 vs brute force).
     */
   private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 10, bits = 6)
+      queryId = 0L, k = 10, bits = 6, tables = 8)
   }
 
   /** Embedding-cosine near-dup pair summary via LSH buckets

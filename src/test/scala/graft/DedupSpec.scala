@@ -141,6 +141,51 @@ class DedupSpec extends SparkSpec {
     assert(deduped.contains(1L))
   }
 
+  test("hot-bucket defense: 1k identical docs stay linear and still dedup to one") {
+    val n = 1000
+    val boiler = "the same boilerplate sentence repeated across every single document in the batch"
+    val hot = spark.range(n).select(col("id").as("doc_id"), lit(boiler).as("text"))
+    // a normal near-dup pair OUTSIDE the hot cluster must be unaffected
+    val pairDocs = Seq(
+      (8001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (8002L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val corpus = hot.unionByName(pairDocs)
+
+    // the audit trail reports the degenerate buckets and the skipped pairs
+    val report = Dedup.hotBucketReport(
+      Dedup.minhashBuckets(corpus, "doc_id", "text"), maxBucket = 64).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Long]("size") == n))
+    assert(report.forall(_.getAs[Long]("skipped_pairs") == n.toLong * (n - 1) / 2 - (n - 1)))
+
+    val cands = Dedup.minhashCandidates(corpus, "doc_id", "text", maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot cluster: star pairs only — n-1 edges to doc 0, not ~n^2/2
+    assert(cands.count(_._1 == 0L) == n - 1)
+    assert(cands.size <= n + 8) // star + the small-bucket pair
+    assert(cands.contains((8001L, 8002L)))
+
+    // end-to-end: the whole hot cluster still collapses to one doc
+    val deduped = Dedup.dedupDocuments(corpus, "doc_id", "text",
+      jaccardThreshold = 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deduped.contains(0L))
+    assert((1L until n.toLong).forall(i => !deduped.contains(i)))
+    assert(deduped.contains(8001L) && !deduped.contains(8002L))
+  }
+
+  test("simhash hot bucket: identical docs emit star pairs, not quadratic") {
+    val n = 800
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      lit("identical simhash content shared by the entire adversarial corpus").as("text"))
+    val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+      maxDist = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == n - 1)
+    assert(pairs.forall { case (a, _, h) => a == 0L && h == 0 })
+  }
+
   test("multimodal: media features and per-partition decode stub agree") {
     val docs = Seq((0L, "hello world", "en", "s", 11L), (1L, "x" * 600, "en", "s", 600L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

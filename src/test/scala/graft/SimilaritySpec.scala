@@ -34,6 +34,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getDouble(1) == 1.0)
   }
 
+  test("multi-probe LSH ANN: full k rows, recall@10 >= 0.9 vs brute force") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, bits = 6, tables = 8).collect()
+    // single-bucket probing under-returned here (7 rows at sf0.01);
+    // multi-table + Hamming-1 probing must fill the full k
+    assert(ann.length == 10, s"expected 10 rows, got ${ann.length}")
+    // brute-force list includes the query row itself (sim 1.0) — the
+    // comparison set is the top-10 NEIGHBORS
+    val exact10 = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    val got = ann.map(_.getLong(0)).toSet
+    val recall = (got & exact10).size.toDouble / exact10.size
+    assert(recall >= 0.9, s"multi-probe recall@10 too low: $recall (got=$got exact=$exact10)")
+  }
+
+  test("cosine near-dup hot bucket: identical embeddings stay linear via star pairs") {
+    val base = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 3L).select(col("embedding")).collect()(0)
+      .getSeq[Float](0)
+    val n = 600
+    val many = spark.range(n).select(col("id").as("vec_id"),
+      typedLit(base).as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(many, "vec_id", "embedding",
+      threshold = 0.999, bits = 8, maxBucket = 64).collect()
+    // one bucket of 600 identical vectors: star linking emits n-1
+    // pairs (all to vec 0), not n*(n-1)/2
+    assert(pairs.length == n - 1)
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+  }
+
   test("IVF ANN: returned sims are exact, planted duplicate is found, recall is sane") {
     val emb = Tables(spark, sfDir, "embeddings")
     // subset-correctness: every (id, sim) the IVF path returns must
