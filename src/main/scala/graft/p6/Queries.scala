@@ -367,6 +367,31 @@ object Queries {
     Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier"))).records
       .orderBy(col("biosample_id"))
 
+  /** A2 packet JSON, byte-gated: the full five-sheet pipeline through
+    * [[Assemble.phenopackets]], with each bundle's record arrays
+    * content-sorted first so the serialized bytes are independent of
+    * scan partitioning — the oracle rebuilds the exact JSON string per
+    * patient by concatenation (ref: src/P6/mapper.py:793-910).
+    * The packet renders only strings and booleans, so DuckDB can
+    * reproduce it byte-for-byte with no float-formatting hazards.
+    */
+  private def p6PhenopacketJson(s: SparkSession, dir: String): DataFrame = {
+    val g = Mappers.mapGenotypeTable(genotypeSheet(t(s, dir, "part")))
+    val p = Mappers.mapPhenotypeTable(phenotypeSheet(t(s, dir, "documents")))
+    val d = Mappers.mapDiseaseTable(diseaseSheet(t(s, dir, "orders")))
+    val m = Mappers.mapMeasurementTable(measurementSheet(t(s, dir, "events")))
+    val b = Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier")))
+    val bundles = Assemble.groupByPatient(g.records, p.records, d.records,
+      m.records, b.records)
+    val canon = bundles.select(col("patient_id") +:
+      Seq("genotype_records", "phenotype_records", "disease_records",
+        "measurement_records", "biosample_records")
+        .map(c => sort_array(col(c)).as(c)): _*)
+    Assemble.phenopackets(canon)
+      .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
+      .orderBy(col("patient_id"))
+  }
+
   /** Synthetic ontology over the part keys: term HP:%07d per key,
     * every 31st obsolete, is_a edges k -> k/2 (binary tree).
     */
@@ -1353,6 +1378,7 @@ object Queries {
     "p6_disease_pipeline" -> (p6Disease _),
     "p6_measurement_pipeline" -> (p6Measurement _),
     "p6_biosample_pipeline" -> (p6Biosample _),
+    "p6_phenopacket_json" -> (p6PhenopacketJson _),
     "p6_term_checks" -> (p6TermChecks _),
     "p6_batch_validate" -> (p6BatchValidate _),
     "ngram_jaccard_hist" -> (ngramJaccardHist _),
@@ -1710,6 +1736,105 @@ object Queries {
           ELSE 'tissue' END AS biosample_type,
         'T' || CAST(s_suppkey % 50 AS VARCHAR) AS collection_date
         FROM supplier ORDER BY 2""",
+    "p6_phenopacket_json" ->
+      """WITH g1 AS (
+          SELECT p_partkey AS k, 'P' || CAST(p_partkey % 211 AS VARCHAR) AS pid,
+            'u' || CAST(p_partkey AS VARCHAR) || '@example.com' AS email,
+            CAST(p_partkey % 22 + 1 AS VARCHAR) || ':g.' ||
+              CAST(p_partkey + 1 AS VARCHAR) ||
+              CASE WHEN p_partkey % 17 = 0 THEN 'C>T' ELSE 'A>G' END AS gnorm,
+            p_brand AS gene,
+            CASE p_partkey % 4 WHEN 0 THEN 'heterozygous' WHEN 1 THEN 'homozygous'
+              WHEN 2 THEN 'heterozygous' ELSE 'hemizygous' END AS zyg
+          FROM part WHERE p_partkey % 89 <> 0),
+        g2 AS (
+          SELECT p_partkey AS k, 'P' || CAST(p_partkey % 211 AS VARCHAR) AS pid,
+            'u' || CAST(p_partkey AS VARCHAR) || '@example.com' AS email,
+            CAST(p_partkey % 22 + 1 AS VARCHAR) || ':g.' ||
+              CAST(p_partkey + 1 AS VARCHAR) ||
+              CASE WHEN p_partkey % 17 = 0 THEN 'C>T' ELSE 'A>G' END AS gnorm,
+            p_brand AS gene, 'homozygous' AS zyg
+          FROM part
+          WHERE p_partkey % 89 <> 0 AND p_partkey % 4 = 2 AND p_partkey % 3 = 2),
+        geno AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        gidx AS (
+          SELECT pid, gnorm, gene, zyg,
+            row_number() OVER (PARTITION BY pid ORDER BY email, zyg) - 1 AS idx
+          FROM geno),
+        gj AS (
+          SELECT pid, string_agg(
+            '{"id":"' || pid || '-interpretation-' || CAST(idx AS VARCHAR) ||
+            '","progress_status":"COMPLETED","diagnosis":{"genomic_interpretations":[{"subject_or_biosample_id":"'
+            || pid ||
+            '","interpretation_status":"CONTRIBUTORY","variant_interpretation":{"variation_descriptor":{"expressions":[{"syntax":"hgvs","value":"'
+            || gnorm || '"}],"allelic_state":{"id":"' ||
+            CASE zyg WHEN 'heterozygous' THEN 'GENO:0000135'
+              WHEN 'homozygous' THEN 'GENO:0000134' ELSE 'GENO:0000136' END ||
+            '","label":"' || zyg || '"},"gene_context":{"symbol":"' || gene ||
+            '"}}}}]}}', ',' ORDER BY idx) AS frag
+          FROM gidx GROUP BY pid),
+        ph AS (
+          SELECT 'P' || CAST(doc_id % 223 AS VARCHAR) AS pid,
+            'HP:' || lpad(CAST(doc_id % 43000 AS VARCHAR), 7, '0') AS hpo,
+            CASE WHEN doc_id % 3 IN (0, 1) THEN 'T' || CAST(doc_id % 365 AS VARCHAR)
+              ELSE '' END AS dt,
+            doc_id % 2 = 0 AS status
+          FROM documents WHERE doc_id % 7 NOT IN (3, 4)),
+        pj AS (
+          SELECT pid, string_agg(
+            '{"type":{"id":"' || hpo || '"},"excluded":' ||
+            CASE WHEN status THEN 'false' ELSE 'true' END || '}',
+            ',' ORDER BY hpo, dt, status) AS frag
+          FROM ph GROUP BY pid),
+        di AS (
+          SELECT 'P' || CAST(o_orderkey % 211 AS VARCHAR) AS pid,
+            'OMIM:' || CAST(o_orderkey % 5000 + 100000 AS VARCHAR) AS term,
+            CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              ELSE 'Cond ' || CAST(o_orderkey % 5000 AS VARCHAR) END AS label
+          FROM orders),
+        dj AS (
+          SELECT pid, string_agg(
+            '{"term":{"id":"' || term || '"' ||
+            CASE WHEN label IS NULL THEN '' ELSE ',"label":"' || label || '"' END
+            || '}}', ',' ORDER BY term) AS frag
+          FROM di GROUP BY pid),
+        me AS (
+          SELECT 'P' || CAST(user_id % 97 AS VARCHAR) AS pid, event_type AS typ
+          FROM events WHERE event_id % 13 <> 0),
+        mj AS (
+          SELECT pid, string_agg('{"type":{"id":"' || typ || '"}}',
+            ',' ORDER BY typ) AS frag
+          FROM me GROUP BY pid),
+        bi AS (
+          SELECT 'P' || CAST(s_suppkey % 211 AS VARCHAR) AS pid,
+            'B' || CAST(s_suppkey AS VARCHAR) AS bid,
+            CASE s_suppkey % 3 WHEN 0 THEN 'blood' WHEN 1 THEN 'saliva'
+              ELSE 'tissue' END AS btyp
+          FROM supplier),
+        bj AS (
+          SELECT pid, string_agg(
+            '{"id":"' || bid || '","type":{"id":"' || btyp || '"}}',
+            ',' ORDER BY bid) AS frag
+          FROM bi GROUP BY pid),
+        pids AS (
+          SELECT DISTINCT pid FROM (
+            SELECT pid FROM geno UNION SELECT pid FROM ph
+            UNION SELECT pid FROM di UNION SELECT pid FROM me
+            UNION SELECT pid FROM bi))
+        SELECT p.pid AS patient_id,
+          '{"id":"' || p.pid || '","subject":{"id":"' || p.pid ||
+          '"},"phenotypic_features":[' || coalesce(pj.frag, '') ||
+          '],"interpretations":[' || coalesce(gj.frag, '') ||
+          '],"diseases":[' || coalesce(dj.frag, '') ||
+          '],"measurements":[' || coalesce(mj.frag, '') ||
+          '],"biosamples":[' || coalesce(bj.frag, '') || ']}' AS packet_json
+        FROM pids p
+        LEFT JOIN gj ON p.pid = gj.pid
+        LEFT JOIN pj ON p.pid = pj.pid
+        LEFT JOIN dj ON p.pid = dj.pid
+        LEFT JOIN mj ON p.pid = mj.pid
+        LEFT JOIN bj ON p.pid = bj.pid
+        ORDER BY 1""",
     "p6_term_checks" ->
       """SELECT
         CAST((SELECT count(*) FROM documents WHERE doc_id % 7 NOT IN (3, 4)
