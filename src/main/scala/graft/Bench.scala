@@ -15,10 +15,15 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // The noop sink consumes EVERY column of EVERY row: unlike count(),
     // which lets the optimizer prune final projections and sorts, this
-    // times the plan users actually run.
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    // times the plan users actually run. SPARK_GRAFT_BENCH_MODE=count
+    // switches to the round-1 count() accounting for apples-to-apples
+    // comparisons against the round-1 baseline.
+    val countMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count")
+    def run(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (countMode) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
+    }
     SparkEntry.queries.keys.take(1).foreach(run)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, _) =>

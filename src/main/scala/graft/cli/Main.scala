@@ -146,16 +146,13 @@ object Main {
   def download(o: Map[String, String]): Unit = {
     val dataDir = Paths.get(o.getOrElse("--data-path", "tests/data"))
     Files.createDirectories(dataDir)
-    val tag = o.get("--hpo-version") match {
-      case Some(v) => if (v.startsWith("v")) v else s"v$v"
-      case None =>
-        System.err.println("download: --hpo-version is required in offline mode " +
-          "(the latest-release lookup needs network access)")
-        sys.exit(1)
-    }
     val base = sys.props.get("graft.env.GRAFT_HPO_BASE_URL")
       .orElse(sys.env.get("GRAFT_HPO_BASE_URL"))
       .getOrElse("https://github.com/obophenotype/human-phenotype-ontology/releases/download")
+    val tag = o.get("--hpo-version") match {
+      case Some(v) => if (v.startsWith("v")) v else s"v$v"
+      case None => resolveLatestTag(base)
+    }
     val url = s"$base/$tag/hp.json"
     println(s"Downloading HPO release $tag …")
     val out = dataDir.resolve("hp.json")
@@ -170,4 +167,50 @@ object Main {
     }
     println(s"Saved HPO JSON to $out")
   }
+
+  /** Latest-release resolution when --hpo-version is omitted
+    * (ref: src/P6/__main__.py:107-111). A file:// base lists its
+    * version directories (offline mirror layout: {base}/vTAG/hp.json);
+    * an http(s) base asks the releases API for `tag_name`
+    * (GRAFT_HPO_API_URL overrides the endpoint for fixtures).
+    */
+  private def resolveLatestTag(base: String): String =
+    if (base.startsWith("file:")) {
+      val dir = Paths.get(java.net.URI.create(
+        if (base.startsWith("file://")) base else "file://" + base.stripPrefix("file:")))
+      val tags = if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v"))
+            .map(_.getFileName.toString).toList
+        } finally s.close()
+      } else Nil
+      tags.maxOption.getOrElse {
+        System.err.println(s"download: no release directories under $base " +
+          "(expected {base}/vTAG/hp.json); pass --hpo-version explicitly")
+        sys.exit(1)
+      }
+    } else {
+      val api = sys.props.get("graft.env.GRAFT_HPO_API_URL")
+        .orElse(sys.env.get("GRAFT_HPO_API_URL"))
+        .getOrElse("https://api.github.com/repos/obophenotype/human-phenotype-ontology/releases/latest")
+      try {
+        val in = java.net.URI.create(api).toURL.openStream()
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val tag = node.path("tag_name").asText("")
+        if (tag.isEmpty) {
+          System.err.println(s"download: no tag_name in latest-release response from $api")
+          sys.exit(1)
+        }
+        tag
+      } catch {
+        case e: Exception =>
+          System.err.println(s"download: latest-release lookup failed ($api: " +
+            s"${e.getMessage}); pass --hpo-version explicitly in offline mode")
+          sys.exit(1)
+      }
+    }
 }

@@ -1073,25 +1073,38 @@ object Queries {
     * fingerprint.
     */
   private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val sh = t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(sequence(lit(0), size(col("toks")) - 5)).as("i"),
-        col("toks"))
-      .select(col("doc_id"), col("i"),
-        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
-    val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
-    val perDoc = Window.partitionBy(col("doc_id"))
-    sh.withColumn("nsh", count(lit(1)).over(perDoc))
-      .withColumn("fp", min(col("h")).over(winFrame))
-      .filter(col("i") <= greatest(col("nsh") - 4, lit(0)))
-      .select(col("doc_id"), col("fp")).distinct()
-      .groupBy((col("doc_id") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n_fps"),
-        countDistinct(col("fp")).as("n_uniq_fps"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("doc_id"), (col("doc_id") % 10).as("bucket"),
+        (size(col("toks")) - lit(4)).as("nsh"), col("toks"))
+    // Window-free winnowing: the fingerprint at position j is the min
+    // hash over the (<=4)-shingle frame starting at j, computed as
+    // least() of 4 offset-guarded md5s — pure codegen'd scalar work on
+    // the exploded positions, no per-doc window shuffle + sort, and no
+    // higher-order-function lambdas (interpreted, and subject to
+    // projection-collapse re-evaluation — an aliased per-doc hash
+    // array inlined into a transform() re-hashes the whole doc per
+    // position, which measured 280 s at sf0.1).
+    def h(off: Int) = md5(concat_ws(" ",
+      slice(col("toks"), col("j") + off + 1, lit(5))))
+    def guarded(off: Int) = when(col("j") + off <= col("nsh") - 1, h(off))
+    val fps = base
+      .select(col("doc_id"), col("bucket"), col("nsh"), col("toks"),
+        explode(sequence(lit(0), greatest(col("nsh") - 4, lit(0)))).as("j"))
+      .select(col("doc_id"), col("bucket"),
+        least(h(0), guarded(1), guarded(2), guarded(3)).as("fp"))
+      .distinct()
+    // Split aggregates instead of one 3-distinct agg (whose Expand
+    // would triple the distinct-pair rows); the two branches share the
+    // distinct's exchange via reuse, and n_docs never explodes at all.
+    val docCounts = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val nFps = fps.groupBy(col("bucket")).agg(count(lit(1)).as("n_fps"))
+    val nUniq = fps.groupBy(col("bucket"), col("fp")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_uniq_fps"))
+    nFps.join(nUniq, Seq("bucket")).join(docCounts, Seq("bucket"))
+      .select(col("bucket"), col("n_fps"), col("n_uniq_fps"), col("n_docs"))
       .orderBy(col("bucket"))
   }
 

@@ -223,6 +223,53 @@ class CliSpec extends SparkSpec {
     assert(Files.readString(outDir.resolve("hp.json")).contains("graphs"))
   }
 
+  test("download: latest release resolved from a file:// mirror's version dirs") {
+    val dir = Files.createTempDirectory("dl-latest")
+    for (tag <- Seq("v2023-10-09", "v2024-04-26", "v2024-03-06")) {
+      val rel = dir.resolve("releases").resolve(tag)
+      Files.createDirectories(rel)
+      Files.writeString(rel.resolve("hp.json"), s"""{"graphs": [], "tag": "$tag"}""")
+    }
+    val outDir = dir.resolve("data")
+    val out = stdoutOf {
+      withEnv("GRAFT_HPO_BASE_URL", s"file://${dir.resolve("releases")}") {
+        graft.cli.Main.download(Map("--data-path" -> outDir.toString))
+      }
+    }
+    // max version-tag wins (date tags sort lexicographically)
+    assert(out.contains("Downloading HPO release v2024-04-26"))
+    assert(Files.readString(outDir.resolve("hp.json")).contains("v2024-04-26"))
+  }
+
+  test("download: latest release resolved from the releases API tag_name") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val payload =
+        if (path == "/latest") """{"tag_name":"v2024-08-13"}"""
+        else """{"graphs": ["from-api-tag"]}"""
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val dir = Files.createTempDirectory("dl-api")
+      val out = stdoutOf {
+        withEnv("GRAFT_HPO_BASE_URL", base) {
+          withEnv("GRAFT_HPO_API_URL", s"$base/latest") {
+            graft.cli.Main.download(Map("--data-path" -> dir.toString))
+          }
+        }
+      }
+      assert(out.contains("Downloading HPO release v2024-08-13"))
+      assert(Files.readString(dir.resolve("hp.json")).contains("from-api-tag"))
+    } finally server.stop(0)
+  }
+
   /** JDK 17 blocks env mutation; emulate via a sys.prop fallback the
     * command consults first — see Main.download.
     */
