@@ -116,6 +116,12 @@ object Dedup {
     * silent.
     */
   private[operators] def cappedPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    // Bucket stats via a (band,key) window, NOT a groupBy joined back:
+    // the join-back shape evaluates the expensive upstream (signature
+    // computation) twice — once under the aggregate, once on the probe
+    // side — because the two branches shuffle differently and reuse no
+    // exchange (measured slower on every pair query). The window pays
+    // one pass and one exchange that the pair self-join then reuses.
     val w = Window.partitionBy(col("band"), col("key"))
     val stats = buckets.select(col("id"), col("band"), col("key"), col("p"),
       count(lit(1)).over(w).as("bsz"),

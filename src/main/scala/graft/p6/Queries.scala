@@ -1108,6 +1108,60 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Benchmark-contamination check: a train doc is contaminated when it
+    * shares any 8-token-gram with the eval set (doc_id % 199 == 0 plays
+    * the benchmark). Scale shape: the eval side is a tiny fraction of
+    * the corpus, so its distinct grams BROADCAST and the train-side
+    * gram explode is consumed by a broadcast left-semi join — the train
+    * corpus never shuffles. The decontaminated corpus is the anti-join
+    * complement of the same plan.
+    */
+  private def q47Contamination(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 8)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 8)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(8))).as("g"))
+    val evalGrams = grams(docs.filter(col("doc_id") % 199 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(docs.filter(col("doc_id") % 199 =!= 0))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % 199 =!= 0)
+      .join(contaminated.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_contaminated"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Sequence packing for training batches: contiguous greedy packing
+    * of docs into 512-token context bins, independently per worker
+    * bucket (doc_id % 8) — bin id = floor(preceding-token-cumsum /
+    * 512) via a PARTITIONED running-sum window (never a global one).
+    * Reports bins and fill ratio per bucket.
+    */
+  private def q48SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ntoks = size(split(lower(trim(col("text"))), "\\s+"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"), ntoks.as("ntoks"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("ntoks")).over(w), lit(0L)) / 512))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1).cast("long").as("n_bins"),
+        sum(col("ntoks")).cast("long").as("sum_tokens"),
+        round(sum(col("ntoks")) / ((max(col("bin")) + 1) * 512.0), 4).as("avg_fill"))
+      .orderBy(col("bucket"))
+  }
+
   /** End-to-end corpus-curation funnel (the exact-stage training-data
     * shape): quality gate -> fingerprint dedup (canonical keep = min
     * doc_id, deterministic) -> stable hash split. One row of stage
@@ -1432,7 +1486,9 @@ object Queries {
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
     "q45_typed_agg" -> (q45TypedAgg _),
-    "q46_subqueries" -> (q46Subqueries _))
+    "q46_subqueries" -> (q46Subqueries _),
+    "q47_contamination" -> (q47Contamination _),
+    "q48_sequence_packing" -> (q48SequencePacking _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2025,6 +2081,37 @@ object Queries {
         FROM (SELECT doc_id % 10 AS bucket,
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
+        GROUP BY 1 ORDER BY 1""",
+    "q47_contamination" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i+1:i+8], ' ') AS g
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+                FROM tk WHERE len(toks) >= 8)),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 199 = 0),
+        cont AS (
+          SELECT DISTINCT doc_id FROM g
+          WHERE doc_id % 199 <> 0 AND g IN (SELECT g FROM ev))
+        SELECT doc_id % 10 AS bucket,
+          count(*) AS n_train_docs,
+          CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        FROM tk WHERE len(toks) >= 8 AND doc_id % 199 <> 0
+        GROUP BY 1 ORDER BY 1""",
+    "q48_sequence_packing" ->
+      """SELECT bucket, count(*) AS n_docs,
+        CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        CAST(sum(ntoks) AS BIGINT) AS sum_tokens,
+        round(sum(ntoks) / ((max(bin) + 1) * 512.0), 4) AS avg_fill
+        FROM (
+          SELECT bucket, doc_id, ntoks,
+            floor(coalesce(sum(ntoks) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS bin
+          FROM (SELECT doc_id, doc_id % 8 AS bucket,
+                  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
+                FROM documents))
         GROUP BY 1 ORDER BY 1""",
     "winnow_fingerprint" ->
       """WITH tk AS (
