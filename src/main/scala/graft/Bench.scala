@@ -33,7 +33,7 @@ object Bench {
           // A failed query must not bench as "fast": record it so the
           // JSON line carries the failure alongside the timing.
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -157,7 +157,10 @@ object Main {
     println(s"Downloading HPO release $tag …")
     val out = dataDir.resolve("hp.json")
     try {
-      val in = java.net.URI.create(url).toURL.openStream()
+      val conn = java.net.URI.create(url).toURL.openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      val in = conn.getInputStream
       try Files.copy(in, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
     } catch {
@@ -187,7 +190,22 @@ object Main {
             .map(_.getFileName.toString).toList
         } finally s.close()
       } else Nil
-      tags.maxOption.getOrElse {
+      // numeric-aware ordering so v10 > v9 and v2024-4-26 < v2024-04-26
+      // don't depend on zero padding: digit runs compare as numbers
+      // (shorter-after-strip = smaller), everything else lexicographic
+      val tagOrdering: Ordering[String] = (a: String, b: String) => {
+        val pat = """\d+|\D+""".r
+        val (as, bs) = (pat.findAllIn(a).toList, pat.findAllIn(b).toList)
+        as.zip(bs).iterator.map { case (x, y) =>
+          if (x.head.isDigit && y.head.isDigit) {
+            val (xs, ys) = (x.dropWhile(_ == '0'), y.dropWhile(_ == '0'))
+            if (xs.length != ys.length) xs.length.compareTo(ys.length)
+            else if (xs != ys) xs.compareTo(ys)
+            else x.compareTo(y)
+          } else x.compareTo(y)
+        }.find(_ != 0).getOrElse(as.length.compareTo(bs.length))
+      }
+      tags.sorted(tagOrdering).lastOption.getOrElse {
         System.err.println(s"download: no release directories under $base " +
           "(expected {base}/vTAG/hp.json); pass --hpo-version explicitly")
         sys.exit(1)
@@ -197,7 +215,12 @@ object Main {
         .orElse(sys.env.get("GRAFT_HPO_API_URL"))
         .getOrElse("https://api.github.com/repos/obophenotype/human-phenotype-ontology/releases/latest")
       try {
-        val in = java.net.URI.create(api).toURL.openStream()
+        // bounded timeouts: in a zero-egress environment this must fail
+        // fast with the pass---hpo-version hint, not hang on connect
+        val conn = java.net.URI.create(api).toURL.openConnection()
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(10000)
+        val in = conn.getInputStream
         val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         val tag = node.path("tag_name").asText("")

@@ -77,13 +77,19 @@ object VvHttp {
         val txs = asSeq(root.path("transcripts"))
           .map(t => t.path("reference").asText(""))
           .filter(_.nonEmpty)
-        val (ensemblTx, refseqTx) = txs.partition(_.startsWith("ENST"))
-        Right(VvEnrichment.GeneXref(
-          gene = orElse(root, "current_symbol", gene),
-          hgncId = orElse(root, "hgnc", null),
-          ensemblGeneId = orElse(root, "ensembl_gene_id", null),
-          refseqTranscripts = refseqTx,
-          ensemblTranscripts = ensemblTx))
+        if (txs.isEmpty)
+          // an empty/missing transcript list is a lookup failure, not a
+          // silently-null success — it must reach the vv_error channel
+          Left(s"VV: no transcript data for '$gene'")
+        else {
+          val (ensemblTx, refseqTx) = txs.partition(_.startsWith("ENST"))
+          Right(VvEnrichment.GeneXref(
+            gene = orElse(root, "current_symbol", gene),
+            hgncId = orElse(root, "hgnc", null),
+            ensemblGeneId = orElse(root, "ensembl_gene_id", null),
+            refseqTranscripts = refseqTx,
+            ensemblTranscripts = ensemblTx))
+        }
       }
     }
   }

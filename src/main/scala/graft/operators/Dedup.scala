@@ -331,9 +331,16 @@ object Dedup {
   /** SimHash near-dup pairs with hamming(sig_a, sig_b) <= maxDist via
     * PIGEONHOLE banding: split the 64-bit signature into maxDist+1
     * equal bands — a pair within maxDist differs in at most maxDist
-    * bits, so at least one band matches EXACTLY (lossless blocking).
-    * Candidates come from band equi-joins; a popcount of the XOR
-    * verifies. Work scales with band collisions, never |corpus|^2.
+    * bits, so at least one band matches EXACTLY (the banding itself is
+    * lossless). Candidates come from band equi-joins; a popcount of
+    * the XOR verifies. Work scales with band collisions, never
+    * |corpus|^2 — BECAUSE buckets above `maxBucket` degrade to star
+    * pairs against the bucket representative: below the cap the
+    * enumeration is exact (DedupSpec proves it against brute force);
+    * above it, member-member pairs not co-located in any small bucket
+    * are traded away for the O(n) bound. Pass maxBucket =
+    * Int.MaxValue to restore unconditional exact enumeration, and use
+    * [[hotBucketReport]] to see what a given cap would skip.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {

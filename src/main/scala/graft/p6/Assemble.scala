@@ -8,12 +8,12 @@ import graft.functions.P6Functions
   *
   * The reference builds a driver-side dict of patient bundles
   * (src/P6/mapper.py:759-791) then constructs one protobuf per patient
-  * (mapper.py:793-910). Spark shape: per-table groupBy(patient) with
-  * collect_list(struct), a 5-way full-outer join on patient_id (a patient
-  * may appear in any subset of sheets), then one nested-struct projection
-  * + to_json. The only shuffles are the five groupBys and the join — all
-  * on the same key, so AQE/exchange-reuse co-partitions them; nothing is
-  * ever materialized on the driver.
+  * (mapper.py:793-910). Spark shape: tag each table's records into a
+  * nullable struct slot, UNION the five tables, and aggregate once —
+  * five null-skipping collect_lists behind a SINGLE shuffle on
+  * patient_id (a patient may appear in any subset of sheets), then one
+  * nested-struct projection + to_json. Nothing is ever materialized on
+  * the driver.
   */
 object Assemble {
 
@@ -30,9 +30,21 @@ object Assemble {
     * subsequent join to re-shuffle the progressively fatter
     * intermediate. At 100 TB the difference is 1 pass over the record
     * volume vs ~3.
+    *
+    * Rows with a null patient id are DROPPED, matching the reference's
+    * pandas `groupby` (dropna) semantics (src/P6/mapper.py:759-791) —
+    * the pre-rewrite full-outer-join shape instead emitted one
+    * unmatched null-key row per table, which matched neither the
+    * reference nor the union shape.
+    *
+    * `canonical = true` sorts each bundle by record CONTENT instead of
+    * sheet arrival order — the deterministic-across-partitionings form
+    * the byte-gated packet oracle compares against (one sort instead
+    * of an __ord sort discarded by a re-sort).
     */
   def groupByPatient(genotypes: DataFrame, phenotypes: DataFrame,
-      diseases: DataFrame, measurements: DataFrame, biosamples: DataFrame): DataFrame = {
+      diseases: DataFrame, measurements: DataFrame, biosamples: DataFrame,
+      canonical: Boolean = false): DataFrame = {
     val tables = Seq(
       (genotypes, "genotype_patient_ID", "genotype_records"),
       (phenotypes, "phenotype_patient_ID", "phenotype_records"),
@@ -42,9 +54,12 @@ object Assemble {
     val names = tables.map(_._3)
     val slotted = tables.map { case (df, idCol, as) =>
       val cols = df.columns.filter(_ != idCol).map(col)
+      val rec =
+        if (canonical) struct(cols.toSeq: _*)
+        else struct((col("__ord") +: cols.toSeq): _*)
       df.withColumn("__ord", monotonically_increasing_id())
-        .select(col(idCol).as("patient_id"),
-          struct((col("__ord") +: cols.toSeq): _*).as(as))
+        .filter(col(idCol).isNotNull)
+        .select(col(idCol).as("patient_id"), rec.as(as))
     }
     val slotTypes = slotted.map(_.schema.fields(1).dataType)
     val unioned = slotted.zipWithIndex.map { case (df, i) =>
@@ -53,11 +68,12 @@ object Assemble {
           (if (i == j) col(n) else lit(null).cast(slotTypes(j))).as(n)
         }: _*)
     }.reduce(_ unionByName _)
-    unioned.groupBy(col("patient_id"))
+    val agged = unioned.groupBy(col("patient_id"))
       .agg(sort_array(collect_list(col(names.head))).as(names.head),
         names.tail.map(n => sort_array(collect_list(col(n))).as(n)): _*)
-      .select(col("patient_id") +:
-        names.map(n => transform(col(n), s => s.dropFields("__ord")).as(n)): _*)
+    if (canonical) agged
+    else agged.select(col("patient_id") +:
+      names.map(n => transform(col(n), s => s.dropFields("__ord")).as(n)): _*)
   }
 
   /** A2: per-patient GA4GH Phenopacket as a nested struct column

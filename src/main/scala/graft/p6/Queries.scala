@@ -381,12 +381,8 @@ object Queries {
     val d = Mappers.mapDiseaseTable(diseaseSheet(t(s, dir, "orders")))
     val m = Mappers.mapMeasurementTable(measurementSheet(t(s, dir, "events")))
     val b = Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier")))
-    val bundles = Assemble.groupByPatient(g.records, p.records, d.records,
-      m.records, b.records)
-    val canon = bundles.select(col("patient_id") +:
-      Seq("genotype_records", "phenotype_records", "disease_records",
-        "measurement_records", "biosample_records")
-        .map(c => sort_array(col(c)).as(c)): _*)
+    val canon = Assemble.groupByPatient(g.records, p.records, d.records,
+      m.records, b.records, canonical = true)
     Assemble.phenopackets(canon)
       .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
       .orderBy(col("patient_id"))
@@ -1865,7 +1861,7 @@ object Queries {
           SELECT pid, string_agg(
             '{"term":{"id":"' || term || '"' ||
             CASE WHEN label IS NULL THEN '' ELSE ',"label":"' || label || '"' END
-            || '}}', ',' ORDER BY term) AS frag
+            || '}}', ',' ORDER BY term, label NULLS FIRST) AS frag
           FROM di GROUP BY pid),
         me AS (
           SELECT 'P' || CAST(user_id % 97 AS VARCHAR) AS pid, event_type AS typ

@@ -225,7 +225,9 @@ class CliSpec extends SparkSpec {
 
   test("download: latest release resolved from a file:// mirror's version dirs") {
     val dir = Files.createTempDirectory("dl-latest")
-    for (tag <- Seq("v2023-10-09", "v2024-04-26", "v2024-03-06")) {
+    // v9 would win a naive lexicographic max ("v9" > "v2024-…"); the
+    // numeric-aware ordering must rank it below the date tags
+    for (tag <- Seq("v2023-10-09", "v2024-04-26", "v2024-03-06", "v9")) {
       val rel = dir.resolve("releases").resolve(tag)
       Files.createDirectories(rel)
       Files.writeString(rel.resolve("hp.json"), s"""{"graphs": [], "tag": "$tag"}""")

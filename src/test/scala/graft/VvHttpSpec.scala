@@ -60,6 +60,12 @@ class VvHttpSpec extends SparkSpec {
     // connection refused (nothing listening) degrades to Left, not a throw
     val dead = VvHttp.transport("http://127.0.0.1:1", timeoutMs = 500)("G")
     assert(dead.isLeft)
+    // a 200 with no transcript data is a lookup FAILURE, not a
+    // null-field success
+    serve((_, _) => (200, """{"current_symbol":"GHOST","transcripts":[]}""")) { base =>
+      assert(VvHttp.transport(base)("GHOST") ==
+        Left("VV: no transcript data for 'GHOST'"))
+    }
   }
 
   test("retry policy drives the http transport: two 500s then success") {
