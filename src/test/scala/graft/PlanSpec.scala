@@ -111,4 +111,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of lost its window formulation")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q47 contamination: eval grams broadcast into a semi join; train side never shuffle-joins") {
+    val p = plan("q47_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval-gram side must broadcast into a left-semi join")
+    assert(!p.contains("SortMergeJoin LeftSemi"),
+      "train grams fell back to a shuffle semi join")
+  }
+
+  test("p6_phenopacket_json: single record shuffle (union bundling), no join re-shuffles") {
+    val p = Queries.all("p6_phenopacket_json")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one exchange for the union groupBy; the orderBy adds a range
+    // exchange — anything more means the full-outer-join re-shuffle
+    // regression is back
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "patient bundling should shuffle the records exactly once")
+    assert(!p.contains("SortMergeJoin"), "bundle join chain reappeared")
+  }
+
+  test("winnow_fingerprint: no WindowExec — the sliding min is scan-side scalar work") {
+    val p = plan("winnow_fingerprint")
+    assert(!p.contains("Window"), "winnowing regressed to a window plan")
+  }
 }
