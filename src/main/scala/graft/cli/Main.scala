@@ -171,6 +171,25 @@ object Main {
     println(s"Saved HPO JSON to $out")
   }
 
+  /** Numeric-aware version-tag ordering so v10 > v9 regardless of zero
+    * padding: digit runs compare as numbers (shorter-after-zero-strip
+    * = smaller; numerically equal runs tie-break lexicographically, so
+    * the order stays total), everything else lexicographically.
+    * PropertySpec pins agreement with integer order on numeric tags.
+    */
+  private[graft] val tagOrdering: Ordering[String] = (a: String, b: String) => {
+    val pat = """\d+|\D+""".r
+    val (as, bs) = (pat.findAllIn(a).toList, pat.findAllIn(b).toList)
+    as.zip(bs).iterator.map { case (x, y) =>
+      if (x.head.isDigit && y.head.isDigit) {
+        val (xs, ys) = (x.dropWhile(_ == '0'), y.dropWhile(_ == '0'))
+        if (xs.length != ys.length) xs.length.compareTo(ys.length)
+        else if (xs != ys) xs.compareTo(ys)
+        else x.compareTo(y)
+      } else x.compareTo(y)
+    }.find(_ != 0).getOrElse(as.length.compareTo(bs.length))
+  }
+
   /** Latest-release resolution when --hpo-version is omitted
     * (ref: src/P6/__main__.py:107-111). A file:// base lists its
     * version directories (offline mirror layout: {base}/vTAG/hp.json);
@@ -190,21 +209,6 @@ object Main {
             .map(_.getFileName.toString).toList
         } finally s.close()
       } else Nil
-      // numeric-aware ordering so v10 > v9 and v2024-4-26 < v2024-04-26
-      // don't depend on zero padding: digit runs compare as numbers
-      // (shorter-after-strip = smaller), everything else lexicographic
-      val tagOrdering: Ordering[String] = (a: String, b: String) => {
-        val pat = """\d+|\D+""".r
-        val (as, bs) = (pat.findAllIn(a).toList, pat.findAllIn(b).toList)
-        as.zip(bs).iterator.map { case (x, y) =>
-          if (x.head.isDigit && y.head.isDigit) {
-            val (xs, ys) = (x.dropWhile(_ == '0'), y.dropWhile(_ == '0'))
-            if (xs.length != ys.length) xs.length.compareTo(ys.length)
-            else if (xs != ys) xs.compareTo(ys)
-            else x.compareTo(y)
-          } else x.compareTo(y)
-        }.find(_ != 0).getOrElse(as.length.compareTo(bs.length))
-      }
       tags.sorted(tagOrdering).lastOption.getOrElse {
         System.err.println(s"download: no release directories under $base " +
           "(expected {base}/vTAG/hp.json); pass --hpo-version explicitly")

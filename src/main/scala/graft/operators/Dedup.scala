@@ -315,9 +315,10 @@ object Dedup {
     */
   def dedupDocuments(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.7, shingleLen: Int = 3,
-      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+      numPerm: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val verified = jaccardVerify(
-      minhashCandidates(df, idCol, textCol, shingleLen, numPerm, bands),
+      minhashCandidates(df, idCol, textCol, shingleLen, numPerm, bands, maxBucket),
       df, idCol, textCol, shingleLen)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"))

@@ -1068,34 +1068,45 @@ object Queries {
     * Guarantee: any shared run of >= 8 tokens yields a shared
     * fingerprint.
     */
-  private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct (doc_id, fp) winnowing fingerprints for a (doc_id, text)
+    * frame — the window-free core shared by the query and the
+    * equivalence property test (PropertySpec proves it equal to the
+    * textbook windowed formulation). The fingerprint at position j is
+    * the min hash over the (<=4)-shingle frame starting at j, computed
+    * as least() of offset-guarded md5s: pure codegen'd scalar work on
+    * the exploded positions — no per-doc window shuffle + sort, and no
+    * higher-order-function lambdas (interpreted, and subject to
+    * projection-collapse re-evaluation: an aliased per-doc hash array
+    * inlined into a transform() re-hashes the whole doc per position,
+    * which measured 280 s at sf0.1).
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val base = t(s, dir, "documents")
+    val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), (col("doc_id") % 10).as("bucket"),
-        (size(col("toks")) - lit(4)).as("nsh"), col("toks"))
-    // Window-free winnowing: the fingerprint at position j is the min
-    // hash over the (<=4)-shingle frame starting at j, computed as
-    // least() of 4 offset-guarded md5s — pure codegen'd scalar work on
-    // the exploded positions, no per-doc window shuffle + sort, and no
-    // higher-order-function lambdas (interpreted, and subject to
-    // projection-collapse re-evaluation — an aliased per-doc hash
-    // array inlined into a transform() re-hashes the whole doc per
-    // position, which measured 280 s at sf0.1).
+      .select(col("doc_id"), (size(col("toks")) - lit(4)).as("nsh"), col("toks"))
     def h(off: Int) = md5(concat_ws(" ",
       slice(col("toks"), col("j") + off + 1, lit(5))))
     def guarded(off: Int) = when(col("j") + off <= col("nsh") - 1, h(off))
-    val fps = base
-      .select(col("doc_id"), col("bucket"), col("nsh"), col("toks"),
+    base
+      .select(col("doc_id"), col("nsh"), col("toks"),
         explode(sequence(lit(0), greatest(col("nsh") - 4, lit(0)))).as("j"))
-      .select(col("doc_id"), col("bucket"),
-        least(h(0), guarded(1), guarded(2), guarded(3)).as("fp"))
+      .select(col("doc_id"), least(h(0), guarded(1), guarded(2), guarded(3)).as("fp"))
       .distinct()
+  }
+
+  private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fps = winnowFingerprints(docs)
+      .select(col("doc_id"), (col("doc_id") % 10).as("bucket"), col("fp"))
     // Split aggregates instead of one 3-distinct agg (whose Expand
     // would triple the distinct-pair rows); the two branches share the
     // distinct's exchange via reuse, and n_docs never explodes at all.
-    val docCounts = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val docCounts = docs
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5)
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
     val nFps = fps.groupBy(col("bucket")).agg(count(lit(1)).as("n_fps"))
     val nUniq = fps.groupBy(col("bucket"), col("fp")).agg(count(lit(1)).as("__c"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_uniq_fps"))

@@ -196,6 +196,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("window-free winnowing == textbook windowed formulation on random docs") {
+    import org.apache.spark.sql.expressions.Window
+    // small vocab so shingles repeat within and across docs
+    val docGen = Gen.listOfN(30, Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+        .map(_.mkString(" "))))
+    check(Prop.forAll(docGen) { texts =>
+      texts.isEmpty || {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val fast = graft.p6.Queries.winnowFingerprints(docs)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        // reference implementation: hash every shingle, min over the
+        // 4-row following frame, keep complete frames (plus pos 0)
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val sh = docs.select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
+          .select(col("doc_id"), col("i"),
+            md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
+        val frame = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+        val perDoc = Window.partitionBy(col("doc_id"))
+        val slow = sh.withColumn("nsh", count(lit(1)).over(perDoc))
+          .withColumn("fp", min(col("h")).over(frame))
+          .filter(col("i") <= greatest(col("nsh") - 4, lit(0)))
+          .select(col("doc_id"), col("fp")).distinct()
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        fast == slow
+      }
+    })
+  }
+
+  test("version-tag ordering agrees with integer order and handles padding") {
+    val ord = graft.cli.Main.tagOrdering
+    check(Prop.forAll(Gen.chooseNum(0, 99999), Gen.chooseNum(0, 99999)) { (a, b) =>
+      math.signum(ord.compare(s"v$a", s"v$b")) == math.signum(a.compareTo(b))
+    })
+    assert(ord.compare("v9", "v10") < 0)
+    // numerically equal tags are tie-broken deterministically
+    // (zero-padded form sorts first)
+    assert(ord.compare("v2024-4-26", "v2024-04-26") > 0)
+    assert(ord.compare("v2024-04-26", "v2024-03-06") > 0)
+    assert(ord.compare("v2023-10-09", "v2024-04-26") < 0)
+    assert(ord.compare("v1.2.10", "v1.2.9") > 0)
+  }
+
   test("delimited-line parser: encode -> parse round-trips any fields") {
     val fieldGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
       Gen.const("a,b"), Gen.const("say \"hi\""), Gen.const(" pad "))
