@@ -1169,6 +1169,62 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Gopher-style repetition quality signal: the duplicate-trigram
+    * ratio (1 - distinct/total 3-gram occurrences) per doc flags
+    * boilerplate/looping text; reported as per-bucket averages and
+    * flag counts. Pure scan-side scalar work — the shingle arrays are
+    * per-doc, no shuffle before the 10-group aggregate.
+    */
+  private def q49Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val n = size(toks) - 2
+    val total = greatest(n, lit(1))
+    // distinct trigram count via the shared shingle builder (distinct
+    // by construction); total occurrences = tokens - 2
+    val distinctN = size(graft.operators.Dedup.shingles(toks, 3))
+    t(s, dir, "documents")
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        (lit(1.0) - distinctN.cast("double") / total.cast("double")).as("dup_ratio"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dup_ratio")), 4).as("avg_dup_ratio"),
+        sum(when(col("dup_ratio") > 0.2, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("bucket"))
+  }
+
+  /** PII scrubbing: deterministic emails/phones are INJECTED into a
+    * slice of the corpus (doc_id-derived, so the oracle predicts
+    * them), then redacted by pattern; the query reports per-bucket
+    * injection/redaction counts and proves zero survivors. Redaction
+    * is one codegen'd regexp_replace pass over the scan.
+    */
+  private def q50PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val injected = t(s, dir, "documents").select(d.as("doc_id"),
+      when(d % 7 === 0,
+        concat(col("text"), lit(" contact user"), d.cast("string"), lit("@mail.example now")))
+        .when(d % 7 === 3,
+          concat(lit("call 555-01"), lpad((d % 100).cast("string"), 2, "0"),
+            lit("-"), lpad((d % 10000).cast("string"), 4, "0"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\d{3}-\\d{4,6}-\\d{4}"
+    val scrubbed = injected.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(phonePat)).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>").as("clean"))
+    scrubbed.groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(sum(col("n_emails")).cast("long").as("n_emails"),
+        sum(col("n_phones")).cast("long").as("n_phones"),
+        sum(regexp_count(col("clean"), lit(emailPat)) +
+          regexp_count(col("clean"), lit(phonePat))).cast("long").as("n_survivors"),
+        sum(regexp_count(col("clean"), lit("<EMAIL>|<PHONE>"))).cast("long")
+          .as("n_redactions"))
+      .orderBy(col("bucket"))
+  }
+
   /** End-to-end corpus-curation funnel (the exact-stage training-data
     * shape): quality gate -> fingerprint dedup (canonical keep = min
     * doc_id, deterministic) -> stable hash split. One row of stage
@@ -1495,7 +1551,9 @@ object Queries {
     "q45_typed_agg" -> (q45TypedAgg _),
     "q46_subqueries" -> (q46Subqueries _),
     "q47_contamination" -> (q47Contamination _),
-    "q48_sequence_packing" -> (q48SequencePacking _))
+    "q48_sequence_packing" -> (q48SequencePacking _),
+    "q49_repetition" -> (q49Repetition _),
+    "q50_pii_scrub" -> (q50PiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2089,6 +2147,52 @@ object Queries {
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
         GROUP BY 1 ORDER BY 1""",
+    "q49_repetition" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+                FROM tk WHERE len(toks) >= 3)),
+        pd AS (
+          SELECT doc_id, CAST(count(DISTINCT g) AS DOUBLE) AS nd,
+            CAST(count(*) AS DOUBLE) AS nt
+          FROM g GROUP BY 1)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+          round(avg(1.0 - nd / nt), 4) AS avg_dup_ratio,
+          CAST(sum(CASE WHEN 1.0 - nd / nt > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged
+        FROM pd GROUP BY 1 ORDER BY 1""",
+    "q50_pii_scrub" ->
+      """WITH inj AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                CAST(doc_id AS VARCHAR) || '@mail.example now'
+              WHEN doc_id % 7 = 3 THEN 'call 555-01' ||
+                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+              ELSE text END AS text
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+            len(regexp_extract_all(text, '\d{3}-\d{4,6}-\d{4}')) AS n_phones,
+            regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\d{3}-\d{4,6}-\d{4}', '<PHONE>', 'g') AS clean
+          FROM inj)
+        SELECT doc_id % 10 AS bucket,
+          CAST(sum(n_emails) AS BIGINT) AS n_emails,
+          CAST(sum(n_phones) AS BIGINT) AS n_phones,
+          CAST(sum(len(regexp_extract_all(clean,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(clean, '\d{3}-\d{4,6}-\d{4}'))) AS BIGINT)
+            AS n_survivors,
+          CAST(sum(len(regexp_extract_all(clean, '<EMAIL>|<PHONE>'))) AS BIGINT)
+            AS n_redactions
+        FROM s GROUP BY 1 ORDER BY 1""",
     "q47_contamination" ->
       """WITH tk AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
