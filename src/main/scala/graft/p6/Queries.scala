@@ -1171,21 +1171,26 @@ object Queries {
 
   /** Gopher-style repetition quality signal: the duplicate-trigram
     * ratio (1 - distinct/total 3-gram occurrences) per doc flags
-    * boilerplate/looping text; reported as per-bucket averages and
-    * flag counts. Pure scan-side scalar work — the shingle arrays are
-    * per-doc, no shuffle before the 10-group aggregate.
+    * boilerplate/looping text. Shape: codegen'd position explode +
+    * two map-side-combined aggregates — NOT the tempting per-doc
+    * `array_distinct(transform(...))`, whose interpreted lambdas cost
+    * ~4x on this corpus (the minhash/winnow lesson again).
     */
   private def q49Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val n = size(toks) - 2
-    val total = greatest(n, lit(1))
-    // distinct trigram count via the shared shingle builder (distinct
-    // by construction); total occurrences = tokens - 2
-    val distinctN = size(graft.operators.Dedup.shingles(toks, 3))
-    t(s, dir, "documents")
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"),
-        (lit(1.0) - distinctN.cast("double") / total.cast("double")).as("dup_ratio"))
+    val base = t(s, dir, "documents").filter(size(toks) >= 3)
+      .select(col("doc_id"), (size(toks) - 2).as("nt"), toks.as("toks"))
+    val grams = base
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(0), col("nt") - 1)).as("i"), col("toks"))
+      .select(col("doc_id"), col("nt"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(3))).as("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(first(col("nt")).as("nt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"), first(col("nt")).as("nt"))
+    perDoc.select(col("doc_id"),
+        (lit(1.0) - col("nd").cast("double") / col("nt").cast("double")).as("dup_ratio"))
       .groupBy((col("doc_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("dup_ratio")), 4).as("avg_dup_ratio"),
