@@ -15,27 +15,34 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // The noop sink consumes EVERY column of EVERY row: unlike count(),
     // which lets the optimizer prune final projections and sorts, this
-    // times the plan users actually run. SPARK_GRAFT_BENCH_MODE=count
-    // switches to the round-1 count() accounting for apples-to-apples
-    // comparisons against the round-1 baseline.
-    val countMode = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count")
+    // times the plan users actually run. SPARK_GRAFT_BENCH_MODE:
+    //   count  — round-1 count() accounting (apples-to-apples vs r1)
+    //   steady — run each query twice, report the SECOND run: strips
+    //            the one-time Janino/plan compile cost, approximating
+    //            the amortized per-batch cost at the 100 TB design
+    //            point where data work dwarfs compilation
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
     def run(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      if (countMode) { df.count(); () }
+      if (mode == "count") { df.count(); () }
       else df.write.format("noop").mode("overwrite").save()
     }
     SparkEntry.queries.keys.take(1).foreach(run)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, _) =>
-      val t0 = System.nanoTime()
-      try { run(name) } catch {
-        case e: Throwable =>
-          // A failed query must not bench as "fast": record it so the
-          // JSON line carries the failure alongside the timing.
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try { run(name) } catch {
+          case e: Throwable =>
+            // A failed query must not bench as "fast": record it so the
+            // JSON line carries the failure alongside the timing.
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val first = timed()
+      name -> (if (mode == "steady" && !errors.contains(name)) timed() else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
