@@ -1230,6 +1230,31 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Statistical quality filter: each doc's fraction of RARE tokens
+    * (corpus frequency <= 2) — the CCNet-style "unusual vocabulary"
+    * signal with exact integer counting (no float LM scores to
+    * hash-mismatch). The corpus frequency table and the scoring join
+    * shuffle on the same token key, so the exploded token exchange is
+    * computed once and reused.
+    */
+  private def q51RareTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val tok = t(s, dir, "documents").select(col("doc_id"), explode(toks).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val perDoc = tok.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+    perDoc
+      .select(col("doc_id"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("ratio"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 4).as("avg_rare_ratio"),
+        sum(when(col("ratio") > 0.5, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("bucket"))
+  }
+
   /** End-to-end corpus-curation funnel (the exact-stage training-data
     * shape): quality gate -> fingerprint dedup (canonical keep = min
     * doc_id, deterministic) -> stable hash split. One row of stage
@@ -1558,7 +1583,8 @@ object Queries {
     "q47_contamination" -> (q47Contamination _),
     "q48_sequence_packing" -> (q48SequencePacking _),
     "q49_repetition" -> (q49Repetition _),
-    "q50_pii_scrub" -> (q50PiiScrub _))
+    "q50_pii_scrub" -> (q50PiiScrub _),
+    "q51_rare_token_ratio" -> (q51RareTokenRatio _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2152,6 +2178,20 @@ object Queries {
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
         GROUP BY 1 ORDER BY 1""",
+    "q51_rare_token_ratio" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        pd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM tok JOIN freq USING (tok) GROUP BY 1)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+          round(avg(CAST(n_rare AS DOUBLE) / n_tokens), 4) AS avg_rare_ratio,
+          CAST(sum(CASE WHEN CAST(n_rare AS DOUBLE) / n_tokens > 0.5
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM pd GROUP BY 1 ORDER BY 1""",
     "q49_repetition" ->
       """WITH tk AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
