@@ -135,4 +135,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("winnow_fingerprint")
     assert(!p.contains("Window"), "winnowing regressed to a window plan")
   }
+
+  test("q51 rare-token ratio: the exploded-token exchange is computed once and reused") {
+    val p = Queries.all("q51_rare_token_ratio")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      "Exchange hashpartitioning\\(tok".r.findAllIn(p).size == 1,
+      s"frequency build and scoring join should share the token shuffle:\n${p.take(1200)}")
+  }
 }
