@@ -175,6 +175,14 @@ class DedupSpec extends SparkSpec {
     assert(deduped.contains(8001L) && !deduped.contains(8002L))
   }
 
+  test("hot-bucket defense is dormant on the organic corpus (no degenerate buckets)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val report = Dedup.hotBucketReport(
+      Dedup.minhashBuckets(docs, "doc_id", "text")).collect()
+    assert(report.isEmpty,
+      s"organic corpus unexpectedly has hot buckets: ${report.mkString(", ")}")
+  }
+
   test("simhash hot bucket: identical docs emit star pairs, not quadratic") {
     val n = 800
     val corpus = spark.range(n).select(col("id").as("doc_id"),
