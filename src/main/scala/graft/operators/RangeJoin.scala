@@ -33,4 +33,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Aggregate pushdown through a BIN-ALIGNED interval join: when
+    * every interval's start and end are exact multiples of binWidth,
+    * containment depends only on the point's bin — so the points
+    * collapse to one (bin, __cnt, __sum) partial per bin BEFORE the
+    * join, and the join plus everything downstream scales with the
+    * number of covered bins, not with |points| x |intervals| matched
+    * pairs. For q17's shape this turns a ~20M-pair consumption into a
+    * |days|-row join. The caller aggregates the returned partials per
+    * interval (sum(__cnt) = matched points, sum(__sum) = their value
+    * sum). Alignment is the caller's contract; misaligned bounds need
+    * [[pointInInterval]].
+    */
+  def pointPartialsPerInterval(points: DataFrame, pointCol: String,
+      valueCol: String, intervals: DataFrame, startCol: String,
+      endCol: String, binWidth: Long): DataFrame = {
+    val partials = points
+      .groupBy(expr(s"$pointCol div $binWidth").as("__bin"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
+    intervals.withColumn("__bin",
+        explode(sequence(expr(s"$startCol div $binWidth"),
+          expr(s"($endCol - 1) div $binWidth"))))
+      .join(partials, Seq("__bin"))
+      .drop("__bin")
+  }
 }

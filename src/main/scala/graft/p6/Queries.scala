@@ -564,6 +564,29 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Same semantics as q17, via aggregate pushdown: the promo windows
+    * are day-aligned, so events pre-aggregate to per-day partials and
+    * the join touches |days| rows instead of ~20M matched pairs —
+    * the bin-aligned range-join lever at its purest.
+    */
+  private def q52RangeAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val base = 1704067200000L
+    val day = 86400000L
+    val k = col("p_partkey")
+    val promos = t(s, dir, "part").select(k.as("promo_key"),
+      (lit(base) + (k % 29) * day).as("start_ms"),
+      (lit(base) + (k % 29) * day + (k % 3 + 1) * day).as("end_ms"))
+    val points = t(s, dir, "events")
+      .select(unix_millis(col("ts")).as("t_ms"), col("value"))
+    RangeJoin.pointPartialsPerInterval(points, "t_ms", "value",
+        promos, "start_ms", "end_ms", day)
+      .groupBy((col("promo_key") % 50).as("bucket"))
+      .agg(sum(col("__cnt")).cast("long").as("n_matches"),
+        round(sum(col("__sum")), 2).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
   /** Rollup (hierarchical super-aggregates). */
   private def q18Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1584,7 +1607,8 @@ object Queries {
     "q48_sequence_packing" -> (q48SequencePacking _),
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
-    "q51_rare_token_ratio" -> (q51RareTokenRatio _))
+    "q51_rare_token_ratio" -> (q51RareTokenRatio _),
+    "q52_range_agg_pushdown" -> (q52RangeAggPushdown _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2177,6 +2201,15 @@ object Queries {
         FROM (SELECT doc_id % 10 AS bucket,
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
+        GROUP BY 1 ORDER BY 1""",
+    "q52_range_agg_pushdown" ->
+      """SELECT p.p_partkey % 50 AS bucket,
+        CAST(count(*) AS BIGINT) AS n_matches,
+        round(sum(e.value), 2) AS sum_value
+        FROM part p JOIN events e
+          ON epoch_ms(e.ts) >= 1704067200000 + (p.p_partkey % 29) * 86400000
+         AND epoch_ms(e.ts) <  1704067200000 + (p.p_partkey % 29) * 86400000
+                                + (p.p_partkey % 3 + 1) * 86400000
         GROUP BY 1 ORDER BY 1""",
     "q51_rare_token_ratio" ->
       """WITH tok AS (
