@@ -236,4 +236,27 @@ object EventStreams {
         }
     }
   }
+
+  /** Streaming corpus curation — the batch `corpus_funnel` stages on a
+    * document stream (doc_id, text, ts): token-count quality gate,
+    * exact near-dup drop on the normalized-text fingerprint bounded by
+    * the watermark (evictable state, like [[dedupEvents]]), and the
+    * same md5-prefix stable split tag the batch path uses, so a doc
+    * lands in the same split whether it arrived by batch or stream.
+    * Batch inputs run the identical plan with plain dropDuplicates.
+    */
+  def curateDocuments(docs: DataFrame, minTokens: Int = 5,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val gated = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
+      .withColumn("fp", md5(normText))
+    val deduped =
+      if (docs.isStreaming)
+        gated.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark("fp")
+      else gated.dropDuplicates("fp")
+    deduped.withColumn("split",
+      when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+        .otherwise("train"))
+  }
 }

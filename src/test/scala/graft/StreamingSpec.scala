@@ -269,6 +269,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0))))
   }
 
+  test("streaming curation: quality gate + cross-batch near-dup drop + stable split") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def dts(m: Long) = new Timestamp(base + m * 60000L)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.curateDocuments(docs)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    val good = "a perfectly fine document with plenty of tokens"
+    stream.addData((1L, good, dts(0)),
+      (2L, good.toUpperCase + "!!", dts(1)), // same normalized fp -> dup
+      (3L, "too short", dts(2)))             // fails the quality gate
+    q.processAllAvailable()
+    // a later micro-batch, still inside the watermark: the fp state
+    // must drop the re-arrival; fresh content passes
+    stream.addData((4L, good + ".", dts(5)), // normText strips '.' -> dup
+      (5L, "another acceptable document with enough distinct tokens", dts(6)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("curate_out").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 5L))
+    // split tags match the batch funnel's md5-prefix rule exactly
+    val batch = EventStreams.curateDocuments(
+      Seq((1L, good, dts(0)), (5L, "another acceptable document with enough distinct tokens", dts(6)))
+        .toDF("doc_id", "text", "ts"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == batch)
+  }
+
   test("batch session query and streaming session_window agree on the corpus") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaSessionWindow = EventStreams.sessionWindows(events)
