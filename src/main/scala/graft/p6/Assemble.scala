@@ -54,11 +54,13 @@ object Assemble {
     val names = tables.map(_._3)
     val slotted = tables.map { case (df, idCol, as) =>
       val cols = df.columns.filter(_ != idCol).map(col)
+      val withOrd =
+        if (canonical) df // content sort needs no arrival-order id
+        else df.withColumn("__ord", monotonically_increasing_id())
       val rec =
         if (canonical) struct(cols.toSeq: _*)
         else struct((col("__ord") +: cols.toSeq): _*)
-      df.withColumn("__ord", monotonically_increasing_id())
-        .filter(col(idCol).isNotNull)
+      withOrd.filter(col(idCol).isNotNull)
         .select(col(idCol).as("patient_id"), rec.as(as))
     }
     val slotTypes = slotted.map(_.schema.fields(1).dataType)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.P6Functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
 
 /** The driver-facing query surface: one entry per operator from
   * SURVEY.md §2 (P6 parity) plus the §7.4 expansion surface (dedup,
@@ -607,7 +609,7 @@ object Queries {
   // Expansion surface (SURVEY.md §7.4): dedup / text / similarity
   // ================================================================
 
-  private def normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+  private def normText = TextOps.normText(col("text"))
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").agg(
@@ -663,7 +665,7 @@ object Queries {
       "es" -> Seq("el", "los", "las", "y", "una"))
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+        explode(Dedup.tokens(col("text"))).as("tk"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(when(col("tk").isin(markers.head._2: _*), 1).otherwise(0)).as("s_en"),
         markers.tail.map { case (l, ws) =>
@@ -779,7 +781,7 @@ object Queries {
   private def q20TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val n = docs.count() // corpus size for idf (driver scalar, one job)
-    docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
       .distinct()
       .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       .select(col("term"), col("df"),
@@ -817,8 +819,7 @@ object Queries {
   private def q23StableSplit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
-          .otherwise("train").as("split"))
+        TextOps.stableSplit(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
@@ -985,7 +986,7 @@ object Queries {
     * min / max / sorted slice / membership / lambda filter.
     */
   private def q31ArrayFns(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     t(s, dir, "documents").filter(col("doc_id") < 500)
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
@@ -1104,7 +1105,7 @@ object Queries {
     * which measured 280 s at sf0.1).
     */
   def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
@@ -1127,7 +1128,7 @@ object Queries {
     // would triple the distinct-pair rows); the two branches share the
     // distinct's exchange via reuse, and n_docs never explodes at all.
     val docCounts = docs
-      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5)
+      .filter(size(Dedup.tokens(col("text"))) >= 5)
       .groupBy((col("doc_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
     val nFps = fps.groupBy(col("bucket")).agg(count(lit(1)).as("n_fps"))
@@ -1147,7 +1148,7 @@ object Queries {
     * complement of the same plan.
     */
   private def q47Contamination(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -1177,7 +1178,7 @@ object Queries {
     */
   private def q48SequencePacking(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ntoks = size(split(lower(trim(col("text"))), "\\s+"))
+    val ntoks = size(Dedup.tokens(col("text")))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t(s, dir, "documents")
@@ -1200,7 +1201,7 @@ object Queries {
     * ~4x on this corpus (the minhash/winnow lesson again).
     */
   private def q49Repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     val base = t(s, dir, "documents").filter(size(toks) >= 3)
       .select(col("doc_id"), (size(toks) - 2).as("nt"), toks.as("toks"))
     val grams = base
@@ -1261,7 +1262,7 @@ object Queries {
     * computed once and reused.
     */
   private def q51RareTokenRatio(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     val tok = t(s, dir, "documents").select(col("doc_id"), explode(toks).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val perDoc = tok.join(freq, Seq("tok"))
@@ -1291,8 +1292,7 @@ object Queries {
     val uniq = quality.groupBy(md5(normText).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
     val split2 = uniq.select(
-      when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
-        .otherwise("train").as("split"))
+      TextOps.stableSplit(col("doc_id")).as("split"))
     docs.agg(count(lit(1)).as("n_total"))
       .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
       .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
@@ -1361,7 +1361,7 @@ object Queries {
     * zip_with / exists / forall over token arrays.
     */
   private def q41HigherOrder(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = Dedup.tokens(col("text"))
     t(s, dir, "documents").filter(col("doc_id") < 300)
       .select(col("doc_id"),
         aggregate(transform(toks, tk => length(tk)), lit(0),

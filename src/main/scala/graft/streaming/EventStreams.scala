@@ -247,16 +247,14 @@ object EventStreams {
     */
   def curateDocuments(docs: DataFrame, minTokens: Int = 5,
       watermarkDelay: String = "2 hours"): DataFrame = {
-    val normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    import graft.functions.TextOps
     val gated = docs
       .filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
-      .withColumn("fp", md5(normText))
+      .withColumn("fp", md5(TextOps.normText(col("text"))))
     val deduped =
       if (docs.isStreaming)
         gated.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark("fp")
       else gated.dropDuplicates("fp")
-    deduped.withColumn("split",
-      when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
-        .otherwise("train"))
+    deduped.withColumn("split", TextOps.stableSplit(col("doc_id")))
   }
 }
