@@ -329,6 +329,60 @@ object Dedup {
       .drop("__cid", "component")
   }
 
+  /** INCREMENTAL near-dup resolution: drop from `increment` every doc
+    * that near-duplicates the already-deduped `base` corpus or an
+    * earlier-id doc in the increment itself. The production shape at
+    * scale: base signatures are computed once and persisted (pass them
+    * via `baseSigs` — e.g. yesterday's output of
+    * [[minhashSignaturesAgg]]); each new batch only shingles its own
+    * docs, and the candidate join touches base state through the
+    * banded bucket index, never the base text.
+    *
+    * Returns the SURVIVING increment docs. Base docs always win
+    * against increment docs (regardless of id); within the increment,
+    * min id wins via [[connectedComponents]] — so appending the result
+    * to base preserves the "no two near-dups" invariant.
+    */
+  def dedupIncrement(base: DataFrame, increment: DataFrame, idCol: String,
+      textCol: String, jaccardThreshold: Double = 0.7, shingleLen: Int = 3,
+      numPerm: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket,
+      baseSigs: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    def buckets(df: DataFrame, sigs: Option[DataFrame]) =
+      sigs.getOrElse(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm))
+        .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val incBuckets = buckets(increment, None)
+    // increment vs base: any banded collision that verifies kills the
+    // increment doc outright (base always wins) — a left-semi of inc
+    // bucket hits against base buckets, then Jaccard-verified
+    val vsBase = incBuckets.as("i").join(buckets(base, baseSigs).as("b"),
+        col("i.band") === col("b.band") && col("i.key") === col("b.key"))
+      .select(col("i.id").as("a"), col("b.id").as("b")).distinct()
+    val baseKilled = jaccardVerify(vsBase,
+        increment.select(col(idCol), col(textCol))
+          .unionByName(base.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleLen)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a").as("__dead")).distinct()
+    // increment vs itself: the standard capped pipeline
+    val intra = jaccardVerify(
+        cappedPairs(incBuckets.withColumn("p", lit(0)), maxBucket)
+          .select(col("a"), col("b")).distinct(),
+        increment, idCol, textCol, shingleLen)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a"), col("b"))
+    val comps = connectedComponents(intra)
+    increment
+      .join(baseKilled, col(idCol) === col("__dead"), "left_anti")
+      .join(comps.withColumnRenamed("id", "__cid"),
+        col(idCol) === col("__cid"), "left")
+      .filter(col("__cid").isNull || col(idCol) === col("component"))
+      .drop("__cid", "component")
+  }
+
   /** SimHash near-dup pairs with hamming(sig_a, sig_b) <= maxDist via
     * PIGEONHOLE banding: split the 64-bit signature into maxDist+1
     * equal bands — a pair within maxDist differs in at most maxDist

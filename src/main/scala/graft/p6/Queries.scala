@@ -879,6 +879,28 @@ object Queries {
       .select(col("n_in"), col("n_out"), (col("n_in") - col("n_out")).as("n_removed"))
   }
 
+  /** Incremental dedup (rows-only — MinHash-based): the corpus splits
+    * into an 80% "yesterday" base and a 20% increment, the increment
+    * additionally carrying re-idd COPIES of base docs (planted
+    * cross-batch dups the operator must kill); DedupSpec pins the
+    * base-wins / min-id / invariant-preservation semantics.
+    */
+  private def dedupIncrementQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val planted = base.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val increment = docs.filter(col("doc_id") % 5 === 0).unionByName(planted)
+    val kept = Dedup.dedupIncrement(base, increment, "doc_id", "text",
+      jaccardThreshold = 0.5)
+    increment.agg(count(lit(1)).as("n_increment"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
+        sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
+  }
+
   /** SimHash bucket histogram (no SQL oracle — xxhash64-based). */
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -1567,6 +1589,7 @@ object Queries {
     "ngram_jaccard_hist" -> (ngramJaccardHist _),
     "minhash_neardup" -> (minhashNearDup _),
     "dedup_corpus" -> (dedupCorpus _),
+    "dedup_increment" -> (dedupIncrementQuery _),
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
     "dedup_exact" -> (dedupExact _),

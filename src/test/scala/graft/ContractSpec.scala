@@ -17,8 +17,8 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("minhash_neardup", "simhash_buckets",
       "ann_lsh_topk", "emb_neardup", "approx_distinct", "dedup_corpus",
-      "ann_ivf_topk", "approx_percentiles", "ann_quantized_topk",
-      "simhash_neardup_pairs")
+      "dedup_increment", "ann_ivf_topk", "approx_percentiles",
+      "ann_quantized_topk", "simhash_neardup_pairs")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }

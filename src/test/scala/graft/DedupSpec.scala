@@ -175,6 +175,32 @@ class DedupSpec extends SparkSpec {
     assert(deduped.contains(8001L) && !deduped.contains(8002L))
   }
 
+  test("incremental dedup: base wins, in-batch dups resolve to min id, novel docs survive") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of base 1 -> dies
+      (11L, "totally new content nine ten eleven twelve thirteen"), // novel
+      (12L, "totally new content nine ten eleven twelve thirteen"), // dup of 11 -> dies
+      (13L, "completely different words for the last document here")) // novel
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupIncrement(base, inc, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 13L))
+    // the persisted-state path: precomputed base signatures, same answer
+    val sigs = Dedup.minhashSignaturesAgg(base, "doc_id", "text")
+    val out2 = Dedup.dedupIncrement(base, inc, "doc_id", "text",
+      jaccardThreshold = 0.5, baseSigs = Some(sigs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == out)
+    // appending survivors preserves the no-two-near-dups invariant
+    val appended = base.unionByName(inc.filter(col("doc_id").isin(11L, 13L)))
+    assert(Dedup.dedupDocuments(appended, "doc_id", "text",
+      jaccardThreshold = 0.5).count() == appended.count())
+  }
+
   test("hot-bucket defense is dormant on the organic corpus (no degenerate buckets)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val report = Dedup.hotBucketReport(
