@@ -27,9 +27,16 @@ object Bench {
       if (mode == "count") { df.count(); () }
       else df.write.format("noop").mode("overwrite").save()
     }
-    SparkEntry.queries.keys.take(1).foreach(run)
+    // Deterministic name order so per-query timings are comparable
+    // across rounds (Map iteration order shifts as entries are added).
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    names.take(1).foreach(run)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = names.map { name =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(name) } catch {
@@ -48,8 +55,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver artifact keeps only the tail of stdout, which truncates
+    // per-query timings once the registry is large; persist the full line
+    // to a repo file so every round's numbers survive verbatim.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }
 }

@@ -57,9 +57,15 @@ object Assemble {
       val withOrd =
         if (canonical) df // content sort needs no arrival-order id
         else df.withColumn("__ord", monotonically_increasing_id())
+      // Non-canonical wraps the payload in an outer (__ord, rec) struct:
+      // sort_array orders by __ord (its first field, unique), and the
+      // payload comes back out via a single GetArrayStructFields — a
+      // codegen'd array projection. The previous `transform(col, s =>
+      // s.dropFields("__ord"))` built an interpreted UpdateFields lambda
+      // evaluated per collected record (the registry's slowest entry).
       val rec =
         if (canonical) struct(cols.toSeq: _*)
-        else struct((col("__ord") +: cols.toSeq): _*)
+        else struct(col("__ord"), struct(cols.toSeq: _*).as("rec"))
       withOrd.filter(col(idCol).isNotNull)
         .select(col(idCol).as("patient_id"), rec.as(as))
     }
@@ -75,7 +81,7 @@ object Assemble {
         names.tail.map(n => sort_array(collect_list(col(n))).as(n)): _*)
     if (canonical) agged
     else agged.select(col("patient_id") +:
-      names.map(n => transform(col(n), s => s.dropFields("__ord")).as(n)): _*)
+      names.map(n => col(n).getField("rec").as(n)): _*)
   }
 
   /** A2: per-patient GA4GH Phenopacket as a nested struct column
