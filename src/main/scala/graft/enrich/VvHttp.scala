@@ -43,8 +43,11 @@ object VvHttp {
 
   def transport(baseUrl: String = baseUrlFromEnv,
       timeoutMs: Long = DefaultTimeoutMs): VvEnrichment.Transport = { gene =>
+    // URLEncoder is form-encoding: it turns a space into '+', which in
+    // a URL PATH segment is a literal plus — the lookup would silently
+    // query the wrong symbol. Percent-escape it back.
     val url = s"${baseUrl.stripSuffix("/")}/VariantValidator/tools/gene2transcripts/" +
-      java.net.URLEncoder.encode(gene, "UTF-8")
+      java.net.URLEncoder.encode(gene, "UTF-8").replace("+", "%20")
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))

@@ -109,11 +109,16 @@ object Dedup {
     * (representative, member) pairs: O(n) per bucket, and every member
     * stays reachable from the representative, which is what the
     * connected-components stage needs — a cluster of true duplicates
-    * is still fully merged via the representative. What is given up is
-    * the EXPLICIT enumeration of the other intra-bucket pairs;
-    * [[hotBucketReport]] returns exactly which buckets degraded and
-    * how many pairs were skipped, so the loss is queryable, not
-    * silent.
+    * is fully merged via the representative PROVIDED the representative
+    * itself verifies against each member (true for mutual near-dups of
+    * the rep; a heterogeneous hot bucket holding a near-dup pair A,B
+    * that both fail to verify against the rep keeps both — recall loss
+    * inside oversized buckets is bounded by the star shape, not zero).
+    * What is given up is the explicit enumeration of the other
+    * intra-bucket pairs; [[hotBucketReport]] returns exactly which
+    * buckets degraded and how many pairs were skipped, so the loss is
+    * queryable, not silent — run it alongside [[dedupDocuments]] /
+    * [[dedupIncrement]] whenever the corpus may contain boilerplate.
     */
   private[operators] def cappedPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
     // Bucket stats via a (band,key) window, NOT a groupBy joined back:
@@ -152,6 +157,15 @@ object Dedup {
         ((col("size") * (col("size") - 1) / 2).cast("long") - (col("size") - 1))
           .as("skipped_pairs"))
 
+  /** (id, band, key) rows from an (id, sig) signature frame — the
+    * banding step shared by [[minhashBuckets]] and [[dedupIncrement]]
+    * (which bands persisted base signatures). Feed the result to
+    * [[hotBucketReport]] to audit degenerate buckets.
+    */
+  def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** (id, band, key) LSH bucket membership for a corpus — the shared
     * candidate-generation input for [[minhashCandidates]] and
     * [[hotBucketReport]].
@@ -159,9 +173,8 @@ object Dedup {
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val sig = minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm)
-    sig.select(col("id"), explode(lshBands(col("sig"), bands, numPerm / bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bandedBuckets(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm),
+      bands, numPerm / bands)
   }
 
   /** Candidate near-dup pairs (a < b) via MinHash + LSH.
@@ -342,6 +355,20 @@ object Dedup {
     * against increment docs (regardless of id); within the increment,
     * min id wins via [[connectedComponents]] — so appending the result
     * to base preserves the "no two near-dups" invariant.
+    *
+    * Hot-bucket defense on BOTH joins: the intra-increment pairs go
+    * through [[cappedPairs]], and the inc-vs-base join caps the BASE
+    * side of each (band, key) bucket to its `maxBucket` lowest-id
+    * members — a degenerate bucket shared by base and increment (the
+    * boilerplate scenario) would otherwise emit |inc| x |base|
+    * candidate pairs into the Jaccard verify, the exact quadratic
+    * blowup [[cappedPairs]] exists to prevent. With the cap, candidate
+    * pairs are bounded by |increment| x bands x maxBucket — linear in
+    * the batch regardless of base skew. The trade matches
+    * [[cappedPairs]]: an increment doc whose only base near-dup sits
+    * beyond the cap in EVERY colliding bucket can slip through
+    * vs-base; audit with
+    * `hotBucketReport(bandedBuckets(baseSigs, bands, numPerm/bands))`.
     */
   def dedupIncrement(base: DataFrame, increment: DataFrame, idCol: String,
       textCol: String, jaccardThreshold: Double = 0.7, shingleLen: Int = 3,
@@ -351,16 +378,14 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     def buckets(df: DataFrame, sigs: Option[DataFrame]) =
-      sigs.getOrElse(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm))
-        .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      bandedBuckets(
+        sigs.getOrElse(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm)),
+        bands, rowsPerBand)
     val incBuckets = buckets(increment, None)
     // increment vs base: any banded collision that verifies kills the
-    // increment doc outright (base always wins) — a left-semi of inc
-    // bucket hits against base buckets, then Jaccard-verified
-    val vsBase = incBuckets.as("i").join(buckets(base, baseSigs).as("b"),
-        col("i.band") === col("b.band") && col("i.key") === col("b.key"))
-      .select(col("i.id").as("a"), col("b.id").as("b")).distinct()
+    // increment doc outright (base always wins) — capped, see
+    // [[incBaseCandidates]] and the scaladoc trade.
+    val vsBase = incBaseCandidates(incBuckets, buckets(base, baseSigs), maxBucket)
     val baseKilled = jaccardVerify(vsBase,
         increment.select(col(idCol), col(textCol))
           .unionByName(base.select(col(idCol), col(textCol))),
@@ -381,6 +406,28 @@ object Dedup {
         col(idCol) === col("__cid"), "left")
       .filter(col("__cid").isNull || col(idCol) === col("component"))
       .drop("__cid", "component")
+  }
+
+  /** Candidate (inc_id `a`, base_id `b`) pairs for [[dedupIncrement]]:
+    * banded bucket collisions with the BASE side of each (band, key)
+    * bucket capped to its `maxBucket` lowest-id members — one
+    * row_number window on the same (band, key) partitioning the join
+    * shuffles on, so the defense reuses the exchange. Distinct pair
+    * count is bounded by |incBuckets| x maxBucket (i.e. linear in the
+    * increment) no matter how degenerate the shared buckets are;
+    * uncapped, a boilerplate bucket present in both corpora would emit
+    * |inc-bucket| x |base-bucket| pairs into the Jaccard verify.
+    */
+  private[graft] def incBaseCandidates(incBuckets: DataFrame,
+      baseBuckets: DataFrame, maxBucket: Int): DataFrame = {
+    val baseWin = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    val baseCapped = baseBuckets
+      .withColumn("__rn", row_number().over(baseWin))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    incBuckets.as("i").join(baseCapped.as("b"),
+        col("i.band") === col("b.band") && col("i.key") === col("b.key"))
+      .select(col("i.id").as("a"), col("b.id").as("b")).distinct()
   }
 
   /** SimHash near-dup pairs with hamming(sig_a, sig_b) <= maxDist via

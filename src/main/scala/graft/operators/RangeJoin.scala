@@ -52,7 +52,12 @@ object RangeJoin {
     val partials = points
       .groupBy(expr(s"$pointCol div $binWidth").as("__bin"))
       .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
-    intervals.withColumn("__bin",
+    // Empty intervals (end == start) must match nothing, but Spark's
+    // sequence(s, s-1) is a DESCENDING [s, s-1] — without this guard
+    // an empty interval would wrongly pick up two bins of partials.
+    // (pointInInterval is immune: its residual containment filter
+    // rejects every point for an empty interval.)
+    intervals.filter(col(endCol) > col(startCol)).withColumn("__bin",
         explode(sequence(expr(s"$startCol div $binWidth"),
           expr(s"($endCol - 1) div $binWidth"))))
       .join(partials, Seq("__bin"))

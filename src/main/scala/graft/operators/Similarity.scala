@@ -108,34 +108,99 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) coarse quantization: assign every vector to
-    * its nearest centroid in ONE pass against the broadcast centroid
-    * table (argmax cosine via max_by; ties break to the lowest
-    * centroid id). Centroids are the `nlist` lowest-id vectors —
-    * deterministic, no side files; a k-means refinement would drop in
-    * by swapping the `centroids` frame. Returns (assignments(id, cid),
-    * centroids(cid, cv)).
+  /** Nearest-centroid assignment: (id, cid) in ONE pass against the
+    * broadcast centroid table (argmax cosine via max_by; ties break to
+    * the lowest centroid id).
     */
-  def ivfIndex(prep: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val centroids = prep.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    val assign = prep.crossJoin(broadcast(centroids))
+  def assignNearest(prep: DataFrame, centroids: DataFrame): DataFrame =
+    prep.crossJoin(broadcast(centroids))
       .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cid"))
-    (assign, centroids)
+
+  /** The deterministic seed centroids: the `nlist` lowest-id vectors
+    * (no side files, reproducible across runs).
+    */
+  private def seedCentroids(prep: DataFrame, nlist: Int): DataFrame =
+    prep.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+  /** Spherical k-means refinement of the IVF centroids: bounded Lloyd
+    * iterations from the lowest-id seeds — assign every vector to its
+    * nearest centroid by cosine, replace each centroid with the
+    * component-wise MEAN of its list (the mean's direction is the
+    * spherical-k-means update; cosine ignores its magnitude), repeat.
+    * Empty lists keep their previous centroid, so exactly `nlist`
+    * centroids survive with their original cids.
+    *
+    * Each iteration is one corpus pass (broadcast assignment +
+    * posexplode/avg recombine); the centroid table itself is `nlist`
+    * rows, so it is pinned on the DRIVER between iterations — a
+    * bounded collect that breaks the per-iteration lineage chain
+    * (the same two-tier reasoning as Dedup.connectedComponents).
+    * Drop-in: feeds [[ivfIndex]]'s `refineIters` parameter; quality-
+    * blind lowest-id seeds put several centroids in the same dense
+    * region, k-means spreads them to match the data distribution,
+    * which raises recall at a fixed nprobe (pinned in SimilaritySpec).
+    */
+  def kmeansCentroids(prep: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
+    val spark = prep.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def pin(df: DataFrame): DataFrame = {
+      val rows = df.select(col("cid").cast("long"), col("cv")).collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    }
+    var centroids = pin(seedCentroids(prep, nlist))
+    var i = 0
+    while (i < iters) {
+      val assign = assignNearest(prep, centroids)
+      val means = prep.join(assign, "id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        // struct sorts by leading field j => component order restored
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      centroids = pin(centroids.select(col("cid"), col("cv").as("__prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("__prev")).as("cv")))
+      i += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest centroid ([[assignNearest]]). Centroids are the
+    * `nlist` lowest-id vectors — deterministic, no side files — unless
+    * `refineIters` > 0, which runs that many [[kmeansCentroids]] Lloyd
+    * iterations first. Returns (assignments(id, cid),
+    * centroids(cid, cv)).
+    */
+  def ivfIndex(prep: DataFrame, nlist: Int,
+      refineIters: Int = 0): (DataFrame, DataFrame) = {
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(prep, nlist, refineIters)
+      else seedCentroids(prep, nlist)
+    (assignNearest(prep, centroids), centroids)
   }
 
   /** IVF ANN top-k: probe the `nprobe` centroids closest to the query,
     * exact-rerank only vectors assigned to those lists — the classic
     * coarse-quantization scale path (~nprobe/nlist of the corpus sees
     * a distance computation; the rest is pruned by the broadcast
-    * probe-list semi join).
+    * probe-list semi join). `refineIters` > 0 swaps in k-means-refined
+    * centroids (higher recall at the same nprobe).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int = 10, nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+      k: Int = 10, nlist: Int = 32, nprobe: Int = 8,
+      refineIters: Int = 0): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
-    val (assign, centroids) = ivfIndex(prep, nlist)
+    val (assign, centroids) = ivfIndex(prep, nlist, refineIters)
     val q = prep.filter(col("id") === queryId).select(col("v").as("qv"))
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))

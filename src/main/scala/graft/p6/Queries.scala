@@ -780,12 +780,16 @@ object Queries {
     */
   private def q20TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val n = docs.count() // corpus size for idf (driver scalar, one job)
+    // corpus size for idf as a crossJoin'd 1-row agg: keeps the scalar
+    // inside the plan (one job, no driver round-trip), same shape as
+    // every other corpus-level scalar in this registry
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
       .distinct()
       .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(n)
       .select(col("term"), col("df"),
-        round(log(lit(n.toDouble) / col("df")), 6).as("idf"))
+        round(log(col("__n") / col("df")), 6).as("idf"))
       .orderBy(col("df").desc, col("term"))
       .limit(25)
   }
@@ -1110,30 +1114,39 @@ object Queries {
   /** Winnowing document fingerprints (Schleimer et al., MOSS): hash
     * every 5-token shingle, keep the MIN hash of each 4-shingle
     * window (a rows-frame window min), distinct per doc. md5 keeps
-    * the rolling hash oracle-checkable; at scale xxhash64 drops in.
-    * Guarantee: any shared run of >= 8 tokens yields a shared
-    * fingerprint.
+    * the rolling hash oracle-checkable; set
+    * `spark.graft.winnow.xxhash=true` to switch the query to the
+    * xxhash64 mode (one 64-bit hash instead of a 128-bit hex string —
+    * ~3x cheaper per shingle and a quarter of the fingerprint bytes at
+    * scale). Guarantee (either mode): any shared run of >= 8 tokens
+    * yields a shared fingerprint.
     */
   /** Distinct (doc_id, fp) winnowing fingerprints for a (doc_id, text)
     * frame — the window-free core shared by the query and the
     * equivalence property test (PropertySpec proves it equal to the
-    * textbook windowed formulation). The fingerprint at position j is
-    * the min hash over the (<=4)-shingle frame starting at j, computed
-    * as least() of offset-guarded md5s: pure codegen'd scalar work on
-    * the exploded positions — no per-doc window shuffle + sort, and no
-    * higher-order-function lambdas (interpreted, and subject to
-    * projection-collapse re-evaluation: an aliased per-doc hash array
-    * inlined into a transform() re-hashes the whole doc per position,
-    * which measured 280 s at sf0.1).
+    * textbook windowed formulation in BOTH hash modes). The
+    * fingerprint at position j is the min hash over the (<=4)-shingle
+    * frame starting at j, computed as least() of offset-guarded
+    * hashes: pure codegen'd scalar work on the exploded positions — no
+    * per-doc window shuffle + sort, and no higher-order-function
+    * lambdas (interpreted, and subject to projection-collapse
+    * re-evaluation: an aliased per-doc hash array inlined into a
+    * transform() re-hashes the whole doc per position, which measured
+    * 280 s at sf0.1). `useXxhash` picks xxhash64 (LONG fp) over md5
+    * (STRING fp); min-hash selection differs between modes, so
+    * fingerprint SETS differ, but the winnowing guarantee and the
+    * plan shape are identical.
     */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, useXxhash: Boolean = false): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), (size(col("toks")) - lit(4)).as("nsh"), col("toks"))
-    def h(off: Int) = md5(concat_ws(" ",
-      slice(col("toks"), col("j") + off + 1, lit(5))))
+    def h(off: Int) = {
+      val shingle = concat_ws(" ", slice(col("toks"), col("j") + off + 1, lit(5)))
+      if (useXxhash) xxhash64(shingle) else md5(shingle)
+    }
     def guarded(off: Int) = when(col("j") + off <= col("nsh") - 1, h(off))
     base
       .select(col("doc_id"), col("nsh"), col("toks"),
@@ -1144,7 +1157,8 @@ object Queries {
 
   private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val fps = winnowFingerprints(docs)
+    val useXx = s.conf.getOption("spark.graft.winnow.xxhash").exists(_.toBoolean)
+    val fps = winnowFingerprints(docs, useXx)
       .select(col("doc_id"), (col("doc_id") % 10).as("bucket"), col("fp"))
     // Split aggregates instead of one 3-distinct agg (whose Expand
     // would triple the distinct-pair rows); the two branches share the

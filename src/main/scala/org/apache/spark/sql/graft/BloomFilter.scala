@@ -150,7 +150,12 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernels = BloomKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the STATIC FORWARDERS on the plain class (scalac emits them
+    // for object methods): `BloomKernels.MODULE$` does not compile
+    // under Janino — MODULE$ lives on the `BloomKernels$` class, so
+    // that form threw CompileException and silently dropped the whole
+    // stage back to interpreted execution.
+    val kernels = BloomKernels.getClass.getName.stripSuffix("$")
     val call = right.dataType match {
       case LongType => "mightContainLong"
       case _ => "mightContainString"

@@ -23,6 +23,27 @@ class ContractSpec extends AnyFunSuite {
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }
 
+  test("QUERIES.md inventory matches the registry (count + every name documented)") {
+    // Three consecutive rounds of count drift — pin the doc to the code.
+    val md = scala.io.Source.fromFile("QUERIES.md")
+    val text = try md.mkString finally md.close()
+    val header = """\((\d+) total: (\d+) oracle-backed, (\d+)\s*\nrows-only\)""".r
+    val m = header.findFirstMatchIn(text)
+      .getOrElse(fail("QUERIES.md count line not found / format changed"))
+    val (total, oracle, rowsOnly) =
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    assert(total == SparkEntry.queries.size,
+      s"QUERIES.md says $total queries, registry has ${SparkEntry.queries.size}")
+    assert(oracle == SparkEntry.oracleSql.size,
+      s"QUERIES.md says $oracle oracle-backed, registry has ${SparkEntry.oracleSql.size}")
+    assert(rowsOnly == SparkEntry.queries.size - SparkEntry.oracleSql.size)
+    val documented = """(?m)^\| `([a-z0-9_]+)` \|""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    assert(documented == SparkEntry.queries.keySet,
+      s"missing rows: ${SparkEntry.queries.keySet -- documented}; " +
+        s"stale rows: ${documented -- SparkEntry.queries.keySet}")
+  }
+
   test("every multi-row oracle carries a deterministic ORDER BY") {
     val singleRow = Set("q2_revenue_filter", "q7_semi_anti_join", "q8_set_ops",
       "q9_distinct_counts", "dedup_exact", "dedup_fingerprint",

@@ -201,6 +201,43 @@ class DedupSpec extends SparkSpec {
       jaccardThreshold = 0.5).count() == appended.count())
   }
 
+  test("incremental dedup: shared hot bucket stays linear in the increment, dups still die") {
+    val nBase = 500
+    val nInc = 200
+    val maxBucket = 16
+    val boiler = "the same boilerplate sentence repeated across every single document in the batch"
+    // base and increment share ONE degenerate (band,key) bucket per band
+    val base = spark.range(nBase).select(col("id").as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Seq((9000L, "organic base content alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"))
+    val inc = spark.range(nInc).select((col("id") + 10000L).as("doc_id"),
+        lit(boiler).as("text"))
+      .unionByName(Seq(
+        (20001L, "novel increment content one two three four five six seven"),
+        (20002L, "organic base content alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"))
+    // the capped candidate join is LINEAR in the increment: each inc
+    // bucket row meets at most maxBucket base reps; uncapped it would
+    // be |inc| x |base| = 100k pairs for the boilerplate bucket alone
+    val cands = Dedup.incBaseCandidates(
+      Dedup.minhashBuckets(inc, "doc_id", "text"),
+      Dedup.minhashBuckets(base, "doc_id", "text"), maxBucket)
+    val nCands = cands.count()
+    assert(nCands <= (nInc + 2).toLong * 8 * maxBucket,
+      s"candidate count $nCands exceeds the linear bound")
+    assert(nCands < nInc.toLong * nBase, "cap did not engage — quadratic pair set")
+    // identical boilerplate: every inc doc pairs with exactly the
+    // maxBucket lowest-id base reps (identical sigs => same reps per band)
+    assert(cands.filter(col("a") === 10000L).count() == maxBucket)
+    // resolution is unchanged: every boilerplate inc doc dies against a
+    // capped rep (reps ARE the boilerplate), the base-dup dies, the
+    // novel doc survives
+    val out = Dedup.dedupIncrement(base, inc, "doc_id", "text",
+        jaccardThreshold = 0.5, maxBucket = maxBucket)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(20001L))
+  }
+
   test("hot-bucket defense is dormant on the organic corpus (no degenerate buckets)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val report = Dedup.hotBucketReport(

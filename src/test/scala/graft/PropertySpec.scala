@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.functions.P6Functions._
@@ -196,35 +197,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("window-free winnowing == textbook windowed formulation on random docs") {
+  test("window-free winnowing == textbook windowed formulation on random docs (md5 + xxhash64)") {
     import org.apache.spark.sql.expressions.Window
     // small vocab so shingles repeat within and across docs
     val docGen = Gen.listOfN(30, Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
         .map(_.mkString(" "))))
+    // reference implementation: hash every shingle, min over the
+    // 4-row following frame, keep complete frames (plus pos 0)
+    def windowed(docs: org.apache.spark.sql.DataFrame,
+        hash: Column => Column): Set[(Long, Any)] = {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val sh = docs.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
+        .select(col("doc_id"), col("i"),
+          hash(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+      val perDoc = Window.partitionBy(col("doc_id"))
+      sh.withColumn("nsh", count(lit(1)).over(perDoc))
+        .withColumn("fp", min(col("h")).over(frame))
+        .filter(col("i") <= greatest(col("nsh") - 4, lit(0)))
+        .select(col("doc_id"), col("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    }
     check(Prop.forAll(docGen) { texts =>
       texts.isEmpty || {
         val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
           .toDF("doc_id", "text")
-        val fast = graft.p6.Queries.winnowFingerprints(docs)
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-        // reference implementation: hash every shingle, min over the
-        // 4-row following frame, keep complete frames (plus pos 0)
-        val toks = split(lower(trim(col("text"))), "\\s+")
-        val sh = docs.select(col("doc_id"), toks.as("toks"))
-          .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
-          .select(col("doc_id"), col("i"),
-            md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
-        val frame = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
-        val perDoc = Window.partitionBy(col("doc_id"))
-        val slow = sh.withColumn("nsh", count(lit(1)).over(perDoc))
-          .withColumn("fp", min(col("h")).over(frame))
-          .filter(col("i") <= greatest(col("nsh") - 4, lit(0)))
-          .select(col("doc_id"), col("fp")).distinct()
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-        fast == slow
+        val fastMd5 = graft.p6.Queries.winnowFingerprints(docs)
+          .collect().map(r => (r.getLong(0), r.get(1))).toSet
+        val fastXx = graft.p6.Queries.winnowFingerprints(docs, useXxhash = true)
+          .collect().map(r => (r.getLong(0), r.get(1))).toSet
+        fastMd5 == windowed(docs, md5) &&
+          fastXx == windowed(docs, c => xxhash64(c))
       }
     })
   }

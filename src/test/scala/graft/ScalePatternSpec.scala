@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, RangeJoin, Skew}
 
 /** Scale-pattern specs: salting, as-of join, and bucketed co-located
   * joins — the shapes that keep plans healthy at 1000 executors.
@@ -91,6 +91,24 @@ class ScalePatternSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("range join: empty intervals (end == start) match zero points, both paths") {
+    val points = Seq((5L, 1.0), (15L, 2.0), (25L, 3.0)).toDF("t", "v")
+    val intervals = Seq(
+      (1L, 10L, 30L),  // covers t=15, t=25
+      (2L, 10L, 10L),  // EMPTY: must match nothing (Spark's descending
+                       // sequence(s, s-1) would wrongly yield 2 bins)
+      (3L, 0L, 10L))   // covers t=5
+      .toDF("iv", "s", "e")
+    val matched = RangeJoin.pointInInterval(points, "t", intervals, "s", "e", 10L)
+      .groupBy(col("iv")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matched == Map(1L -> 2L, 3L -> 1L))
+    val partials = RangeJoin.pointPartialsPerInterval(points, "t", "v",
+        intervals, "s", "e", 10L)
+      .groupBy(col("iv")).agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("sv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(partials == Map(1L -> (2L, 5.0), 3L -> (1L, 1.0)))
+  }
+
   test("driver-side and distributed transitive closure agree") {
     val edges = Tables(spark, sfDir, "part").filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("child"),
@@ -136,6 +154,26 @@ class ScalePatternSpec extends SparkSpec {
     val trueHits = li.select(col("l_orderkey")).distinct()
       .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
     assert(hitsCodegen >= trueHits && trueHits > 0)
+  }
+
+  test("bloom probe survives codegen-strict mode (no silent interpreted fallback)") {
+    import org.apache.spark.sql.graft.BloomApi
+    // spark.sql.codegen.fallback=false turns a Janino CompileException
+    // into a hard failure instead of a quiet drop to interpreted
+    // execution — exactly how the MODULE$ forwarder bug hid for three
+    // rounds while the plans still returned correct rows.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val hi = Tables(spark, sfDir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val bloom = hi.agg(BloomApi.bloom_agg(col("o_orderkey"), 1 << 16).as("b"))
+      val hits = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey")).distinct()
+        .crossJoin(broadcast(bloom))
+        .filter(BloomApi.bloom_might_contain(col("b"), col("l_orderkey")))
+        .count()
+      assert(hits > 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("partitionBy write reads back with partition pruning at the scan") {

@@ -96,6 +96,49 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@50 too low: $recall")
   }
 
+  test("IVF k-means refinement: mean recall@10 at nprobe=4 beats lowest-id centroids") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val vecs = prep.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val queryIds = vecs.keys.toSeq.sorted.zipWithIndex
+      .collect { case (id, i) if i % 25 == 0 => id } // 20 spread-out queries
+    def exact10(q: Long) = vecs.keySet.filter(_ != q).toSeq
+      .sortBy(id => (-cos(vecs(q), vecs(id)), id)).take(10).toSet
+    // mean recall@10 when probing the 4 nearest of 32 centroids —
+    // computed locally from the Spark-side assignment + centroid
+    // frames (the spec measures INDEX quality, not the rerank plan,
+    // which the sibling test already pins to exact cosine)
+    def meanRecall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val cents = centroids.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val assign = Similarity.assignNearest(prep, centroids)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      queryIds.map { q =>
+        val probed = cents.toSeq.sortBy { case (cid, cv) => (-cos(vecs(q), cv), cid) }
+          .take(4).map(_._1).toSet
+        val got = assign.collect { case (id, cid) if probed(cid) && id != q => id }
+          .toSeq.sortBy(id => (-cos(vecs(q), vecs(id)), id)).take(10).toSet
+        (got & exact10(q)).size / 10.0
+      }.sum / queryIds.size
+    }
+    val (_, seeds) = Similarity.ivfIndex(prep, nlist = 32)
+    val refined = Similarity.kmeansCentroids(prep, nlist = 32, iters = 5)
+    assert(refined.count() == 32) // empty lists keep their centroid
+    val (r0, rk) = (meanRecall(seeds), meanRecall(refined))
+    assert(rk > r0,
+      s"k-means recall@10 $rk did not improve on lowest-id $r0 at nprobe=4")
+    // and the refined index drops into the full query path
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, nlist = 32, nprobe = 4, refineIters = 2)
+    assert(out.count() == 10)
+  }
+
   test("int8 quantization: byte storage, bounded sim error, high recall vs float path") {
     val emb = Tables(spark, sfDir, "embeddings")
     val qz = Similarity.quantize(Similarity.prepared(emb, "vec_id", "embedding"))

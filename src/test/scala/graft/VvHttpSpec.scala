@@ -27,7 +27,9 @@ class VvHttpSpec extends SparkSpec {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val hits = new ConcurrentHashMap[String, Integer]()
     server.createContext("/", { exchange =>
-      val path = exchange.getRequestURI.getPath
+      // RAW path: percent-escapes stay visible, so routes can assert
+      // exactly what goes on the wire
+      val path = exchange.getRequestURI.getRawPath
       val n: Int = hits.merge(path, 1, (a, b) => a + b)
       val (code, payload) = routes(path, n)
       val bytes = payload.getBytes("UTF-8")
@@ -46,6 +48,16 @@ class VvHttpSpec extends SparkSpec {
       val out = VvHttp.transport(base)("BRCA1")
       assert(out == Right(VvEnrichment.GeneXref("BRCA1", "HGNC:1100",
         "ENSG00000012048", Seq("NM_007294.4", "NR_027676.2"), Seq("ENST00000357654"))))
+    }
+  }
+
+  test("gene symbols percent-encode in the path: space becomes %20, never '+'") {
+    // URLEncoder alone would send ".../MT-TL+1" — a literal plus in a
+    // path segment, silently querying the wrong symbol
+    serve { (path, _) =>
+      if (path.endsWith("/MT-TL%201")) (200, okBody) else (404, """{"error":"wrong path"}""")
+    } { base =>
+      assert(VvHttp.transport(base)("MT-TL 1").isRight)
     }
   }
 
