@@ -196,7 +196,9 @@ object Dedup {
     * sets are computed ONLY for docs that appear in a candidate pair
     * (left-semi join first): for near-dup-rate corpora that is a tiny
     * fraction, so at scale the expensive re-shingling touches
-    * O(candidates) docs, not O(corpus).
+    * O(candidates) docs, not O(corpus). Any extra columns on `pairs`
+    * ride through unchanged (callers tag pair provenance and split
+    * after ONE verify pass instead of running two).
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3): DataFrame = {
@@ -211,11 +213,11 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
-      .select(col("a"), col("b"),
-        (sorted_intersect_size(col("sha"), col("shb")).cast("double") /
+      .select(pairs.columns.map(col).toSeq :+
+        ((sorted_intersect_size(col("sha"), col("shb")).cast("double") /
           (size(col("sha")) + size(col("shb")) -
             sorted_intersect_size(col("sha"), col("shb"))).cast("double"))
-          .as("jaccard"))
+          .as("jaccard")): _*)
   }
 
   /** Connected components over an undirected pair table (a, b).
@@ -386,6 +388,12 @@ object Dedup {
     // increment doc outright (base always wins) — capped, see
     // [[incBaseCandidates]] and the scaladoc trade.
     val vsBase = incBaseCandidates(incBuckets, buckets(base, baseSigs), maxBucket)
+    // Two SEPARATE verify passes, not one union-tagged pass: the two
+    // outputs feed diverging consumers (a driver collect inside
+    // connectedComponents vs the final anti join), so a shared merged
+    // frame would recompute the whole verify per consumer — measured
+    // 4.8 -> 7.3 s steady at sf0.1, worse than the duplicate
+    // shingling of increment docs it was meant to save.
     val baseKilled = jaccardVerify(vsBase,
         increment.select(col(idCol), col(textCol))
           .unionByName(base.select(col(idCol), col(textCol))),
@@ -409,22 +417,29 @@ object Dedup {
   }
 
   /** Candidate (inc_id `a`, base_id `b`) pairs for [[dedupIncrement]]:
-    * banded bucket collisions with the BASE side of each (band, key)
-    * bucket capped to its `maxBucket` lowest-id members — one
-    * row_number window on the same (band, key) partitioning the join
-    * shuffles on, so the defense reuses the exchange. Distinct pair
-    * count is bounded by |incBuckets| x maxBucket (i.e. linear in the
-    * increment) no matter how degenerate the shared buckets are;
-    * uncapped, a boilerplate bucket present in both corpora would emit
-    * |inc-bucket| x |base-bucket| pairs into the Jaccard verify.
+    * banded bucket collisions with hot-bucket defense on the BASE side,
+    * in the same shape as [[cappedPairs]] — one UNORDERED (band, key)
+    * window computes each base bucket's size and min-id representative
+    * (no per-bucket ordering, so the only sort is the (band, key) sort
+    * the join needs anyway); buckets <= maxBucket join in full, while
+    * a DEGENERATE bucket degrades to its representative alone. Distinct
+    * pair count is therefore bounded by |incBuckets| x maxBucket
+    * (linear in the increment) no matter how hot the shared buckets
+    * are; uncapped, a boilerplate bucket present in both corpora would
+    * emit |inc-bucket| x |base-bucket| pairs into the Jaccard verify.
+    * The trade matches [[cappedPairs]]'s star degradation: an inc doc
+    * colliding only inside hot buckets is verified against each
+    * bucket's representative (one per band — up to `bands` independent
+    * chances), not against every buried member.
     */
   private[graft] def incBaseCandidates(incBuckets: DataFrame,
       baseBuckets: DataFrame, maxBucket: Int): DataFrame = {
-    val baseWin = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    val w = Window.partitionBy(col("band"), col("key"))
     val baseCapped = baseBuckets
-      .withColumn("__rn", row_number().over(baseWin))
-      .filter(col("__rn") <= maxBucket)
-      .drop("__rn")
+      .select(col("id"), col("band"), col("key"),
+        count(lit(1)).over(w).as("__bsz"), min(col("id")).over(w).as("__rep"))
+      .filter(col("__bsz") <= maxBucket || col("id") === col("__rep"))
+      .select(col("id"), col("band"), col("key"))
     incBuckets.as("i").join(baseCapped.as("b"),
         col("i.band") === col("b.band") && col("i.key") === col("b.key"))
       .select(col("i.id").as("a"), col("b.id").as("b")).distinct()

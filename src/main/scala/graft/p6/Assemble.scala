@@ -54,9 +54,18 @@ object Assemble {
     val names = tables.map(_._3)
     val slotted = tables.map { case (df, idCol, as) =>
       val cols = df.columns.filter(_ != idCol).map(col)
+      // The null-id filter runs BEFORE the __ord assignment:
+      // monotonically_increasing_id is NONDETERMINISTIC, and Catalyst
+      // refuses to push any filter through a nondeterministic
+      // projection — with the filter above it, the whole mapper
+      // pipeline below lost its scan pushdowns (measured 2.5 -> 0.9 s
+      // at sf0.1, the gap to the canonical path). Relative row order
+      // is unaffected: dropping rows keeps the survivors' partition
+      // positions monotonic, which is all the arrival-order sort needs.
+      val filtered = df.filter(col(idCol).isNotNull)
       val withOrd =
-        if (canonical) df // content sort needs no arrival-order id
-        else df.withColumn("__ord", monotonically_increasing_id())
+        if (canonical) filtered // content sort needs no arrival-order id
+        else filtered.withColumn("__ord", monotonically_increasing_id())
       // Non-canonical wraps the payload in an outer (__ord, rec) struct:
       // sort_array orders by __ord (its first field, unique), and the
       // payload comes back out via a single GetArrayStructFields — a
@@ -66,8 +75,7 @@ object Assemble {
       val rec =
         if (canonical) struct(cols.toSeq: _*)
         else struct(col("__ord"), struct(cols.toSeq: _*).as("rec"))
-      withOrd.filter(col(idCol).isNotNull)
-        .select(col(idCol).as("patient_id"), rec.as(as))
+      withOrd.select(col(idCol).as("patient_id"), rec.as(as))
     }
     val slotTypes = slotted.map(_.schema.fields(1).dataType)
     val unioned = slotted.zipWithIndex.map { case (df, i) =>

@@ -226,9 +226,10 @@ class DedupSpec extends SparkSpec {
     assert(nCands <= (nInc + 2).toLong * 8 * maxBucket,
       s"candidate count $nCands exceeds the linear bound")
     assert(nCands < nInc.toLong * nBase, "cap did not engage — quadratic pair set")
-    // identical boilerplate: every inc doc pairs with exactly the
-    // maxBucket lowest-id base reps (identical sigs => same reps per band)
-    assert(cands.filter(col("a") === 10000L).count() == maxBucket)
+    // identical boilerplate: the hot base bucket degrades to its min-id
+    // representative, so every inc doc pairs with exactly that one rep
+    // (identical sigs => the same bucket and rep in every band)
+    assert(cands.filter(col("a") === 10000L).count() == 1)
     // resolution is unchanged: every boilerplate inc doc dies against a
     // capped rep (reps ARE the boilerplate), the base-dup dies, the
     // novel doc survives
