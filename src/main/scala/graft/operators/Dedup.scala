@@ -359,17 +359,18 @@ object Dedup {
     * to base preserves the "no two near-dups" invariant.
     *
     * Hot-bucket defense on BOTH joins: the intra-increment pairs go
-    * through [[cappedPairs]], and the inc-vs-base join caps the BASE
-    * side of each (band, key) bucket to its `maxBucket` lowest-id
-    * members — a degenerate bucket shared by base and increment (the
-    * boilerplate scenario) would otherwise emit |inc| x |base|
+    * through [[cappedPairs]], and the inc-vs-base join passes a base
+    * (band, key) bucket in full while it has at most `maxBucket`
+    * members but degrades an oversized bucket to its single min-id
+    * representative — a degenerate bucket shared by base and increment
+    * (the boilerplate scenario) would otherwise emit |inc| x |base|
     * candidate pairs into the Jaccard verify, the exact quadratic
     * blowup [[cappedPairs]] exists to prevent. With the cap, candidate
     * pairs are bounded by |increment| x bands x maxBucket — linear in
     * the batch regardless of base skew. The trade matches
-    * [[cappedPairs]]: an increment doc whose only base near-dup sits
-    * beyond the cap in EVERY colliding bucket can slip through
-    * vs-base; audit with
+    * [[cappedPairs]]: an increment doc whose only base near-dup is a
+    * buried (non-representative) member of oversized buckets in EVERY
+    * colliding band can slip through vs-base; audit with
     * `hotBucketReport(bandedBuckets(baseSigs, bands, numPerm/bands))`.
     */
   def dedupIncrement(base: DataFrame, increment: DataFrame, idCol: String,

@@ -1157,7 +1157,11 @@ object Queries {
 
   private def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val useXx = s.conf.getOption("spark.graft.winnow.xxhash").exists(_.toBoolean)
+    // Lenient parse: anything other than (case-insensitive) "true" is
+    // off — String.toBoolean would throw an opaque
+    // IllegalArgumentException on e.g. "1" or "yes".
+    val useXx = s.conf.getOption("spark.graft.winnow.xxhash")
+      .exists(_.trim.equalsIgnoreCase("true"))
     val fps = winnowFingerprints(docs, useXx)
       .select(col("doc_id"), (col("doc_id") % 10).as("bucket"), col("fp"))
     // Split aggregates instead of one 3-distinct agg (whose Expand
