@@ -263,4 +263,37 @@ object Similarity {
         round(cosine(col("pa"), col("pb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with k-means and
+    * dropping, within each cluster, every vector that duplicates an
+    * earlier-id one at cosine >= `threshold`. Returns the DROPPED ids
+    * with their cluster and best-match evidence (`kept` = the earlier
+    * survivor-or-not id it duplicated); anti-join against the corpus
+    * for the survivors.
+    *
+    * Scale shape: the pairwise stage never sees corpus x corpus —
+    * candidates are intra-cluster only ([[ivfIndex]] assignment, one
+    * broadcast-centroid pass), and a degenerate cluster (embedding
+    * collapse) above `maxCluster` degrades to star pairs against the
+    * cluster's min-id representative via
+    * [[graft.operators.Dedup.cappedPairs]], the same bounded-recall
+    * trade as every other hot-bucket defense in this library. At the
+    * paper's operating point clusters are sized ~sqrt(N), so the
+    * verify cost is ~N^1.5 worst-case but distributed per-cluster;
+    * `nlist` controls that knob directly.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, refineIters: Int = 4, threshold: Double = 0.99,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val (assign, _) = ivfIndex(prep, nlist, refineIters)
+    val clustered = prep.join(assign, "id")
+      .select(col("id"), col("v").as("p"), lit(0).as("band"), col("cid").as("key"))
+    Dedup.cappedPairs(clustered, maxCluster)
+      .select(col("a"), col("b"), cosine(col("pa"), col("pb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("b").as("id"))
+      .agg(min(col("a")).as("kept"), round(max(col("cos")), 4).as("max_cos"))
+  }
 }

@@ -589,6 +589,69 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** CCNet-style cross-document chunk dedup funnel: per doc bucket,
+    * how many 10-token chunks exist and how many survive
+    * first-occurrence dedup (oracle: the same keep-first rule as a
+    * row_number() over each chunk fingerprint in DuckDB).
+    */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.chunkKeepFirst(
+        Curation.chunkInstances(t(s, dir, "documents"), "doc_id", "text", 10))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_kept") / col("n_chunks"), 4))
+      .orderBy(col("bucket"))
+  }
+
+  /** Deterministic global corpus shuffle: every doc gets a stable
+    * 1-based position from a seeded hash total order — the
+    * "shuffle once, train reproducibly" primitive. GlobalRank's
+    * range-partitioned sort, NOT a partition-less window.
+    */
+  private def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit(":42"))).as("__k"))
+    GlobalRank.withGlobalIndex(docs, Seq(col("__k"), col("doc_id")), "__gidx")
+      .select(col("doc_id"), (col("__gidx") + 1).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-proportion domain mixture: 200 per-mille of the corpus,
+    * split across languages by policy weights, each domain's share
+    * being its lowest-hash docs (reproducible, exact counts). The
+    * histogram-pruned plan never sorts a whole domain through one
+    * task; the oracle is the naive per-domain row_number() rank, which
+    * proves the pruning exact.
+    */
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.mixtureSample(t(s, dir, "documents"), "lang",
+        md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id"),
+        weightsPerMille = Map("en" -> 500L, "de" -> 200L, "fr" -> 150L,
+          "es" -> 100L, "zh" -> 50L),
+        budgetPerMille = 200L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup summary over the embedding corpus (rows-only: k-means
+    * clustering has no SQL oracle; SimilaritySpec pins the semantics
+    * on planted duplicates).
+    */
+  private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, refineIters = 2, threshold = 0.85)
+      .agg(count(lit(1)).as("n_dropped"),
+        countDistinct(col("kept")).as("n_kept_refs"),
+        round(coalesce(avg(col("max_cos")), lit(0.0)), 4).as("avg_cos"),
+        round(coalesce(max(col("max_cos")), lit(0.0)), 4).as("max_cos"))
+  }
+
   /** Rollup (hierarchical super-aggregates). */
   private def q18Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1649,7 +1712,11 @@ object Queries {
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
     "q51_rare_token_ratio" -> (q51RareTokenRatio _),
-    "q52_range_agg_pushdown" -> (q52RangeAggPushdown _))
+    "q52_range_agg_pushdown" -> (q52RangeAggPushdown _),
+    "chunk_dedup" -> (chunkDedup _),
+    "global_shuffle" -> (globalShuffle _),
+    "mixture_sample" -> (mixtureSample _),
+    "semdedup" -> (semDedupQuery _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2243,6 +2310,44 @@ object Queries {
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
         GROUP BY 1 ORDER BY 1""",
+    "chunk_dedup" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        inst AS (
+          SELECT doc_id, i AS chunk_idx,
+            md5(array_to_string(toks[i*10+1:i*10+10], ' ')) AS h
+          FROM (SELECT doc_id, toks, unnest(range((len(toks) + 9) // 10)) AS i
+                FROM tk)),
+        ranked AS (
+          SELECT doc_id, chunk_idx,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+          FROM inst)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS dup_ratio
+        FROM ranked GROUP BY 1 ORDER BY 1""",
+    "global_shuffle" ->
+      """SELECT doc_id,
+        row_number() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS pos
+        FROM documents ORDER BY doc_id""",
+    "mixture_sample" ->
+      """WITH n AS (SELECT count(*) AS total FROM documents),
+        q AS (
+          SELECT w.lang,
+            least((SELECT count(*) FROM documents d WHERE d.lang = w.lang),
+                  ((total * 200) // 1000) * w.pm // 1000) AS quota
+          FROM (VALUES ('en', 500), ('de', 200), ('fr', 150), ('es', 100),
+                       ('zh', 50)) AS w(lang, pm), n),
+        r AS (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+        WHERE r.rn <= q.quota ORDER BY r.doc_id""",
     "q52_range_agg_pushdown" ->
       """SELECT p.p_partkey % 50 AS bucket,
         CAST(count(*) AS BIGINT) AS n_matches,

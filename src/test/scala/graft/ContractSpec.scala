@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     val documented = Set("minhash_neardup", "simhash_buckets",
       "ann_lsh_topk", "emb_neardup", "approx_distinct", "dedup_corpus",
       "dedup_increment", "ann_ivf_topk", "approx_percentiles",
-      "ann_quantized_topk", "simhash_neardup_pairs")
+      "ann_quantized_topk", "simhash_neardup_pairs", "semdedup")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }

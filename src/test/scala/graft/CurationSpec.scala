@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Curation
+
+/** Specs for the corpus-curation operators: chunk-level cross-doc
+  * dedup and histogram-pruned exact quota / mixture sampling.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkInstances: non-overlapping chunks, trailing partial kept, short doc = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 3 chunks: 10+10+5
+      (2L, "a b c")) // one short chunk
+      .toDF("doc_id", "text")
+    val inst = Curation.chunkInstances(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(inst.count(_._1 == 1L) == 3)
+    assert(inst.count(_._1 == 2L) == 1)
+    assert(inst.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("chunkKeepFirst: only the first occurrence of a duplicated chunk survives") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (5L, boiler + " " + (1 to 10).map(i => s"x$i").mkString(" ")),
+      (3L, boiler + " " + (1 to 10).map(i => s"y$i").mkString(" ")),
+      (7L, boiler)) // boiler chunk appears in docs 3, 5, 7
+      .toDF("doc_id", "text")
+    val kept = Curation.chunkKeepFirst(
+        Curation.chunkInstances(docs, "doc_id", "text", 10))
+      .collect().map(r => ((r.getLong(1), r.getInt(2)), r.getBoolean(3))).toMap
+    // min (doc_id, chunk_idx) for the boiler chunk is (3, 0)
+    assert(kept((3L, 0)))
+    assert(!kept((5L, 0)))
+    assert(!kept((7L, 0)))
+    // unique chunks all survive
+    assert(kept((3L, 1)) && kept((5L, 1)))
+  }
+
+  test("exactQuotaSample: equals the naive per-domain hash rank, including the boundary bucket") {
+    // 400 rows over 2 domains — quotas force a partial boundary bucket
+    val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "dom")
+    val h = md5(concat(col("id").cast("string"), lit(":s")))
+    val quotas = Map("a" -> 40L, "b" -> 100L)
+    val got = Curation.exactQuotaSample(df, "dom", h, col("id"), quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = df.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dom")).orderBy(col("__h"), col("id"))))
+      .filter(col("rn") <= when(col("dom") === "a", 40).otherwise(100))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    assert(got.count(_._2 == "a") == 40 && got.count(_._2 == "b") == 100)
+  }
+
+  test("exactQuotaSample: quota >= domain size takes the whole domain; absent domain takes none") {
+    val df = (1L to 50L).map(i => (i, if (i <= 20) "small" else "other"))
+      .toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    val got = Curation.exactQuotaSample(df, "dom", h, col("id"),
+        Map("small" -> 999L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 20L).toSet)
+  }
+
+  test("mixtureSample: exact per-mille quotas, clamped to domain size") {
+    val df = ((1L to 300L).map(i => (i, "en")) ++ (301L to 310L).map(i => (i, "zh")))
+      .toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    // budget = 310 * 500 / 1000 = 155; en quota = 155 * 900 / 1000 = 139,
+    // zh quota = 155 * 100 / 1000 = 15 -> clamped to 10
+    val got = Curation.mixtureSample(df, "dom", h, col("id"),
+        Map("en" -> 900L, "zh" -> 100L), budgetPerMille = 500L)
+      .groupBy(col("dom")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 139L, "zh" -> 10L))
+  }
+}

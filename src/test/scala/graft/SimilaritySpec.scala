@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
   }
 
+  test("semDedup: planted duplicates drop against the earliest id; distinct vectors survive") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // plant two exact copies of vec 7 at high ids — both must drop,
+    // both pointing at an earlier near-identical id (vec 7 itself or
+    // an earlier natural near-dup of it), with cosine 1.0
+    val planted = emb.filter(col("vec_id") === 7L)
+      .select(explode(array(lit(200001L), lit(200002L))).as("vec_id"),
+        col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val dropped = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nlist = 8, refineIters = 2, threshold = 0.9999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(dropped.contains(200001L) && dropped.contains(200002L),
+      s"planted duplicates not dropped: ${dropped.keySet}")
+    assert(dropped(200001L)._2 == 1.0 && dropped(200002L)._2 == 1.0)
+    assert(dropped(200001L)._1 < 200001L && dropped(200002L)._1 < 200002L)
+    // dropping is monotone: every dropped id names a STRICTLY earlier kept ref
+    dropped.foreach { case (id, (kept, _)) => assert(kept < id) }
+    // at a threshold above any natural cosine, only the planted pair drops
+    val strict = Similarity.semDedup(emb, "vec_id", "embedding",
+        nlist = 8, refineIters = 2, threshold = 1.0000001)
+      .count()
+    assert(strict == 0L, s"nothing should exceed cosine > 1: $strict rows")
+  }
+
   test("IVF ANN: returned sims are exact, planted duplicate is found, recall is sane") {
     val emb = Tables(spark, sfDir, "embeddings")
     // subset-correctness: every (id, sim) the IVF path returns must
