@@ -1382,6 +1382,98 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** CCNet-style unigram-LM quality signal: train an add-one-smoothed
+    * unigram model ON the corpus itself (token frequencies — the same
+    * one-shuffle token exchange as q51), score every doc by average
+    * negative log2-probability (bits/token, the perplexity exponent),
+    * flag high-perplexity docs. Corpus totals (N, |V|) ride in via a
+    * broadcast 1-row crossJoin — no driver-side count() job. At 100 TB
+    * the freq table is vocabulary-sized (millions of rows, not
+    * corpus-sized) and broadcastable; everything else is map-side work
+    * plus one doc_id-keyed aggregation.
+    */
+  private def unigramLmQuality(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = freq.agg(
+      sum(col("cnt")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("n_vocab"))
+    val bits = col("nll") / col("n_tokens")
+    tok.join(freq, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(-log2((col("cnt") + 1).cast("double") /
+          (col("n_total") + col("n_vocab")))).as("nll"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(bits), 4).as("avg_bits_per_token"),
+        sum(when(bits > 5.2, 1L).otherwise(0L)).as("n_high_ppl"))
+      .orderBy(col("bucket"))
+  }
+
+  /** EXACT top-k frequent tokens via a Misra-Gries candidate pass:
+    * the [[org.apache.spark.sql.graft.MisraGriesAgg]] sketch (k=256
+    * counters, mergeable) produces a guaranteed SUPERSET of every
+    * token with frequency > N/257; the exact count then runs
+    * restricted to those candidates through a broadcast semi-join. Two
+    * scans, but the groupBy shuffles at most 256 keys — an
+    * unrestricted top-k would shuffle the entire vocabulary, the thing
+    * that dies first on a 100 TB web corpus. The result is EXACT
+    * whenever the rank-k count clears the sketch bound (spec-pinned
+    * here; at this corpus the margin is ~9x), so the DuckDB oracle is
+    * the plain exact top-10.
+    */
+  private def heavyHittersTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.FreqSketchApi.misra_gries
+    val tok = t(s, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+    val cand = tok.agg(misra_gries(col("tok"), 256).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    tok.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(10)
+  }
+
+  /** k-NN label vote: classify the first 10 vectors against the rest
+    * of the labeled embedding corpus — brute-force cosine (native
+    * codegen'd kernel) against a BROADCAST query set, top-5 neighbors
+    * per query via the bounded-heap TopKPerKey physical operator (no
+    * sort, no single-task window), majority vote with deterministic
+    * ties (most votes, then lowest label). The corpus never shuffles:
+    * scores are map-side, the heap state is 10 keys x 5 rows.
+    */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graft.TopKPerKeyApi
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), col("label"),
+        Similarity.cosine(col("v"), col("qv")).as("sim"))
+    val top = TopKPerKeyApi.topKPerKey(scored,
+      keyNames = Seq("qid"),
+      order = Seq("sim" -> false, "vec_id" -> true),
+      k = 5)
+    val votes = top.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").cast("long").as("pred_label"),
+        col("votes"))
+      .orderBy(col("qid"))
+  }
+
   /** End-to-end corpus-curation funnel (the exact-stage training-data
     * shape): quality gate -> fingerprint dedup (canonical keep = min
     * doc_id, deterministic) -> stable hash split. One row of stage
@@ -1716,7 +1808,10 @@ object Queries {
     "chunk_dedup" -> (chunkDedup _),
     "global_shuffle" -> (globalShuffle _),
     "mixture_sample" -> (mixtureSample _),
-    "semdedup" -> (semDedupQuery _))
+    "semdedup" -> (semDedupQuery _),
+    "unigram_lm_quality" -> (unigramLmQuality _),
+    "heavy_hitters_topk" -> (heavyHittersTopK _),
+    "knn_classify" -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2596,5 +2691,48 @@ object Queries {
         (SELECT count(*) FROM customer WHERE c_custkey NOT IN
           (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
            FROM orders)) AS n_not_in_with_nulls,
-        (SELECT round(max(o_totalprice), 2) FROM orders) AS max_price""")
+        (SELECT round(max(o_totalprice), 2) FROM orders) AS max_price""",
+    "unigram_lm_quality" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+                       CAST(count(*) AS DOUBLE) AS n_vocab FROM freq),
+        pd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            sum(-log2((cnt + 1) / (n_total + n_vocab))) AS nll
+          FROM tok JOIN freq USING (tok), tot GROUP BY 1)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+          round(avg(nll / n_tokens), 4) AS avg_bits_per_token,
+          CAST(sum(CASE WHEN nll / n_tokens > 5.2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_high_ppl
+        FROM pd GROUP BY 1 ORDER BY 1""",
+    "heavy_hitters_topk" ->
+      """WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          FROM documents)
+        SELECT tok, count(*) AS cnt FROM tok
+        GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10""",
+    "knn_classify" ->
+      """WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        s AS (
+          SELECT qid, e.vec_id, e.label,
+            list_dot_product(v, qv) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+              AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id >= 10),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+            FROM s) WHERE rn <= 5),
+        v AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY 1, 2)
+        SELECT qid, CAST(label AS BIGINT) AS pred_label, votes FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+          FROM v) WHERE rn = 1 ORDER BY qid""")
 }

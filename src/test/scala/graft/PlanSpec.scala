@@ -143,4 +143,34 @@ class PlanSpec extends SparkSpec {
       "Exchange hashpartitioning\\(tok".r.findAllIn(p).size == 1,
       s"frequency build and scoring join should share the token shuffle:\n${p.take(1200)}")
   }
+
+  test("unigram_lm_quality: LM training and scoring share the token shuffle; totals broadcast") {
+    // the totals (N, |V|) branch and the scoring join both consume the
+    // token-frequency aggregate; AQE's exchange reuse only shows in the
+    // FINAL plan, so execute before inspecting
+    val df = Queries.all("unigram_lm_quality")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      "Exchange hashpartitioning\\(tok".r.findAllIn(p).size == 1,
+      s"the totals branch should reuse the frequency-build token shuffle:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "corpus totals (N, |V|) should ride in via broadcast, not a shuffle")
+  }
+
+  test("heavy_hitters_topk: candidate set broadcast; no full-vocabulary sort") {
+    val p = Queries.all("heavy_hitters_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidates should reach the exact count as a broadcast semi-join:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("knn_classify: query vectors broadcast; corpus scoring never shuffle-joins") {
+    val p = Queries.all("knn_classify")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
