@@ -1437,6 +1437,27 @@ object Queries {
       .limit(10)
   }
 
+  /** Tokenizer vocabulary induction: corpus token frequencies ranked
+    * into contiguous 0-based vocab ids (count desc, token asc — the
+    * standard "most frequent token gets the smallest id" layout).
+    * The ranking runs over the VOCABULARY-sized frequency table, not
+    * the corpus, through [[graft.operators.GlobalRank]]'s
+    * range-partitioned sort + zipWithIndex — a bare
+    * `row_number() over (order by cnt desc)` would drag every distinct
+    * token through a single task, which at web-corpus vocabulary sizes
+    * (hundreds of millions of distinct tokens) is the same
+    * single-partition-window killer GlobalRank exists to avoid.
+    */
+  private def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    graft.operators.GlobalRank.withGlobalIndex(
+        freq, Seq(col("cnt").desc, col("tok")), "vocab_id")
+      .select(col("vocab_id"), col("tok"), col("cnt"))
+      .orderBy(col("vocab_id"))
+  }
+
   /** k-NN label vote: classify the first 10 vectors against the rest
     * of the labeled embedding corpus — brute-force cosine (native
     * codegen'd kernel) against a BROADCAST query set, top-5 neighbors
@@ -1811,7 +1832,8 @@ object Queries {
     "semdedup" -> (semDedupQuery _),
     "unigram_lm_quality" -> (unigramLmQuality _),
     "heavy_hitters_topk" -> (heavyHittersTopK _),
-    "knn_classify" -> (knnClassify _))
+    "knn_classify" -> (knnClassify _),
+    "vocab_build" -> (vocabBuild _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2734,5 +2756,13 @@ object Queries {
         SELECT qid, CAST(label AS BIGINT) AS pred_label, votes FROM (
           SELECT *, row_number() OVER
             (PARTITION BY qid ORDER BY votes DESC, label) AS rn
-          FROM v) WHERE rn = 1 ORDER BY qid""")
+          FROM v) WHERE rn = 1 ORDER BY qid""",
+    "vocab_build" ->
+      """WITH freq AS (
+          SELECT tok, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+            FROM documents) GROUP BY 1)
+        SELECT row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS vocab_id,
+          tok, cnt
+        FROM freq ORDER BY vocab_id""")
 }
