@@ -64,6 +64,54 @@ object Curation {
       .drop("__first")
   }
 
+  /** Cross-document duplicated SPANS at stride-1 window granularity —
+    * the exact-substring dedup shape (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022) without
+    * the suffix array: fingerprint every `n`-token sliding window,
+    * keep windows whose content occurs in >= 2 DISTINCT docs, and
+    * merge per-doc runs of consecutive duplicated windows into maximal
+    * spans (consecutive window positions overlap by n-1 tokens, so a
+    * run p1..p2 covers exactly p2 - p1 + n tokens).
+    *
+    * Returns one row per maximal span: (doc_id, span_start,
+    * span_tokens).
+    *
+    * Scale shape: the window exchange carries corpus x ~len/stride
+    * rows of 24 bytes (16-byte md5 + ids), never window text — this is
+    * the operator the suffix-array construction exists to beat, and
+    * the honest trade is stated here: at 100 TB run it with a larger
+    * stride (windows every s tokens catch any duplicated span of
+    * >= n + s - 1 tokens) or on a chunk_dedup-pruned corpus. The
+    * island merge is a per-doc window (partitioned by doc_id) — never
+    * global, so no single-task funnel; the duplicated-window frame it
+    * sorts is the post-filter minority, not the corpus.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Dedup.tokens(col(textCol))
+    val windows = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - lit(n))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("h"))
+    val dupContent = windows.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    windows.join(dupContent, Seq("h"), "left_semi")
+      .withColumn("__new_run",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("__run", sum(col("__new_run")).over(w))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).as("span_tokens"))
+      .drop("__run")
+  }
+
   /** Per-domain spec for [[exactQuotaSample]]'s pruned selection:
     * (domain, fullBelow, boundaryBucket, boundaryTake) — buckets
     * strictly below `fullBelow` are taken wholesale; exactly

@@ -1437,6 +1437,24 @@ object Queries {
       .limit(10)
   }
 
+  /** Exact-substring dedup signal (Lee et al. ACL 2022 shape): maximal
+    * cross-document duplicated spans from stride-1 10-token window
+    * fingerprints ([[graft.operators.Curation.duplicateSpans]]),
+    * summarized per doc_id bucket. The island-merge window is
+    * per-doc, the duplicated-window frame is the post-filter minority
+    * — no global sort anywhere.
+    */
+  private def duplicateSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.Curation.duplicateSpans(
+      t(s, dir, "documents"), "doc_id", "text", n = 10)
+    spans.groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count_distinct(col("doc_id")).as("n_docs_with_dups"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).cast("long").as("max_span_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** Tokenizer vocabulary induction: corpus token frequencies ranked
     * into contiguous 0-based vocab ids (count desc, token asc — the
     * standard "most frequent token gets the smallest id" layout).
@@ -1833,7 +1851,8 @@ object Queries {
     "unigram_lm_quality" -> (unigramLmQuality _),
     "heavy_hitters_topk" -> (heavyHittersTopK _),
     "knn_classify" -> (knnClassify _),
-    "vocab_build" -> (vocabBuild _))
+    "vocab_build" -> (vocabBuild _),
+    "duplicate_spans" -> (duplicateSpansQuery _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2764,5 +2783,32 @@ object Queries {
             FROM documents) GROUP BY 1)
         SELECT row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS vocab_id,
           tok, cnt
-        FROM freq ORDER BY vocab_id""")
+        FROM freq ORDER BY vocab_id""",
+    "duplicate_spans" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, i AS pos,
+            md5(array_to_string(toks[i+1:i+10], ' ')) AS h
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 9)) AS i
+                FROM tk WHERE len(toks) >= 10)),
+        dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        d AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+        r AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS nr
+          FROM d),
+        runs AS (SELECT doc_id, pos,
+            sum(nr) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+          FROM r),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+            max(pos) - min(pos) + 10 AS span_tokens
+          FROM runs GROUP BY doc_id, run)
+        SELECT doc_id % 10 AS bucket,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dups,
+          count(*) AS n_spans,
+          CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+          CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+        FROM spans GROUP BY 1 ORDER BY 1""")
 }

@@ -79,4 +79,27 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("en" -> 139L, "zh" -> 10L))
   }
+
+  test("duplicateSpans: maximal cross-doc spans; intra-doc repeats don't count") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val shared10 = words("s", 10)    // exactly one window
+    val shared12 = words("t", 12)    // three consecutive windows -> one span
+    val docs = Seq(
+      // shared10 at token offset 2 of doc 1, offset 0 of doc 2
+      (1L, (words("a", 2) ++ shared10 ++ words("b", 3)).mkString(" ")),
+      (2L, (shared10 ++ words("c", 4)).mkString(" ")),
+      // shared12 between docs 3 and 4 -> merged 12-token span each
+      (3L, (words("d", 1) ++ shared12).mkString(" ")),
+      (4L, (shared12 ++ words("e", 2)).mkString(" ")),
+      // doc 5 repeats a 10-gram INSIDE itself only: no cross-doc dup
+      (5L, (words("f", 10) ++ words("f", 10)).mkString(" ")),
+      (6L, words("g", 15).mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Curation.duplicateSpans(docs, "doc_id", "text", n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set(
+      (1L, 2, 10), (2L, 0, 10),   // the 10-token shared substring
+      (3L, 1, 12), (4L, 0, 12)),  // three windows merged to one 12-token span
+      s"got $spans")
+  }
 }
