@@ -34,10 +34,27 @@ object VectorExpressions {
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `dot_product` for SQL use on an existing session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the graft SQL functions on an existing session (the
+    * temp-function path; [[GraftExtensions]] is the config-driven
+    * equivalent for sessions you don't construct). Aggregate builders
+    * return the bare AggregateFunction — the analyzer wraps it.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => org.apache.spark.sql.graft.MinHashAgg(
+        exprs(0), GraftExtensions.intLit(exprs(1), "numPerm")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => org.apache.spark.sql.graft.MisraGriesAgg(
+        exprs(0), GraftExtensions.intLit(exprs(1), "k")), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
@@ -58,7 +75,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .getCanonicalName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.graft.SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MinHashAgg]
+        .getCanonicalName, "minhash_agg"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MinHashAgg(
+        exprs(0), GraftExtensions.intLit(exprs(1), "numPerm"))))
+    e.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MisraGriesAgg]
+        .getCanonicalName, "misra_gries"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MisraGriesAgg(
+        exprs(0), GraftExtensions.intLit(exprs(1), "k"))))
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.MultiDistinctToJoin)
+  }
+}
+
+object GraftExtensions {
+  /** SQL-side sketch parameters must be integer literals: a sketch
+    * sized per-row is meaningless, and the clear error beats Janino's.
+    */
+  private[functions] def intLit(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
   }
 }

@@ -67,6 +67,23 @@ class SketchSpec extends SparkSpec {
         "the exact-top-k claim would be unsound at this corpus")
   }
 
+  test("SQL registration: misra_gries and minhash_agg callable from spark.sql") {
+    graft.functions.VectorExpressions.register(spark)
+    val df = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold_$i")).toDF("tok")
+    df.createOrReplaceTempView("sql_sketch_in")
+    val cands = sqlf("SELECT misra_gries(tok, 8) AS c FROM sql_sketch_in")
+      .collect()(0).getSeq[String](0)
+    assert(cands.contains("hot"))
+    val sig = sqlf("SELECT minhash_agg(tok, 16) AS s FROM sql_sketch_in")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+    // non-literal sketch size must fail with the explicit message
+    val err = intercept[Exception] {
+      sqlf("SELECT misra_gries(tok, length(tok)) FROM sql_sketch_in").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("knn_classify: planted near-duplicate pair outvotes closer-by-label ties") {
     // qid 0's direction appears TWICE in the train set under label 9
     // (cosine 1.0 and ~1.0) — with every other label appearing once in
