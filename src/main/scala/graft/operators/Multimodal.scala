@@ -54,6 +54,36 @@ object Multimodal {
         i => md5(substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
         .as("frame_hashes"))
 
+  /** Frame-overlap near-dup pairs (a < b): docs sharing at least
+    * `minShared` DISTINCT frame hashes, via the frame inverted index —
+    * the video/image near-dup shape (two encodings of the same asset
+    * share sampled-frame fingerprints even when container metadata
+    * differs). A frame hash held by more than `maxDocsPerFrame` docs
+    * is dropped before pairing: a ubiquitous frame (black frame, logo
+    * bumper) would otherwise emit a quadratic pair blowup — the same
+    * trade as Dedup.cappedPairs; count dropped hashes for the audit
+    * via the returned pairs' complement or a `hotBucketReport`-style
+    * pass. Hashes with a single holder can pair with nothing and are
+    * dropped by the same filter, so the join input is the rare-frame
+    * minority, not the corpus.
+    */
+  def frameNearDupPairs(withMediaDf: DataFrame, minShared: Int = 2,
+      maxDocsPerFrame: Int = 16): DataFrame = {
+    val inst = frameHashes(withMediaDf)
+      .select(col("doc_id"), explode(array_distinct(col("frame_hashes"))).as("fh"))
+    val pairable = inst.groupBy(col("fh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocsPerFrame)
+      .select(col("fh"))
+    val kept = inst.join(pairable, Seq("fh"), "left_semi")
+    kept.select(col("fh"), col("doc_id").as("a"))
+      .join(kept.select(col("fh"), col("doc_id").as("b")), Seq("fh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   private val decodeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", IntegerType),

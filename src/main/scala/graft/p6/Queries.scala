@@ -1007,6 +1007,26 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Media dedup over the binary column: exact groups by content hash
+    * plus frame-overlap near-dup pairs
+    * ([[graft.operators.Multimodal.frameNearDupPairs]] — inverted
+    * frame-hash index, ubiquitous frames dropped, pairs need >= 2
+    * shared distinct frames). One accounting row; the planted-media
+    * semantics are pinned in DedupSpec.
+    */
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.withMedia(t(s, dir, "documents"))
+    val groups = Multimodal.mediaFeatures(media)
+      .groupBy(col("content_hash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val pairs = Multimodal.frameNearDupPairs(media)
+    groups.agg(count(lit(1)).as("n_exact_groups"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("n_removable_docs"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_neardup_pairs"),
+        coalesce(sum(col("shared_frames")), lit(0L)).as("n_shared_frames")))
+  }
+
   /** ANN via multi-table multi-probe random-hyperplane LSH: exact
     * rerank over the union of the query's bucket and its Hamming-1
     * neighbors across 8 independent tables (no oracle — hash-derived
@@ -1852,7 +1872,8 @@ object Queries {
     "heavy_hitters_topk" -> (heavyHittersTopK _),
     "knn_classify" -> (knnClassify _),
     "vocab_build" -> (vocabBuild _),
-    "duplicate_spans" -> (duplicateSpansQuery _))
+    "duplicate_spans" -> (duplicateSpansQuery _),
+    "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2810,5 +2831,27 @@ object Queries {
           count(*) AS n_spans,
           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
-        FROM spans GROUP BY 1 ORDER BY 1""")
+        FROM spans GROUP BY 1 ORDER BY 1""",
+    "media_dedup" ->
+      """WITH f AS (
+          SELECT DISTINCT doc_id, md5(substr(text, i*256 + 1, 256)) AS fh
+          FROM (SELECT doc_id, text,
+                  unnest(range((length(text) + 255) // 256)) AS i
+                FROM documents)),
+        pairable AS (
+          SELECT fh FROM f GROUP BY fh HAVING count(*) BETWEEN 2 AND 16),
+        k AS (SELECT doc_id, fh FROM f
+              WHERE fh IN (SELECT fh FROM pairable)),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS sf
+              FROM k x JOIN k y ON x.fh = y.fh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        g AS (SELECT md5(text) AS ch, count(*) AS n
+              FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        SELECT
+          (SELECT count(*) FROM g) AS n_exact_groups,
+          (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM g)
+            AS n_removable_docs,
+          (SELECT count(*) FROM p) AS n_neardup_pairs,
+          (SELECT CAST(coalesce(sum(sf), 0) AS BIGINT) FROM p)
+            AS n_shared_frames""")
 }

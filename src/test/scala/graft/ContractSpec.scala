@@ -48,7 +48,7 @@ class ContractSpec extends AnyFunSuite {
     val singleRow = Set("q2_revenue_filter", "q7_semi_anti_join", "q8_set_ops",
       "q9_distinct_counts", "dedup_exact", "dedup_fingerprint",
       "p6_term_checks", "p6_batch_validate", "q40_set_ops_all", "corpus_funnel",
-      "fuzzy_join", "q46_subqueries")
+      "fuzzy_join", "q46_subqueries", "media_dedup")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name

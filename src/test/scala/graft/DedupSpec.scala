@@ -291,4 +291,26 @@ class DedupSpec extends SparkSpec {
     assert(resized(0L) == ((128, 128, 16, 8)))
     assert(resized(1L) == ((128, 128, 16, 8)))
   }
+
+  test("frameNearDupPairs: shared frames pair; ubiquitous frames are dropped") {
+    // 600-byte payloads = 3 frames of 256/256/88 bytes. Docs 1 and 2
+    // share ALL three frames (identical payload); doc 3 shares only
+    // frame 0 with them (same leading 256 bytes, then diverges) ->
+    // below the 2-shared-frame floor. Docs 10..30 all share one
+    // ubiquitous frame (> maxDocsPerFrame holders) that must pair
+    // nothing.
+    val common = "c" * 256
+    val docs = (Seq(
+      (1L, common + "m" * 344),
+      (2L, common + "m" * 344),
+      (3L, common + "z" * 344)) ++
+      (10L to 30L).map(i => (i, "u" * 256 + i.toString * 80)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withMedia(docs.withColumn("n_chars", length(col("text"))))
+    val pairs = Multimodal.frameNearDupPairs(media, minShared = 2,
+        maxDocsPerFrame = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)),
+      s"only the identical pair should survive (3 shared frames), got $pairs")
+  }
 }
