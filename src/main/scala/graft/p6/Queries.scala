@@ -1007,6 +1007,27 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** FineWeb-style per-language quality gate: each language keeps only
+    * docs at or above its own 25th-percentile length — thresholds are
+    * RELATIVE per group, so a verbose language cannot crowd out a terse
+    * one. The per-lang cutoff frame is |languages| rows and broadcasts
+    * into the join-back; the corpus never shuffles twice (one groupBy
+    * for cutoffs, one for the accounting).
+    */
+  private def qualityCutoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cuts = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.25)").as("cutoff"))
+    docs.join(broadcast(cuts), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= col("cutoff"), 1L).otherwise(0L)).as("n_kept"),
+        round(max(col("cutoff")), 4).as("cutoff"),
+        sum(when(col("n_chars") >= col("cutoff"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Media dedup over the binary column: exact groups by content hash
     * plus frame-overlap near-dup pairs
     * ([[graft.operators.Multimodal.frameNearDupPairs]] — inverted
@@ -1873,7 +1894,8 @@ object Queries {
     "knn_classify" -> (knnClassify _),
     "vocab_build" -> (vocabBuild _),
     "duplicate_spans" -> (duplicateSpansQuery _),
-    "media_dedup" -> (mediaDedup _))
+    "media_dedup" -> (mediaDedup _),
+    "quality_cutoff" -> (qualityCutoff _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2853,5 +2875,17 @@ object Queries {
             AS n_removable_docs,
           (SELECT count(*) FROM p) AS n_neardup_pairs,
           (SELECT CAST(coalesce(sum(sf), 0) AS BIGINT) FROM p)
-            AS n_shared_frames""")
+            AS n_shared_frames""",
+    "quality_cutoff" ->
+      """WITH c AS (
+          SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff
+          FROM documents GROUP BY 1)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN n_chars >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          round(max(cutoff), 4) AS cutoff,
+          CAST(sum(CASE WHEN n_chars >= cutoff THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+        FROM documents JOIN c USING (lang)
+        GROUP BY 1 ORDER BY 1""")
 }
