@@ -261,4 +261,30 @@ class PropertySpec extends SparkSpec {
       graft.sources.WorkbookSource.parseDelimited(line, ',') == fields
     })
   }
+
+  test("Misra-Gries: candidates cover every value above N/(k+1) for any stream and partitioning") {
+    import org.apache.spark.sql.graft.FreqSketchApi.misra_gries
+    // zipf-ish streams: a few dominant values + a long random tail,
+    // shuffled, sliced into an arbitrary partition count — merges and
+    // the subtract-the-cut prune must preserve the guarantee.
+    val streamGen = for {
+      nHeavy <- Gen.choose(1, 5)
+      heavyRep <- Gen.choose(30, 120)
+      tail <- Gen.listOfN(300, Gen.choose(0, 5000).map(i => s"t$i"))
+      seed <- Gen.choose(0L, Long.MaxValue)
+      parts <- Gen.choose(1, 11)
+      k <- Gen.oneOf(4, 8, 16)
+    } yield (nHeavy, heavyRep, tail, seed, parts, k)
+    check(Prop.forAll(streamGen) { case (nHeavy, heavyRep, tail, seed, parts, k) =>
+      val heavy = (1 to nHeavy).flatMap(i => Seq.fill(heavyRep)(s"H$i"))
+      val xs = new scala.util.Random(seed).shuffle(heavy ++ tail)
+      val df = xs.toDF("v").repartition(parts)
+      val cands = df.agg(misra_gries(col("v"), k).as("c"))
+        .select(explode(col("c")).as("v")).as[String].collect().toSet
+      val bound = xs.size.toDouble / (k + 1)
+      val exact = xs.groupBy(identity).view.mapValues(_.size)
+      cands.size <= k &&
+        exact.forall { case (v, n) => n <= bound || cands.contains(v) }
+    })
+  }
 }
