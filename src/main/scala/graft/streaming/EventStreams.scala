@@ -237,6 +237,72 @@ object EventStreams {
     }
   }
 
+  final case class ShardTok(shard: Int, tok: String)
+  final case class MgState(toks: Seq[String], counts: Seq[Long])
+  final case class ShardCandidates(shard: Int, candidates: Seq[String],
+      retained: Seq[Long])
+
+  /** Streaming Misra-Gries: one k-counter sketch per token shard,
+    * carried across micro-batches in transformWithState value state.
+    * Each token hashes to exactly ONE shard, so the per-shard
+    * guarantee is TIGHTER than the global one: a token with total
+    * count > N_shard/(k+1) (<= N/(k+1)) survives in its shard's
+    * candidate set. Sharding exists for parallelism — state updates
+    * spread over `shards` tasks instead of one global map — and the
+    * union of shard candidates is the global candidate superset, at
+    * most shards x k strings.
+    */
+  class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, ShardTok, ShardCandidates] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[MgState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[MgState]("mg",
+        Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[ShardTok],
+        timerValues: TimerValues): Iterator[ShardCandidates] = {
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      if (state.exists()) {
+        val s = state.get()
+        s.toks.iterator.zip(s.counts.iterator).foreach { case (t, c) => buf.update(t, c) }
+      }
+      // classic MG update (same rule as the batch MisraGriesAgg)
+      rows.foreach { r =>
+        val cur = buf.getOrElse(r.tok, 0L)
+        if (cur > 0L || buf.size < k) buf.update(r.tok, cur + 1L)
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.foreach { case (t, c) => if (c <= 0L) dead += t }
+          dead.foreach(buf.remove)
+        }
+      }
+      val (toks, counts) = buf.toSeq.sortBy(_._1).unzip
+      state.update(MgState(toks, counts))
+      // retained counts are MG lower bounds (decrements only subtract),
+      // and exact while the shard's sketch never overflowed k
+      Iterator.single(ShardCandidates(key, toks, counts))
+    }
+  }
+
+  /** Cross-batch streaming frequent tokens: shard each token, keep one
+    * Misra-Gries sketch per shard, emit every shard's current
+    * candidate set each batch.
+    */
+  def streamingHeavyHitters(tokens: Dataset[String], k: Int = 64,
+      shards: Int = 8): Dataset[ShardCandidates] = {
+    import tokens.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    tokens.map(t => ShardTok(math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OM.Update())
+  }
+
   /** Streaming corpus curation — the batch `corpus_funnel` stages on a
     * document stream (doc_id, text, ts): token-count quality gate,
     * exact near-dup drop on the normalized-text fingerprint bounded by

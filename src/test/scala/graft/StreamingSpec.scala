@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: MG sketch state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val q = EventStreams.streamingHeavyHitters(stream.toDS(), k = 4, shards = 2)
+        .writeStream.format("memory").queryName("hh_out")
+        .outputMode("update").start()
+      // 30 occurrences per batch: a retained count above 30 is only
+      // reachable by carrying batch-1 state into batch 2 (decrements
+      // never add), so it PROVES cross-batch accumulation
+      stream.addData(Seq.fill(30)("dominant") :+ "n1" :+ "n2": _*)
+      q.processAllAvailable()
+      stream.addData(Seq.fill(30)("dominant") :+ "n3" :+ "n4": _*)
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("hh_out").as[EventStreams.ShardCandidates].collect()
+      val dom = rows.flatMap(r => r.candidates.zip(r.retained))
+        .filter(_._1 == "dominant")
+      assert(dom.nonEmpty, s"dominant token missing from candidates: ${rows.toSeq}")
+      assert(dom.map(_._2).max >= 31L,
+        s"retained count never exceeded one batch's 30 — state did not carry: ${dom.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file sink + checkpoint: restart resumes from committed offsets exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toFile
