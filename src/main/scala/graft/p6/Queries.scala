@@ -1007,6 +1007,37 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Ordered conversion funnel (view -> click -> purchase, each step
+    * STRICTLY after the previous step's first occurrence): users
+    * bucketed by deepest step reached. Three chained min-aggregations,
+    * every join keyed on user_id so the per-step frames co-partition
+    * with the step aggregates (shuffle-sharing, no re-keying anywhere);
+    * no per-user event sorting, no windows — the per-step frames are
+    * event-type filtered subsets, each a fraction of the table.
+    */
+  private def funnelDepth(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(v.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
+      .select(when(col("d3").isNotNull, 3).when(col("d2").isNotNull, 2)
+        .when(col("d1").isNotNull, 1).otherwise(0).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
   /** FineWeb-style per-language quality gate: each language keeps only
     * docs at or above its own 25th-percentile length — thresholds are
     * RELATIVE per group, so a verbose language cannot crowd out a terse
@@ -1895,7 +1926,8 @@ object Queries {
     "vocab_build" -> (vocabBuild _),
     "duplicate_spans" -> (duplicateSpansQuery _),
     "media_dedup" -> (mediaDedup _),
-    "quality_cutoff" -> (qualityCutoff _))
+    "quality_cutoff" -> (qualityCutoff _),
+    "funnel_depth" -> (funnelDepth _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2887,5 +2919,23 @@ object Queries {
           CAST(sum(CASE WHEN n_chars >= cutoff THEN n_chars ELSE 0 END)
             AS BIGINT) AS kept_chars
         FROM documents JOIN c USING (lang)
+        GROUP BY 1 ORDER BY 1""",
+    "funnel_depth" ->
+      """WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth,
+          count(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
         GROUP BY 1 ORDER BY 1""")
 }

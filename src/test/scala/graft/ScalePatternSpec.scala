@@ -21,6 +21,26 @@ class ScalePatternSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("funnel_depth: planted users land at every depth; steps are strictly ordered") {
+    // the corpus is dense (every user completes the funnel), so the
+    // 0/1/2 branches and the strict-ordering rule are pinned here
+    def ns(m: Long) = m * 60000000000L // minutes -> nanos (events.ts encoding)
+    val ev = Seq(
+      (1L, "view", ns(0)),                                           // depth 1
+      (2L, "view", ns(0)), (2L, "click", ns(1)),                     // depth 2
+      (3L, "view", ns(0)), (3L, "click", ns(1)), (3L, "purchase", ns(2)), // 3
+      (4L, "purchase", ns(0)), (4L, "click", ns(1)), (4L, "view", ns(2)), // reversed: 1
+      (5L, "error", ns(0)),                                          // depth 0
+      (6L, "click", ns(0)), (6L, "purchase", ns(1)),                 // no view: 0
+      (7L, "view", ns(0)), (7L, "click", ns(0)))    // same instant: NOT after -> 1
+      .toDF("user_id", "event_type", "ts")
+    val dirTmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dirTmp/events.parquet")
+    val got = graft.p6.Queries.all("funnel_depth")(spark, dirTmp)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 2L, 1 -> 3L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
   test("salted join equals plain join") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))
