@@ -27,6 +27,7 @@ object Curation {
     */
   def chunkInstances(docs: DataFrame, idCol: String, textCol: String,
       chunkLen: Int = 10): DataFrame = {
+    require(chunkLen >= 1, s"chunk length must be >= 1 token, got $chunkLen")
     val toks = Dedup.tokens(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
@@ -88,6 +89,7 @@ object Curation {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 10): DataFrame = {
+    require(n >= 1, s"window length must be >= 1 token, got $n")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = Dedup.tokens(col(textCol))
     val windows = docs
