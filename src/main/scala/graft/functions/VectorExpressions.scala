@@ -98,7 +98,10 @@ object GraftExtensions {
     */
   private[functions] def intLit(e: Expression, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      if (v >= 1L && v <= Int.MaxValue) v.toInt
+      else throw new IllegalArgumentException(
+        s"$name must be a positive Int-range literal, got: $v")
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got: $other")
   }

@@ -43,15 +43,19 @@ object Multimodal {
 
   /** Frame sampling: split the payload into fixed-size chunks and hash
     * each — the shape of a video frame-sampler (binary in, array of
-    * per-frame features out), still pure expressions.
+    * per-frame features out), still pure expressions. An empty payload
+    * yields an empty array (guarded: `sequence(0, -1)` would otherwise
+    * produce the descending [0, -1] and two phantom frames).
     */
   def frameHashes(withMediaDf: DataFrame): DataFrame =
     withMediaDf.select(
       col("doc_id"),
-      transform(
-        sequence(lit(0),
-          expr(s"(octet_length(media) + ${frameBytes - 1}) div $frameBytes - 1")),
-        i => md5(substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+      when(octet_length(col("media")) > 0,
+        transform(
+          sequence(lit(0),
+            expr(s"(octet_length(media) + ${frameBytes - 1}) div $frameBytes - 1")),
+          i => md5(substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+        .otherwise(array().cast("array<string>"))
         .as("frame_hashes"))
 
   /** Frame-overlap near-dup pairs (a < b): docs sharing at least

@@ -1472,6 +1472,10 @@ object Queries {
       sum(col("cnt")).cast("double").as("n_total"),
       count(lit(1)).cast("double").as("n_vocab"))
     val bits = col("nll") / col("n_tokens")
+    // The threshold compare quantizes bits/token to 6 dp first: the raw
+    // sum of -log2 terms is order-dependent under partial aggregation,
+    // and a doc landing within float-jitter of 5.2 must not flip between
+    // runs (or vs the oracle, which rounds identically).
     tok.join(freq, Seq("tok"))
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
@@ -1481,7 +1485,7 @@ object Queries {
       .groupBy((col("doc_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(bits), 4).as("avg_bits_per_token"),
-        sum(when(bits > 5.2, 1L).otherwise(0L)).as("n_high_ppl"))
+        sum(when(round(bits, 6) > 5.2, 1L).otherwise(0L)).as("n_high_ppl"))
       .orderBy(col("bucket"))
   }
 
@@ -2821,8 +2825,8 @@ object Queries {
           FROM tok JOIN freq USING (tok), tot GROUP BY 1)
         SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
           round(avg(nll / n_tokens), 4) AS avg_bits_per_token,
-          CAST(sum(CASE WHEN nll / n_tokens > 5.2 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_high_ppl
+          CAST(sum(CASE WHEN round(nll / n_tokens, 6) > 5.2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_ppl
         FROM pd GROUP BY 1 ORDER BY 1""",
     "heavy_hitters_topk" ->
       """WITH tok AS (
@@ -2888,9 +2892,12 @@ object Queries {
         FROM spans GROUP BY 1 ORDER BY 1""",
     "media_dedup" ->
       """WITH f AS (
-          SELECT DISTINCT doc_id, md5(substr(text, i*256 + 1, 256)) AS fh
-          FROM (SELECT doc_id, text,
-                  unnest(range((length(text) + 255) // 256)) AS i
+          -- frame by BYTES (not characters): hex(encode(..)) is ASCII, so
+          -- VARCHAR substr at 2x offsets slices the UTF-8 byte payload
+          -- exactly like Spark's binary substring — encoding-independent.
+          SELECT DISTINCT doc_id, substr(hx, i*512 + 1, 512) AS fh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                  unnest(range((octet_length(encode(text)) + 255) // 256)) AS i
                 FROM documents)),
         pairable AS (
           SELECT fh FROM f GROUP BY fh HAVING count(*) BETWEEN 2 AND 16),

@@ -271,6 +271,13 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(frames(0L).length == 1 && frames(1L).length == 3)
 
+    // empty payload -> EMPTY frame array (not the sequence(0,-1) phantom pair)
+    val empty = Multimodal.withMedia(
+      Seq((9L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val emptyFrames = Multimodal.frameHashes(empty).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(emptyFrames(9L).isEmpty)
+
     val decoded = Multimodal.decodeStub(media).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
     assert(decoded(0L)._1 == 11)

@@ -82,6 +82,12 @@ class SketchSpec extends SparkSpec {
       sqlf("SELECT misra_gries(tok, length(tok)) FROM sql_sketch_in").collect()
     }
     assert(err.getMessage != null)
+    // a Long literal beyond Int range must fail loudly, not truncate
+    // into a garbage sketch size
+    val err2 = intercept[Exception] {
+      sqlf("SELECT misra_gries(tok, 5000000000) FROM sql_sketch_in").collect()
+    }
+    assert(err2.getMessage.contains("Int-range"))
   }
 
   test("knn_classify: planted near-duplicate pair outvotes closer-by-label ties") {
