@@ -62,7 +62,12 @@ object Main {
     val excel = o.getOrElse("--excel-path",
       { System.err.println("parse-excel: -e/--excel-path is required"); sys.exit(2) })
     val strict = o.contains("--strict-variants")
-    val hpoFile = Paths.get(o.getOrElse("--custom-hpo", "tests/data/hp.json"))
+    // Resolve against graft.cwd exactly like the output dir below: the
+    // default tests/data/hp.json must not silently depend on the process
+    // cwd while the output path honors the override. An absolute
+    // --custom-hpo passes through `resolve` unchanged.
+    val hpoFile = Paths.get(sys.props.getOrElse("graft.cwd", ".").toString)
+      .resolve(o.getOrElse("--custom-hpo", "tests/data/hp.json"))
 
     val spark = session()
     val tables = readInput(spark, excel).toSeq.sortBy(_._1)

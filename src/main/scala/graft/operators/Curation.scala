@@ -153,8 +153,9 @@ object Curation {
     * domain size returns the whole domain.
     */
   def exactQuotaSample(df: DataFrame, domainCol: String, hashCol: Column,
-      tieCol: Column, quotas: Map[String, Long]): DataFrame = {
-    val (keyed, hist) = bucketHistogram(df, domainCol, hashCol)
+      tieCol: Column, quotas: Map[String, Long],
+      maxDomains: Int = 10000): DataFrame = {
+    val (keyed, hist) = bucketHistogram(df, domainCol, hashCol, maxDomains)
     selectByQuota(keyed, domainCol, tieCol, hist, quotas)
   }
 
@@ -172,8 +173,8 @@ object Curation {
     */
   def mixtureSample(df: DataFrame, domainCol: String, hashCol: Column,
       tieCol: Column, weightsPerMille: Map[String, Long],
-      budgetPerMille: Long = 1000L): DataFrame = {
-    val (keyed, hist) = bucketHistogram(df, domainCol, hashCol)
+      budgetPerMille: Long = 1000L, maxDomains: Int = 10000): DataFrame = {
+    val (keyed, hist) = bucketHistogram(df, domainCol, hashCol, maxDomains)
     val budget = hist.map(_._3).sum * budgetPerMille / 1000L
     val quotas = weightsPerMille.map { case (d, pm) =>
       d -> math.min(hist.filter(_._1 == d).map(_._3).sum, budget * pm / 1000L)
@@ -184,17 +185,34 @@ object Curation {
   /** One corpus pass: rows keyed by (hash, leading-byte bucket) plus
     * the collected (domain, bucket, count) histogram — at most
     * |domains| x 256 rows on the driver.
+    *
+    * The driver fetch is BOUNDED: the histogram is sized for
+    * source-level mixtures (dozens to thousands of domains), and a
+    * caller passing an unbounded-cardinality column (URL hosts, user
+    * ids) would otherwise OOM the driver at scale. The collect is
+    * capped at `maxDomains` x 256 + 1 rows (`limit`, so executors stop
+    * early too) and fails fast with the knob named, rather than
+    * collecting first and dying later.
     */
   private def bucketHistogram(df: DataFrame, domainCol: String,
-      hashCol: Column): (DataFrame, Array[(String, Int, Long)]) = {
+      hashCol: Column, maxDomains: Int): (DataFrame, Array[(String, Int, Long)]) = {
+    require(maxDomains >= 1 && maxDomains <= Int.MaxValue / 256,
+      s"maxDomains must be in [1, ${Int.MaxValue / 256}], got $maxDomains")
     val keyed = df
       .withColumn("__h", hashCol)
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
-    val hist = keyed.groupBy(col(domainCol).as("__d"), col("__b"))
+    val cap = maxDomains * 256
+    val rows = keyed.groupBy(col(domainCol).as("__d"), col("__b"))
       .agg(count(lit(1)).as("__n"))
+      .limit(cap + 1)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    (keyed, hist)
+    require(rows.length <= cap,
+      s"$domainCol has too many distinct (domain, bucket) groups for a " +
+        s"driver-side histogram (> $cap = maxDomains=$maxDomains x 256 " +
+        "buckets). Mixture domains should be source-level labels, not an " +
+        "unbounded-cardinality column; raise maxDomains only if the " +
+        "driver can hold |domains| x 256 rows.")
+    (keyed, rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))))
   }
 
   private def selectByQuota(keyed: DataFrame, domainCol: String,

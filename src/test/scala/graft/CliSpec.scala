@@ -160,6 +160,22 @@ class CliSpec extends SparkSpec {
     assert(body == golden)
   }
 
+  test("parse-excel: relative HPO path resolves against graft.cwd, not process cwd") {
+    // hp.json exists ONLY under the overridden cwd — cwd-relative
+    // resolution (the old behavior) would miss it and exit(1)
+    val dir = Files.createTempDirectory("clicwd")
+    val wb = dir.resolve("wb.xlsx")
+    writeXlsx(wb, Seq("Variants" -> genotypeRows, "HPO" -> phenotypeRows))
+    writeHpoJson(dir.resolve("hp.json"))
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--excel-path" -> wb.toString, "--custom-hpo" -> "hp.json"))
+    } finally { sys.props -= "graft.cwd" }
+    assert(out.contains("Wrote 1 phenopacket files to "))
+  }
+
   test("csv sheet-dir ingest: same pipeline as xlsx, RFC-4180 quoting honored") {
     val dir = Files.createTempDirectory("csvwb")
     def csv(rows: Seq[Seq[String]]): String = rows.map(_.map { f =>

@@ -80,6 +80,23 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("en" -> 139L, "zh" -> 10L))
   }
 
+  test("exactQuotaSample: unbounded-cardinality domain column fails fast, naming the knob") {
+    // 600 distinct domains with maxDomains=2 -> >= 600 (domain, bucket)
+    // groups against a 512-row driver cap: must throw BEFORE collecting
+    // the histogram, with an error that names maxDomains.
+    val df = (1L to 600L).map(i => (i, s"host_$i")).toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    val err = intercept[IllegalArgumentException] {
+      Curation.exactQuotaSample(df, "dom", h, col("id"),
+        Map("host_1" -> 1L), maxDomains = 2)
+    }
+    assert(err.getMessage.contains("maxDomains"))
+    // the same data passes under the default cap
+    val ok = Curation.exactQuotaSample(df, "dom", h, col("id"),
+      Map("host_1" -> 1L))
+    assert(ok.count() == 1L)
+  }
+
   test("duplicateSpans: maximal cross-doc spans; intra-doc repeats don't count") {
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
     val shared10 = words("s", 10)    // exactly one window
