@@ -968,6 +968,39 @@ object Queries {
         sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
   }
 
+  /** WARM-path incremental dedup (rows-only — MinHash-based): the
+    * production shape the operator is built for. Yesterday's base
+    * signatures are a persisted artifact — written ONCE per (tmpdir,
+    * sf dir) here, parquet — and each batch pays only the increment's
+    * signature build plus the capped joins; the cold `dedup_increment`
+    * entry, which rebuilds both corpora's signatures every run,
+    * measures the one-time bootstrap cost instead. Same split, same
+    * planted cross-batch dups, same output columns as the cold entry —
+    * DedupSpec pins warm == cold row-for-row.
+    */
+  private def dedupIncrementWarmQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val sigDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_base_sigs_" +
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
+    if (!java.nio.file.Files.exists(sigDir.resolve("_SUCCESS")))
+      Dedup.minhashSignaturesAgg(base, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir.toString)
+    val baseSigs = s.read.parquet(sigDir.toString)
+    val planted = base.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val increment = docs.filter(col("doc_id") % 5 === 0).unionByName(planted)
+    val kept = Dedup.dedupIncrement(base, increment, "doc_id", "text",
+      jaccardThreshold = 0.5, baseSigs = Some(baseSigs))
+    increment.agg(count(lit(1)).as("n_increment"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
+        sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
+  }
+
   /** SimHash bucket histogram (no SQL oracle — xxhash64-based). */
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -1878,6 +1911,7 @@ object Queries {
     "minhash_neardup" -> (minhashNearDup _),
     "dedup_corpus" -> (dedupCorpus _),
     "dedup_increment" -> (dedupIncrementQuery _),
+    "dedup_increment_warm" -> (dedupIncrementWarmQuery _),
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
     "dedup_exact" -> (dedupExact _),

@@ -239,6 +239,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(20001L))
   }
 
+  test("warm dedup_increment registry entry equals the cold one row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val cold = graft.SparkEntry.queries("dedup_increment")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val warm = graft.SparkEntry.queries("dedup_increment_warm")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(warm == cold)
+    // second call hits the persisted signature store (idempotent)
+    val warm2 = graft.SparkEntry.queries("dedup_increment_warm")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(warm2 == cold)
+  }
+
   test("hot-bucket defense is dormant on the organic corpus (no degenerate buckets)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val report = Dedup.hotBucketReport(
