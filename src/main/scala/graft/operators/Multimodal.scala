@@ -1,18 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §7.4): media as opaque
   * `binary` columns with typed metadata, plus feature extraction.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic stub (hash-derived pseudo-features) — clearly marked —
-  * while the Spark-side plumbing is real: schema, per-partition batch
-  * processing (one "codec handle" per partition, the mapPartitions
-  * analog of a Pandas-UDF batch), frame sampling via binary slicing,
-  * and expression-only fast paths that stay inside codegen.
+  * Image decode/resize are REAL — `javax.imageio` ships in the JDK, so
+  * [[decode]]/[[resizeTo]] run actual PNG/BMP/GIF/JPEG codecs inside a
+  * `Dataset.mapPartitions` batch (one codec context per partition, the
+  * mapInPandas shape). Payloads no reader accepts fall back to the
+  * deterministic [[PseudoCodec]], keeping the operators total over
+  * mixed corpora. Frame sampling and feature extraction stay
+  * expression-only inside codegen.
   */
 object Multimodal {
 
@@ -88,62 +88,144 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
-  private val decodeSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("mean_intensity", DoubleType)))
-
-  /** STUB DECODER — per-partition batch decode, the Scala analog of a
-    * Pandas UDF over mapInPandas: one "codec" is initialized per
-    * partition and reused across the batch (this is where a real
-    * libjpeg/ffmpeg handle would live). The decode itself is a
-    * deterministic fake: features derived from the raw bytes.
+  /** Decoded per-payload features. `width`/`height` are -1 on the
+    * pseudo (opaque-payload) path, where the codec can't know them.
     */
-  def decodeStub(withMediaDf: DataFrame): DataFrame = {
-    val spark = withMediaDf.sparkSession
-    val input = withMediaDf.select(col("doc_id"), col("media"))
-    val rdd = input.rdd.mapPartitions { rows =>
-      // per-partition "codec" init (a real decoder handle at scale)
-      val codec = new PseudoCodec
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val f = codec.decode(bytes)
-        Row(id, bytes.length, f._1, f._2)
+  final case class DecodedMedia(doc_id: Long, byte_len: Int, width: Int,
+      height: Int, channels: Int, mean_intensity: Double, codec: String)
+
+  final case class MediaMeta(mime: String, byte_len: Int, width: Int, height: Int)
+  final case class ResizedMedia(doc_id: Long, media: Array[Byte], media_meta: MediaMeta)
+
+  private val idBytesEnc =
+    Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+
+  /** Attach a REAL PNG payload per doc: an 8-bit grayscale gradient
+    * whose dimensions and pixels are closed-form in doc_id
+    * (width = 8 + id%9, height = 8 + id%7, pixel(x,y) =
+    * (7x + 13y + id) mod 256), so decode results are oracle-checkable
+    * end to end. Generation runs per-partition with one encoder
+    * context (ImageIO disk cache off), the same batch shape as
+    * [[decode]].
+    */
+  def withMediaPng(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => (id, pngPayload(id)))
+      }(idBytesEnc)
+      .toDF("doc_id", "media")
+
+  /** The closed-form gradient PNG for [[withMediaPng]] — also the
+    * spec's oracle generator. PNG is lossless, so decoded samples
+    * equal the formula exactly.
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 7 + y * 13 + id) % 256).toInt)
+        x += 1
       }
+      y += 1
     }
-    spark.createDataFrame(rdd, decodeSchema)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  private val resizeSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("media", BinaryType),
-    StructField("media_meta", StructType(Seq(
-      StructField("mime", StringType),
-      StructField("byte_len", IntegerType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType))))))
-
-  /** STUB RESIZE — same per-partition batch shape as [[decodeStub]]:
-    * payload transformed to the target dimensions' byte budget, the
-    * metadata struct rewritten to match. A real implementation swaps
-    * PseudoCodec.resize for the codec call; schema and partitioning
-    * stay identical.
+  /** REAL per-partition batch decode — `Dataset.mapPartitions` with
+    * encoders (not `df.rdd`), so the exchange stays in Tungsten rows
+    * and the per-partition closure is the only deserialization point.
+    * Decodable payloads (PNG/BMP/GIF/JPEG — whatever the JDK's
+    * `javax.imageio` readers accept) report true width/height/bands
+    * and the exact mean sample intensity; opaque payloads fall back to
+    * the deterministic [[PseudoCodec]] so the operator is total over
+    * mixed corpora (`codec` says which path fired). One ImageIO
+    * context per partition: cache off once, readers reused by the
+    * JDK's registry — the mapInPandas batch shape, kept.
     */
-  def resizeStub(withMediaDf: DataFrame, width: Int, height: Int): DataFrame = {
-    val spark = withMediaDf.sparkSession
-    val input = withMediaDf.select(col("doc_id"), col("media"))
-    val rdd = input.rdd.mapPartitions { rows =>
-      val codec = new PseudoCodec
-      rows.map { r =>
-        val id = r.getLong(0)
-        val resized = codec.resize(r.getAs[Array[Byte]](1), width, height)
-        Row(id, resized,
-          Row("application/octet-stream", resized.length, width, height))
+  def decode(withMediaDf: DataFrame): Dataset[DecodedMedia] = {
+    val enc = Encoders.product[DecodedMedia]
+    withMediaDf.select(col("doc_id"), col("media")).as(idBytesEnc)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val fallback = new PseudoCodec
+        rows.map { case (id, bytes) => decodeOne(id, bytes, fallback) }
+      }(enc)
+  }
+
+  private def decodeOne(id: Long, bytes: Array[Byte],
+      fallback: PseudoCodec): DecodedMedia = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val (ch, mean) = fallback.decode(bytes)
+      DecodedMedia(id, bytes.length, -1, -1, ch, mean, "pseudo")
+    } else {
+      val r = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = r.getNumBands
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
       }
+      DecodedMedia(id, bytes.length, w, h, bands,
+        sum / (w.toDouble * h * bands), "imageio")
     }
-    spark.createDataFrame(rdd, resizeSchema)
+  }
+
+  /** REAL resize, same per-partition batch shape as [[decode]]:
+    * decodable payloads are resampled (area-averaging) to the target
+    * dimensions and re-encoded as PNG; opaque payloads take the
+    * [[PseudoCodec]] byte-budget path so the output schema is total.
+    * The metadata struct is rewritten to match the new payload.
+    */
+  def resizeTo(withMediaDf: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
+    val enc = Encoders.product[ResizedMedia]
+    withMediaDf.select(col("doc_id"), col("media")).as(idBytesEnc)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val fallback = new PseudoCodec
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) {
+            val out = fallback.resize(bytes, width, height)
+            ResizedMedia(id, out,
+              MediaMeta("application/octet-stream", out.length, width, height))
+          } else {
+            val dst = new java.awt.image.BufferedImage(width, height, img.getType match {
+              case 0 => java.awt.image.BufferedImage.TYPE_INT_ARGB // TYPE_CUSTOM
+              case t => t
+            })
+            val g = dst.createGraphics()
+            g.drawImage(img.getScaledInstance(width, height,
+              java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            val out = bos.toByteArray
+            ResizedMedia(id, out, MediaMeta("image/png", out.length, width, height))
+          }
+        }
+      }(enc)
   }
 
   /** Deterministic stand-in for a media codec. */

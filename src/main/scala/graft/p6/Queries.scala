@@ -1092,6 +1092,24 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** REAL image decode over a PNG media column: payloads are
+    * closed-form gradient PNGs ([[graft.operators.Multimodal.withMediaPng]]),
+    * decoded by `javax.imageio` in a `Dataset.mapPartitions` batch —
+    * and the decoded dimensions, band count, and mean sample intensity
+    * are ORACLE-CHECKED against DuckDB computing the same closed forms
+    * directly (the codec round-trip must recover the formula exactly;
+    * PNG is lossless). 200 docs keeps the verify dump small; the
+    * per-partition batch shape is what scales.
+    */
+  private def mediaDecodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    Multimodal.decode(Multimodal.withMediaPng(docs))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_intensity"), 4).as("mean_intensity"), col("codec"))
+  }
+
   /** Media dedup over the binary column: exact groups by content hash
     * plus frame-overlap near-dup pairs
     * ([[graft.operators.Multimodal.frameNearDupPairs]] — inverted
@@ -1914,6 +1932,7 @@ object Queries {
     "dedup_increment_warm" -> (dedupIncrementWarmQuery _),
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
+    "media_decode" -> (mediaDecodeQuery _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "text_quality" -> (textQuality _),
@@ -2429,6 +2448,18 @@ object Queries {
         count(DISTINCT md5(text)) AS n_uniq_media,
         CAST(sum((octet_length(encode(text)) + 255) // 256) AS BIGINT) AS n_frames
         FROM documents GROUP BY 1 ORDER BY 1""",
+    "media_decode" ->
+      """WITH d AS (
+          SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+                 CAST(8 + doc_id % 7 AS INT) AS height
+          FROM documents WHERE doc_id < 200),
+        px AS (SELECT doc_id, width, height,
+                 unnest(range(width * height)) AS i FROM d)
+        SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+          round(avg(CAST(((i % width) * 7 + (i // width) * 13 + doc_id) % 256
+            AS DOUBLE)), 4) AS mean_intensity,
+          'imageio' AS codec
+        FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_uniq_text,
         count(DISTINCT md5(text)) AS n_uniq_hash FROM documents""",

@@ -291,25 +291,52 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(emptyFrames(9L).isEmpty)
 
-    val decoded = Multimodal.decodeStub(media).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
-    assert(decoded(0L)._1 == 11)
-    assert(decoded(1L)._1 == 600)
+    // opaque (non-image) payloads take the PseudoCodec fallback path
+    val decoded = Multimodal.decode(media).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(decoded(0L).byte_len == 11)
+    assert(decoded(1L).byte_len == 600)
+    assert(decoded.values.forall(_.codec == "pseudo"))
     // 'x' = 0x78 = 120 -> mean intensity of the 600-byte payload is exactly 120
-    assert(decoded(1L)._3 == 120.0)
-    // deterministic channels stub: 1 + len % 3
-    assert(decoded(0L)._2 == 1 + 11 % 3)
+    assert(decoded(1L).mean_intensity == 120.0)
+    // deterministic channels fallback: 1 + len % 3; dims unknowable
+    assert(decoded(0L).channels == 1 + 11 % 3)
+    assert(decoded(0L).width == -1 && decoded(0L).height == -1)
 
-    // resize stub: payload re-budgeted to width*height bytes, metadata
+    // opaque resize: payload re-budgeted to width*height bytes, metadata
     // struct rewritten to match
-    val resized = Multimodal.resizeStub(media, 16, 8).collect()
-      .map { r =>
-        val m = r.getStruct(2)
-        r.getLong(0) -> ((r.getAs[Array[Byte]](1).length,
-          m.getInt(1), m.getInt(2), m.getInt(3)))
-      }.toMap
+    val resized = Multimodal.resizeTo(media, 16, 8).collect()
+      .map(r => r.doc_id -> ((r.media.length, r.media_meta.byte_len,
+        r.media_meta.width, r.media_meta.height))).toMap
     assert(resized(0L) == ((128, 128, 16, 8)))
     assert(resized(1L) == ((128, 128, 16, 8)))
+  }
+
+  test("real PNG decode: javax.imageio recovers closed-form dims and mean intensity") {
+    val docs = (0L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val media = Multimodal.withMediaPng(docs)
+    val decoded = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    assert(decoded.size == 41)
+    assert(decoded.values.forall(_.codec == "imageio"))
+    (0L to 40L).foreach { id =>
+      val d = decoded(id)
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      assert(d.width == w && d.height == h && d.channels == 1,
+        s"doc $id: got ${d.width}x${d.height}x${d.channels}, want ${w}x$h x1")
+      // closed-form oracle: mean of (7x + 13y + id) mod 256 over the grid
+      val want = (for { y <- 0 until h; x <- 0 until w }
+        yield ((x * 7 + y * 13 + id) % 256).toDouble).sum / (w * h)
+      assert(math.abs(d.mean_intensity - want) < 1e-9,
+        s"doc $id: mean ${d.mean_intensity}, want $want")
+    }
+
+    // real resize: the output is a PNG that decodes at the target dims
+    val one = Multimodal.withMediaPng(Seq(Tuple1(0L)).toDF("doc_id"))
+    val rz = Multimodal.resizeTo(one, 4, 4).collect().head
+    assert(rz.media_meta.mime == "image/png")
+    val back = Multimodal.decode(Seq((0L, rz.media)).toDF("doc_id", "media"))
+      .collect().head
+    assert(back.codec == "imageio" && back.width == 4 && back.height == 4)
   }
 
   test("frameNearDupPairs: shared frames pair; ubiquitous frames are dropped") {
