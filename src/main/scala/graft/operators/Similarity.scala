@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §7.4).
@@ -106,6 +107,67 @@ object Similarity {
       .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** EXACT batch top-k: every query in `queryIds` (one `qid` column)
+    * against the corpus in a single pass — the production reranking
+    * shape, where queries arrive as a SET, not one id per job. The
+    * query vectors broadcast (|Q| rows), the corpus scan stays fully
+    * parallel, and the per-query top-k is one window over the scored
+    * frame (partitioned by qid — no global sort, no driver loop).
+    * Scoring work is |corpus| x |Q| dot products on purpose: this is
+    * the exact baseline; [[annTopKBatch]] is the pruned path.
+    */
+  def bruteTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: DataFrame, k: Int = 10): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val qids = queryIds.select(col("qid").cast("long").as("qid"))
+    val qvecs = prep.join(broadcast(qids), col("id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    prep.crossJoin(broadcast(qvecs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Batch multi-probe LSH ANN: [[annTopK]] for a query SET in one
+    * plan — the membership index is built once and joined once for ALL
+    * queries (probes = |Q| x tables x (bits+1) light rows, broadcast),
+    * instead of one Spark job per query id. Candidates are
+    * (qid, id) pairs from probe-bucket collisions; the raw vectors are
+    * touched only for the bucketing scan and the candidate rerank, and
+    * the per-query top-k is a qid-partitioned window — nothing in the
+    * plan scales with |Q| except the candidate frame itself.
+    */
+  def annTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: DataFrame, k: Int = 10, bits: Int = 12,
+      tables: Int = 8): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val memb = lshBucketsMulti(prep, bits, tables)
+    val qids = queryIds.select(col("qid").cast("long").as("qid"))
+    val probes = memb.join(broadcast(qids), col("id") === col("qid"))
+      .select(col("qid"), col("table").as("ptable"), explode(array(
+        col("bucket") +:
+          (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*
+      )).as("pbucket"))
+    val candidates = memb.join(broadcast(probes),
+        col("table") === col("ptable") && col("bucket") === col("pbucket") &&
+          col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    val qvecs = prep.join(broadcast(qids), col("id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    candidates.join(prep, "id")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Nearest-centroid assignment: (id, cid) in ONE pass against the

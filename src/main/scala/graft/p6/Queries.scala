@@ -762,6 +762,34 @@ object Queries {
       .limit(50)
   }
 
+  /** Batch EXACT top-k: the 20 lowest-id vectors as a query SET in one
+    * plan — broadcast query vectors, one corpus pass, qid-partitioned
+    * window top-k. Oracle-backed (exact cosine); the LSH batch twin is
+    * `ann_lsh_batch_topk`.
+    */
+  private def annBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** Batch multi-probe LSH ANN over the same query set (no oracle —
+    * hash-derived hyperplanes; SimilaritySpec pins MEAN recall@10
+    * >= 0.9 against the exact batch across all 20 queries; 16 tables,
+    * because a batch answers for every query's angle at once where the
+    * single-query entry only needs its own).
+    */
+  private def annLshBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    Similarity.annTopKBatch(e, "vec_id", "embedding", qids,
+      k = 10, bits = 6, tables = 16)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Semi-structured columns: parse the JSON props payload and
     * aggregate an extracted field (from_json with an explicit schema —
     * the shredding shape; schema-on-read stays at the edge).
@@ -1939,6 +1967,8 @@ object Queries {
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_batch_topk" -> (annBatchTopK _),
+    "ann_lsh_batch_topk" -> (annLshBatchTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "emb_neardup" -> (embNearDup _),
     "approx_distinct" -> (approxDistinct _),
@@ -2517,6 +2547,21 @@ object Queries {
              * sqrt(list_dot_product(qv, qv))), 4) AS sim
         FROM embeddings, q
         ORDER BY sim DESC, vec_id LIMIT 50""",
+    "ann_batch_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        s AS (
+          SELECT qid, e.vec_id,
+            round(list_dot_product(v, qv) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+              4) AS sim
+          FROM e, q WHERE e.vec_id != qid),
+        r AS (SELECT qid, vec_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+          FROM s)
+        SELECT qid, vec_id, sim FROM r WHERE rn <= 10
+        ORDER BY qid, sim DESC, vec_id""",
     "q30_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         row_number() OVER bydate AS rn,

@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe recall@10 too low: $recall (got=$got exact=$exact10)")
   }
 
+  test("batch ANN: one-plan query set — exact batch matches per-query brute, LSH batch recall >= 0.9") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qids = emb.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    val exact = Similarity.bruteTopKBatch(emb, "vec_id", "embedding", qids, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(exact.keySet == (0L until 20L).toSet)
+    assert(exact.values.forall(_.size == 10))
+    // qid 0's exact batch row set equals the single-query brute force
+    val single = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    assert(exact(0L) == single)
+
+    val lsh = Similarity.annTopKBatch(emb, "vec_id", "embedding", qids,
+        k = 10, bits = 6, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // every query answered in the ONE plan, with mean recall@10 >= 0.9
+    assert(lsh.keySet == (0L until 20L).toSet)
+    val recalls = (0L until 20L).map(q =>
+      (lsh(q) & exact(q)).size.toDouble / exact(q).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"batch LSH mean recall@10 too low: $mean ($recalls)")
+  }
+
   test("cosine near-dup hot bucket: identical embeddings stay linear via star pairs") {
     val base = Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 3L).select(col("embedding")).collect()(0)
