@@ -11,6 +11,7 @@ import graft.sources.WorkbookSource
   * (ref: src/P6/__main__.py:28-31):
   *
   *   parse-excel -e <xlsx> [-hpo <hp.json>] [--strict-variants] [--verbose]
+  *               [--legacy-names]
   *   audit-excel -e <xlsx> [-r|--report-json]
   *   download [-d <dir>] [-v <tag>]
   *
@@ -94,7 +95,10 @@ object Main {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss"))
     val outDir = Paths.get(sys.props.getOrElse("graft.cwd", ".").toString)
       .resolve("phenopacket_from_excel").resolve(ts).resolve("phenopackets")
-    val nWritten = Assemble.writeNumberedJson(packets, outDir.toString)
+    // --legacy-names: the reference's older sink named files by patient
+    // id (<patient>.json) instead of 1.json..N.json
+    val nWritten = Assemble.writeNumberedJson(packets, outDir.toString,
+      legacyNames = o.contains("--legacy-names"))
 
     val stats = result.stats
     println(s"Wrote ${stats("patients")} phenopacket files to $outDir")

@@ -153,11 +153,15 @@ object Assemble {
   /** S4 sink: one JSON document per patient under `outDir`. The
     * reference numbers files 1.json..N.json in iteration order
     * (src/P6/__main__.py:200-212); we honor that naming for parity at
-    * small N. At 100 TB the idiomatic layout is
-    * `write.partitionBy("patient_id").text(...)` — provided as
-    * `writePartitioned`.
+    * small N. `legacyNames = true` reproduces the reference's OLDER
+    * write path instead, which names each file by its patient id
+    * (`<patient_id>.json`, src/P6/__main__.py:313-391) — a user
+    * migrating old output layouts needs both. At 100 TB the idiomatic
+    * layout is `write.partitionBy("patient_id").text(...)` — provided
+    * as `writePartitioned`.
     */
-  def writeNumberedJson(packets: DataFrame, outDir: String): Long = {
+  def writeNumberedJson(packets: DataFrame, outDir: String,
+      legacyNames: Boolean = false): Long = {
     val rows = packets
       .select(col("patient_id"), to_json(col("packet")).as("json"))
       .orderBy(col("patient_id"))
@@ -165,7 +169,8 @@ object Assemble {
     val dir = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(dir)
     rows.zipWithIndex.foreach { case (r, i) =>
-      java.nio.file.Files.writeString(dir.resolve(s"${i + 1}.json"), r.getString(1))
+      val name = if (legacyNames) s"${r.getString(0)}.json" else s"${i + 1}.json"
+      java.nio.file.Files.writeString(dir.resolve(name), r.getString(1))
     }
     rows.length.toLong
   }

@@ -160,6 +160,26 @@ class CliSpec extends SparkSpec {
     assert(body == golden)
   }
 
+  test("parse-excel --legacy-names: files named by patient id, not 1.json..N.json") {
+    val dir = Files.createTempDirectory("clilegacy")
+    val wb = dir.resolve("wb.xlsx")
+    val hpo = dir.resolve("hp.json")
+    writeXlsx(wb, Seq("Variants" -> genotypeRows, "HPO" -> phenotypeRows))
+    writeHpoJson(hpo)
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--excel-path" -> wb.toString, "--custom-hpo" -> hpo.toString,
+        "--legacy-names" -> "true"))
+    } finally { sys.props -= "graft.cwd" }
+    assert(out.contains("Wrote 1 phenopacket files to "))
+    val packets = Files.walk(dir.resolve("phenopacket_from_excel")).iterator()
+    val jsons = scala.jdk.CollectionConverters.IteratorHasAsScala(packets).asScala
+      .filter(_.toString.endsWith(".json")).toList
+    assert(jsons.size == 1 && jsons.head.getFileName.toString == "P100.json")
+  }
+
   test("parse-excel: relative HPO path resolves against graft.cwd, not process cwd") {
     // hp.json exists ONLY under the overridden cwd — cwd-relative
     // resolution (the old behavior) would miss it and exit(1)
