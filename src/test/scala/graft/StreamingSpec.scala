@@ -333,6 +333,36 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("statefulSessionize matches the batch q12 lag plan session-for-session on the corpus") {
+    // the same event set through BOTH engines: flatMapGroupsWithState
+    // and the oracle-backed lag/window plan must produce identical
+    // (user, start, end, n) session SETS — this makes the stateful
+    // path transitively oracle-backed, not just spec-gated on toys
+    val gap = 1800000L
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val viaState = EventStreams.statefulSessionize(
+        events.select(col("user_id"), col("ts"), col("event_type"),
+          col("value").cast("double").as("value")).as[EventStreams.Event],
+        gapMs = gap)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val viaLag = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(viaState.nonEmpty && viaState == viaLag)
+  }
+
   test("batch session query and streaming session_window agree on the corpus") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val viaSessionWindow = EventStreams.sessionWindows(events)
