@@ -173,4 +173,21 @@ class PlanSpec extends SparkSpec {
       s"query set must broadcast:\n${p.take(1200)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("ann_lsh_batch_topk: probes broadcast; per-query top-k is a qid-partitioned window") {
+    val s = plan("ann_lsh_batch_topk")
+    // the probe set must hit the membership index as a broadcast, and
+    // the batch must rank per query (qid window), never globally
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(s.contains("windowspecdefinition(qid"), s.take(1200))
+  }
+
+  test("media_decode: per-partition codec batch is a MapPartitions sandwich over a doc_id-only scan") {
+    val s = plan("media_decode")
+    assert(s.contains("MapPartitions"), s.take(1200))
+    // PNG generation needs only doc_id — the documents scan must not
+    // drag text/lang/source along
+    val schemas = scanMeta("media_decode").map(_._2)
+    assert(schemas.exists(_ == "struct<doc_id:bigint>"), schemas.mkString("; "))
+  }
 }
