@@ -34,6 +34,15 @@ object VectorExpressions {
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** All `tables` sign-random-projection LSH buckets for a vector in
+    * one codegen'd pass (array<long>, one bucket id per table) — the
+    * map-only replacement for the explode + per-plane-sum shape.
+    */
+  def sign_project(v: Column, bits: Int, tables: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.SignProjection(
+        ColumnBridge.expression(v), bits, tables))
+
   /** Register the graft SQL functions on an existing session (the
     * temp-function path; [[GraftExtensions]] is the config-driven
     * equivalent for sessions you don't construct). Aggregate builders

@@ -43,11 +43,16 @@ object Similarity {
 
   /** Multi-table LSH membership: `tables` INDEPENDENT hyperplane sets
     * (plane index t*bits+k seeds the hash, so table 0 reproduces
-    * [[lshBuckets]]), all projected in ONE explode + one map-side-
-    * combined groupBy — the corpus is scanned once no matter how many
-    * tables. Returns (id, table, bucket), `tables` rows per vector,
-    * a few dozen bytes each: the membership index shuffles light even
-    * when the vectors are wide.
+    * [[lshBuckets]]), all computed MAP-ONLY by the native
+    * [[graft.functions.VectorExpressions.sign_project]] kernel — one
+    * codegen'd pass per vector, no component explode, no
+    * (id x numPlanes) aggregate, NO SHUFFLE. Returns
+    * (id, table, bucket), `tables` rows per vector, a few dozen bytes
+    * each. Bucket ids are bit-identical to the historical
+    * explode + per-plane-sum formulation (same hash family, same
+    * summation order — SimilaritySpec pins the equivalence), which
+    * this replaced after the 96-plane batch entry showed the
+    * aggregate's compile + exchange cost dominating the query.
     *
     * Multiple tables are the standard recall lever when neighbors sit
     * at wide angles (each table is an independent chance to collide);
@@ -55,27 +60,10 @@ object Similarity {
     * index, and the raw vectors are only touched for the candidate
     * rerank.
     */
-  def lshBucketsMulti(prep: DataFrame, bits: Int, tables: Int): DataFrame = {
-    require(bits <= 62, "bucket id must fit a long")
-    require(tables >= 1, "need at least one table")
-    val total = bits * tables
-    val comps = prep.select(col("id"), posexplode(col("v")).as(Seq("j", "x")))
-    val proj = comps.select(col("id") +:
-      (0 until total).map { k =>
-        (when(shiftright(xxhash64(lit(k), col("j")), 13).bitwiseAND(1) === 1,
-          col("x")).otherwise(-col("x"))).as(s"p$k")
-      }: _*)
-    val sums = proj.groupBy(col("id"))
-      .agg(sum(col("p0")).as("p0"),
-        (1 until total).map(k => sum(col(s"p$k")).as(s"p$k")): _*)
-    sums.select(col("id"), explode(array((0 until tables).map { t =>
-      struct(lit(t).as("table"),
-        (0 until bits).map(b => when(col(s"p${t * bits + b}") > 0,
-          lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, c) => a + c).as("bucket"))
-    }: _*)).as("tb"))
-      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+  def lshBucketsMulti(prep: DataFrame, bits: Int, tables: Int): DataFrame =
+    prep.select(col("id"),
+      posexplode(graft.functions.VectorExpressions.sign_project(
+        col("v"), bits, tables)).as(Seq("table", "bucket")))
 
   /** Approximate top-k neighbors of `queryId`: exact cosine rerank
     * restricted to the union, over `tables` independent LSH tables, of

@@ -110,6 +110,94 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` sign-random-projection LSH bucket ids for one vector
+  * in a single codegen'd pass: bucket_t packs `bits` sign bits, where
+  * bit b of table t is sign(Σ_j w(t*bits+b, j) * v_j) and the ±1
+  * weight w(k, j) is bit 13 of xxhash64(k, j) (seed 42) — EXACTLY the
+  * hash family, summation order (j ascending per plane), and `> 0`
+  * threshold of the historical explode + per-plane-sum formulation, so
+  * bucket ids are bit-identical to that path while the plan becomes
+  * MAP-ONLY: no component explode, no (id x numPlanes) aggregate, no
+  * shuffle. At 100 TB this turns LSH membership from the widest
+  * exchange in the ANN pipeline into scan-side scalar work.
+  *
+  * The ±1 weight table is materialized lazily per task (expression
+  * instances are task-local after deserialization) and grown to the
+  * observed dimensionality, so the per-row cost is tables*bits*dim
+  * multiply-adds, not hash computations.
+  */
+case class SignProjection(child: Expression, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 62, "bucket id must fit a long")
+  require(tables >= 1, "need at least one table")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_project"
+
+  @transient private var signRows: Array[Array[Byte]] = _
+
+  /** w(k)(j) in {-1, +1}, grown to cover `dim` components. */
+  private def signs(dim: Int): Array[Array[Byte]] = {
+    if (signRows == null || signRows.head.length < dim) {
+      val total = bits * tables
+      signRows = Array.tabulate(total) { k =>
+        val hk = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(k, org.apache.spark.sql.types.IntegerType, 42L)
+        Array.tabulate(dim) { j =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(j, org.apache.spark.sql.types.IntegerType, hk)
+          if (((h >>> 13) & 1L) == 1L) 1.toByte else (-1).toByte
+        }
+      }
+    }
+    signRows
+  }
+
+  def project(input: ArrayData): ArrayData = {
+    val dim = input.numElements()
+    val s = signs(dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val w = s(t * bits + b)
+        var p = 0.0
+        var j = 0
+        while (j < dim) {
+          p += (if (w(j) > 0) input.getDouble(j) else -input.getDouble(j))
+          j += 1
+        }
+        if (p > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    project(input.asInstanceOf[ArrayData])
+
+  /** Codegen: one virtual call into [[project]] per row — the loop stays
+    * compiled once in this class (the weight cache lives here too), and
+    * the call site stays inside the whole-stage-codegen span.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signProjection", this, classOf[SignProjection].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.project($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression converters for expression-building facades. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -50,6 +50,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe recall@10 too low: $recall (got=$got exact=$exact10)")
   }
 
+  test("sign_project kernel equals the explode/per-plane-sum reference bit-for-bit") {
+    val bits = 6
+    val tables = 3
+    val total = bits * tables
+    val prep = Similarity.prepared(
+      Tables(spark, sfDir, "embeddings").limit(200), "vec_id", "embedding")
+    val fast = Similarity.lshBucketsMulti(prep, bits, tables)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the historical formulation the kernel replaced: component
+    // explode -> ±x per plane (bit 13 of xxhash64(k, j)) -> per-plane
+    // sums -> sign-packed bucket ids
+    val comps = prep.select(col("id"), posexplode(col("v")).as(Seq("j", "x")))
+    val proj = comps.select(col("id") +:
+      (0 until total).map { k =>
+        (when(shiftright(xxhash64(lit(k), col("j")), 13).bitwiseAND(1) === 1,
+          col("x")).otherwise(-col("x"))).as(s"p$k")
+      }: _*)
+    val sums = proj.groupBy(col("id"))
+      .agg(sum(col("p0")).as("p0"),
+        (1 until total).map(k => sum(col(s"p$k")).as(s"p$k")): _*)
+    val ref = sums.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        (0 until bits).map(b => when(col(s"p${t * bits + b}") > 0,
+          lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a + c).as("bucket"))
+    }: _*)).as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast == ref)
+  }
+
   test("batch ANN: one-plan query set — exact batch matches per-query brute, LSH batch recall >= 0.9") {
     val emb = Tables(spark, sfDir, "embeddings")
     val qids = emb.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
