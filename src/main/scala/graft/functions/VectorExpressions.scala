@@ -63,6 +63,11 @@ object VectorExpressions {
       "misra_gries",
       exprs => org.apache.spark.sql.graft.MisraGriesAgg(
         exprs(0), GraftExtensions.intLit(exprs(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sign_project",
+      exprs => org.apache.spark.sql.graft.SignProjection(exprs(0),
+        GraftExtensions.intLit(exprs(1), "bits"),
+        GraftExtensions.intLit(exprs(2), "tables")), "scala_udf")
   }
 }
 
@@ -96,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .getCanonicalName, "misra_gries"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MisraGriesAgg(
         exprs(0), GraftExtensions.intLit(exprs(1), "k"))))
+    e.injectFunction((
+      new FunctionIdentifier("sign_project"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.SignProjection]
+        .getCanonicalName, "sign_project"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SignProjection(
+        exprs(0), GraftExtensions.intLit(exprs(1), "bits"),
+        GraftExtensions.intLit(exprs(2), "tables"))))
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.MultiDistinctToJoin)
   }

@@ -264,6 +264,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF ANN: [[ivfTopK]] for a query SET in one plan — the
+    * coarse index (assignment + centroids) is built once, every query
+    * picks its `nprobe` nearest centroids through one broadcast
+    * centroid pass (a qid-partitioned window over |Q| x nlist rows),
+    * and the candidate rerank joins the probed (qid, cid) lists
+    * against the assignment in a single pass. Per-query work scales
+    * with nprobe/nlist of the corpus exactly like the single-query
+    * entry; nothing re-runs per query.
+    */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: DataFrame, k: Int = 10, nlist: Int = 32, nprobe: Int = 8,
+      refineIters: Int = 0): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val (assign, centroids) = ivfIndex(prep, nlist, refineIters)
+    val qids = queryIds.select(col("qid").cast("long").as("qid"))
+    val qvecs = prep.join(broadcast(qids), col("id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probed = centroids.crossJoin(broadcast(qvecs))
+      .select(col("qid"), col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    prep.join(assign, "id")
+      .join(broadcast(probed), "cid")
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Int8 scalar quantization: per-vector max-abs scale, components
     * mapped to [-127, 127] bytes — 4x the vectors per byte of shuffle
     * and cache, the first lever when the embedding table itself is

@@ -775,6 +775,20 @@ object Queries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** Batch IVF ANN over the same query set (no oracle — centroid
+    * assignment is engine-specific; SimilaritySpec proves
+    * nprobe=nlist reproduces the exact batch and the pruning path
+    * matches the single-query entry).
+    */
+  private def annIvfBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    Similarity.ivfTopKBatch(e, "vec_id", "embedding", qids,
+      k = 10, nlist = 32, nprobe = 8, refineIters = 2)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Batch multi-probe LSH ANN over the same query set (no oracle —
     * hash-derived hyperplanes; SimilaritySpec pins MEAN recall@10
     * >= 0.9 against the exact batch across all 20 queries; 16 tables,
@@ -1969,6 +1983,7 @@ object Queries {
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_batch_topk" -> (annBatchTopK _),
     "ann_lsh_batch_topk" -> (annLshBatchTopK _),
+    "ann_ivf_batch_topk" -> (annIvfBatchTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "emb_neardup" -> (embNearDup _),
     "approx_distinct" -> (approxDistinct _),

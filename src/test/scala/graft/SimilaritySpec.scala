@@ -106,6 +106,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"batch LSH mean recall@10 too low: $mean ($recalls)")
   }
 
+  test("batch IVF: probing every list reproduces the exact batch; nprobe subset matches single-query IVF") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qids = emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
+    // nprobe = nlist covers the whole corpus -> must EQUAL exact brute batch
+    val all = Similarity.ivfTopKBatch(emb, "vec_id", "embedding", qids,
+        k = 10, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.bruteTopKBatch(emb, "vec_id", "embedding", qids, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all == exact)
+    // a pruning nprobe agrees with the single-query entry, query by query
+    val batch = Similarity.ivfTopKBatch(emb, "vec_id", "embedding", qids,
+        k = 10, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val single = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 3L,
+        k = 10, nlist = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch(3L) == single)
+  }
+
   test("cosine near-dup hot bucket: identical embeddings stay linear via star pairs") {
     val base = Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 3L).select(col("embedding")).collect()(0)
