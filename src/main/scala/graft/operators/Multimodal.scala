@@ -65,11 +65,11 @@ object Multimodal {
     * differs). A frame hash held by more than `maxDocsPerFrame` docs
     * is dropped before pairing: a ubiquitous frame (black frame, logo
     * bumper) would otherwise emit a quadratic pair blowup — the same
-    * trade as Dedup.cappedPairs; count dropped hashes for the audit
-    * via the returned pairs' complement or a `hotBucketReport`-style
-    * pass. Hashes with a single holder can pair with nothing and are
-    * dropped by the same filter, so the join input is the rare-frame
-    * minority, not the corpus.
+    * trade as Dedup.cappedPairs; [[frameHotReport]] is the queryable
+    * audit of exactly which frames were dropped and how many pairs
+    * each drop skipped. Hashes with a single holder can pair with
+    * nothing and are dropped by the same filter, so the join input is
+    * the rare-frame minority, not the corpus.
     */
   def frameNearDupPairs(withMediaDf: DataFrame, minShared: Int = 2,
       maxDocsPerFrame: Int = 16): DataFrame = {
@@ -87,6 +87,20 @@ object Multimodal {
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
   }
+
+  /** Frames [[frameNearDupPairs]]'s ubiquity cap dropped, with the
+    * pair count each drop skipped — the media analog of
+    * `Dedup.hotBucketReport`, so the bounded-recall trade is queryable
+    * rather than silent. Empty when no frame exceeds the cap.
+    */
+  def frameHotReport(withMediaDf: DataFrame,
+      maxDocsPerFrame: Int = 16): DataFrame =
+    frameHashes(withMediaDf)
+      .select(col("doc_id"), explode(array_distinct(col("frame_hashes"))).as("fh"))
+      .groupBy(col("fh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocsPerFrame)
+      .select(col("fh"), col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("skipped_pairs"))
 
   /** Decoded per-payload features. `width`/`height` are -1 on the
     * pseudo (opaque-payload) path, where the codec can't know them.

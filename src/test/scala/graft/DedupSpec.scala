@@ -359,5 +359,11 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 3L)),
       s"only the identical pair should survive (3 shared frames), got $pairs")
+
+    // the audit names the dropped ubiquitous frame: 21 holders, so
+    // 21*20/2 = 210 pairs were skipped — queryable, not silent
+    val report = Multimodal.frameHotReport(media, maxDocsPerFrame = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(report.toSeq == Seq((21L, 210L)), report.mkString(", "))
   }
 }
