@@ -174,6 +174,54 @@ class ScaleStressSpec extends SparkSpec {
         .as("embedding"))
   }
 
+  test("skewed events: gap sessions survive a 500k-event single-user window partition") {
+    // the hot user's events land in ONE window partition — the real
+    // skew pain point for lag/window sessionization; both session
+    // engines must complete and agree under it
+    import org.apache.spark.sql.expressions.Window
+    val gap = 1800000L
+    val ev = corpus("events_skew_ts") {
+      spark.range(1000000L).select(
+        when(col("id") < 500000L, 42L)
+          .otherwise(col("id") % 100000L + 100L).as("user_id"),
+        col("id").as("event_id"),
+        // hot user: one event per second -> one giant session; tail
+        // users: sparse events -> mostly 1-event sessions
+        timestamp_millis(lit(1704067200000L) + col("id") * 1000L).as("ts"))
+    }
+    val (viaLag, viaSessionWindow) = timed("sessionize_skew_1m") {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lagSessions = ev
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev")) > gap, 1L)
+            .otherwise(0L))
+        .agg(sum(col("is_new"))).collect().head.getLong(0)
+      val sw = ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes")).count()
+        .count()
+      (lagSessions, sw)
+    }
+    assert(viaLag == viaSessionWindow, s"lag=$viaLag session_window=$viaSessionWindow")
+    assert(viaLag >= 100000L) // at least one session per user
+  }
+
+  test("collapsed embedding space: semDedup stays linear and still drops the duplicates") {
+    val dropped = timed("semdedup_20k") {
+      Similarity.semDedup(constEmbeddings, "vec_id", "embedding",
+          nlist = 8, refineIters = 0, threshold = 0.999)
+        .collect().map(_.getLong(0))
+    }
+    // the 19k near-constant vectors collapse to at most one survivor
+    // PER CLUSTER (each capped cluster keeps its min-id representative;
+    // the 8 near-identical seeds may split them across clusters), and
+    // the 1000 diverse vectors are never dropped
+    assert(dropped.length >= 19000 - 8 && dropped.length <= 18999,
+      s"dropped ${dropped.length}")
+    assert(dropped.forall(id => id >= 1L && id < 19000L))
+  }
+
   test("near-constant embeddings: near-dup pairs stay linear via the star degradation") {
     val (pairs, n) = timed("emb_neardup_20k") {
       val p = Similarity.cosineNearDupPairs(constEmbeddings, "vec_id", "embedding",
