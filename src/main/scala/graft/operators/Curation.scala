@@ -182,6 +182,53 @@ object Curation {
     selectByQuota(keyed, domainCol, tieCol, hist, quotas)
   }
 
+  /** Per-domain row cap for UNBOUNDED domain cardinality ("at most
+    * `cap` docs per host" — the web-crawl curation primitive): keep
+    * each domain's `cap` lowest-hash rows, exactly, with NO driver
+    * state — this is the executor-side sibling of [[exactQuotaSample]]
+    * for the case its bounded driver histogram rejects (millions of
+    * URL hosts).
+    *
+    * Same histogram-pruning idea, computed AS A DATAFRAME: leading-
+    * byte buckets, per-(domain, bucket) counts, per-domain cumulative
+    * sums via a window over <= 256 rows per domain (tiny partitions at
+    * any cardinality), then a (domain, bucket) join back. Whole
+    * buckets under the cap pass with no ranking; ONLY each over-cap
+    * domain's boundary bucket (~1/256 of it) is ranked, partitioned by
+    * (domain, bucket) — never a whole-domain window, so one mega-host
+    * cannot pin a task. Equals the naive per-domain row_number rank
+    * exactly (bucket asc, hash asc IS hash order; oracle-proven).
+    */
+  def perDomainCap(df: DataFrame, domainCol: String, hashCol: Column,
+      tieCol: Column, cap: Long): DataFrame = {
+    require(cap >= 0L, s"cap must be >= 0, got $cap")
+    val keyed = df
+      .withColumn("__h", hashCol)
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val wCum = Window.partitionBy(col("__d")).orderBy(col("__cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = keyed.groupBy(col(domainCol).as("__d"), col("__b").as("__cb"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__below", coalesce(sum(col("__n")).over(wCum), lit(0L)))
+      .select(col("__d"), col("__cb"),
+        when(col("__below") + col("__n") <= cap, 2)
+          .when(col("__below") < cap, 1)
+          .otherwise(0).as("__kind"),
+        (lit(cap) - col("__below")).as("__take"))
+      .filter(col("__kind") > 0)
+    val joined = keyed.join(cuts,
+      col(domainCol) === col("__d") && col("__b") === col("__cb"))
+    val whole = joined.filter(col("__kind") === 2)
+    val boundary = joined.filter(col("__kind") === 1)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__d"), col("__b"))
+          .orderBy(col("__h"), tieCol)))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn")
+    whole.unionByName(boundary)
+      .drop("__h", "__b", "__d", "__cb", "__kind", "__take")
+  }
+
   /** One corpus pass: rows keyed by (hash, leading-byte bucket) plus
     * the collected (domain, bucket, count) histogram — at most
     * |domains| x 256 rows on the driver.
@@ -211,7 +258,8 @@ object Curation {
         s"driver-side histogram (> $cap = maxDomains=$maxDomains x 256 " +
         "buckets). Mixture domains should be source-level labels, not an " +
         "unbounded-cardinality column; raise maxDomains only if the " +
-        "driver can hold |domains| x 256 rows.")
+        "driver can hold |domains| x 256 rows, or use perDomainCap, " +
+        "which computes the histogram executor-side for any cardinality.")
     (keyed, rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))))
   }
 

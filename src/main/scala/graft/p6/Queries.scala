@@ -1113,6 +1113,21 @@ object Queries {
       .orderBy(col("depth"))
   }
 
+  /** Per-host document cap ([[graft.operators.Curation.perDomainCap]]):
+    * keep each host's `cap` lowest-hash docs, exact, with the
+    * histogram pruning computed EXECUTOR-SIDE — no driver state, so
+    * the domain column may have unbounded cardinality (the web-crawl
+    * "at most N pages per host" primitive). Oracle = the naive
+    * per-domain rank it must equal.
+    */
+  private def domainCapQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), concat(lit("h"), col("doc_id") % 50).as("host"))
+    Curation.perDomainCap(docs, "host",
+      md5(col("doc_id").cast("string")), col("doc_id"), cap = 5L)
+  }
+
   /** FineWeb-style per-language quality gate: each language keeps only
     * docs at or above its own 25th-percentile length — thresholds are
     * RELATIVE per group, so a verbose language cannot crowd out a terse
@@ -2021,6 +2036,7 @@ object Queries {
     "chunk_dedup" -> (chunkDedup _),
     "global_shuffle" -> (globalShuffle _),
     "mixture_sample" -> (mixtureSample _),
+    "domain_cap" -> (domainCapQuery _),
     "semdedup" -> (semDedupQuery _),
     "unigram_lm_quality" -> (unigramLmQuality _),
     "heavy_hitters_topk" -> (heavyHittersTopK _),
@@ -2688,6 +2704,15 @@ object Queries {
           FROM documents)
         SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
         WHERE r.rn <= q.quota ORDER BY r.doc_id""",
+    "domain_cap" ->
+      """WITH d AS (
+          SELECT doc_id, 'h' || (doc_id % 50) AS host FROM documents),
+        r AS (
+          SELECT doc_id, host,
+            row_number() OVER (PARTITION BY host
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM d)
+        SELECT doc_id, host FROM r WHERE rn <= 5 ORDER BY doc_id""",
     "q52_range_agg_pushdown" ->
       """SELECT p.p_partkey % 50 AS bucket,
         CAST(count(*) AS BIGINT) AS n_matches,

@@ -80,6 +80,29 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("en" -> 139L, "zh" -> 10L))
   }
 
+  test("perDomainCap: equals the naive per-domain rank at high cardinality and under a mega-domain") {
+    // 600 distinct hosts (the shape the driver histogram rejects) plus
+    // one mega-host holding half the rows
+    val df = ((1L to 600L).map(i => (i, s"host_$i")) ++
+      (601L to 1200L).map(i => (i, "mega"))).toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    val got = Curation.perDomainCap(df, "dom", h, col("id"), cap = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = df.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dom")).orderBy(col("__h"), col("id"))))
+      .filter(col("rn") <= 3)
+      .select(col("id"), col("dom")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    // every small host passes wholesale; the mega-host is capped to 3
+    assert(got.count(_._2 == "mega") == 3)
+    assert(got.size == 600 + 3)
+    // cap 0 selects nothing; cap >= domain size selects everything
+    assert(Curation.perDomainCap(df, "dom", h, col("id"), cap = 0L).count() == 0L)
+    assert(Curation.perDomainCap(df, "dom", h, col("id"), cap = 1000L).count() == 1200L)
+  }
+
   test("exactQuotaSample: unbounded-cardinality domain column fails fast, naming the knob") {
     // 600 distinct domains with maxDomains=2 -> >= 600 (domain, bucket)
     // groups against a 512-row driver cap: must throw BEFORE collecting
