@@ -154,6 +154,23 @@ class ScaleStressSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("mega-domain cap: executor-side perDomainCap equals the naive rank at volume") {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("row_id").cast("string"))
+    val got = timed("mega_domain_cap_50k") {
+      Curation.perDomainCap(megaDomain, "dom", h, col("row_id"), cap = 1000L)
+        .select(col("row_id")).collect().map(_.getLong(0)).toSet
+    }
+    // mega capped to 1000; all 50 tail domains (100 rows each) pass whole
+    assert(got.size == 1000 + 50 * 100)
+    val naive = megaDomain.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dom")).orderBy(col("__h"), col("row_id"))))
+      .filter(col("rn") <= 1000)
+      .select(col("row_id")).collect().map(_.getLong(0)).toSet
+    assert(got == naive)
+  }
+
   // ---------------------------------------------------------------- D
   // 20,000 vectors, dim 32; ids 2..18999 are the constant direction
   // plus one tiny per-id jitter component; ids 0 and 1 are EXACTLY the
