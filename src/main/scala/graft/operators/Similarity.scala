@@ -205,23 +205,31 @@ object Similarity {
       val rows = df.select(col("cid").cast("long"), col("cv")).collect()
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
     }
-    var centroids = pin(seedCentroids(prep, nlist))
-    var i = 0
-    while (i < iters) {
-      val assign = assignNearest(prep, centroids)
-      val means = prep.join(assign, "id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        // struct sorts by leading field j => component order restored
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
-          s => s.getField("m")).as("cv"))
-      centroids = pin(centroids.select(col("cid"), col("cv").as("__prev"))
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cv"), col("__prev")).as("cv")))
-      i += 1
-    }
-    centroids
+    // every Lloyd iteration scans the corpus twice (assignment + mean
+    // recombine) — pin the prepared vectors for the loop instead of
+    // re-reading and re-casting parquet 2*iters times; MEMORY_AND_DISK
+    // so an executor that cannot hold its slice spills, not OOMs
+    val cached = prep.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = pin(seedCentroids(cached, nlist))
+      var i = 0
+      while (i < iters) {
+        val assign = assignNearest(cached, centroids)
+        val means = cached.join(assign, "id")
+          .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cid"))
+          // struct sorts by leading field j => component order restored
+          .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+            s => s.getField("m")).as("cv"))
+        centroids = pin(centroids.select(col("cid"), col("cv").as("__prev"))
+          .join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cv"), col("__prev")).as("cv")))
+        i += 1
+      }
+      centroids
+    } finally { prep.unpersist(false); () }
   }
 
   /** IVF (inverted-file) coarse quantization: assign every vector to
