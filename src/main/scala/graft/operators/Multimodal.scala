@@ -204,6 +204,78 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features; `sample_rate`/`n_frames` are -1 on the
+    * pseudo (opaque-payload) path.
+    */
+  final case class DecodedAudio(doc_id: Long, byte_len: Int, sample_rate: Int,
+      n_frames: Long, channels: Int, mean_amplitude: Double, codec: String)
+
+  /** Attach a REAL WAV payload per doc: 8-bit unsigned mono PCM at
+    * 8 kHz whose length and samples are closed-form in doc_id
+    * (n = 800 + id%100 frames, sample(i) = (7i + id) mod 256) — the
+    * audio analog of [[withMediaPng]], decode results oracle-checkable
+    * end to end.
+    */
+  def withMediaWav(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions(ids => ids.map(id => (id, wavPayload(id))))(idBytesEnc)
+      .toDF("doc_id", "media")
+
+  /** The closed-form PCM WAV for [[withMediaWav]]. WAV PCM is
+    * uncompressed, so decoded samples equal the formula exactly.
+    */
+  def wavPayload(id: Long): Array[Byte] = {
+    val n = 800 + (id % 100).toInt
+    val samples = new Array[Byte](n)
+    var i = 0
+    while (i < n) { samples(i) = (((i * 7 + id) % 256) & 0xff).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode — the same `Dataset.mapPartitions` batch shape
+    * as [[decode]], running the JDK's `javax.sound.sampled` parsers
+    * (WAV/AIFF/AU): true sample rate, frame count, channel count, and
+    * the exact mean sample amplitude (8-bit PCM read unsigned).
+    * Payloads no parser accepts fall back to [[PseudoCodec]] features
+    * so the operator is total over mixed corpora.
+    */
+  def decodeAudio(withMediaDf: DataFrame): Dataset[DecodedAudio] = {
+    val enc = Encoders.product[DecodedAudio]
+    withMediaDf.select(col("doc_id"), col("media")).as(idBytesEnc)
+      .mapPartitions { rows =>
+        val fallback = new PseudoCodec
+        rows.map { case (id, bytes) => decodeAudioOne(id, bytes, fallback) }
+      }(enc)
+  }
+
+  private def decodeAudioOne(id: Long, bytes: Array[Byte],
+      fallback: PseudoCodec): DecodedAudio = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (in == null) {
+      val (ch, mean) = fallback.decode(bytes)
+      DecodedAudio(id, bytes.length, -1, -1L, ch, mean, "pseudo")
+    } else {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val data = in.readAllBytes()
+      var sum = 0.0
+      var i = 0
+      while (i < data.length) { sum += (data(i) & 0xff); i += 1 }
+      DecodedAudio(id, bytes.length, fmt.getSampleRate.toInt, frames,
+        fmt.getChannels,
+        if (data.isEmpty) 0.0 else sum / data.length, "javax.sound")
+    }
+  }
+
   /** REAL resize, same per-partition batch shape as [[decode]]:
     * decodable payloads are resampled (area-averaging) to the target
     * dimensions and re-encoded as PNG; opaque payloads take the

@@ -1167,6 +1167,23 @@ object Queries {
         round(col("mean_intensity"), 4).as("mean_intensity"), col("codec"))
   }
 
+  /** REAL audio decode over a WAV media column: payloads are
+    * closed-form 8-bit PCM ([[graft.operators.Multimodal.withMediaWav]]),
+    * decoded by `javax.sound.sampled` in a `Dataset.mapPartitions`
+    * batch; sample rate, frame count, channels, and mean amplitude are
+    * oracle-checked against DuckDB computing the same closed forms
+    * (PCM is uncompressed, so the round-trip is exact).
+    */
+  private def audioDecodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    Multimodal.decodeAudio(Multimodal.withMediaWav(docs))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+        col("channels"), round(col("mean_amplitude"), 4).as("mean_amplitude"),
+        col("codec"))
+  }
+
   /** Media dedup over the binary column: exact groups by content hash
     * plus frame-overlap near-dup pairs
     * ([[graft.operators.Multimodal.frameNearDupPairs]] — inverted
@@ -1990,6 +2007,7 @@ object Queries {
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
     "media_decode" -> (mediaDecodeQuery _),
+    "audio_decode" -> (audioDecodeQuery _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "text_quality" -> (textQuality _),
@@ -2521,6 +2539,17 @@ object Queries {
             AS DOUBLE)), 4) AS mean_intensity,
           'imageio' AS codec
         FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
+    "audio_decode" ->
+      """WITH d AS (
+          SELECT doc_id, CAST(800 + doc_id % 100 AS BIGINT) AS n_frames
+          FROM documents WHERE doc_id < 200),
+        s AS (SELECT doc_id, n_frames, unnest(range(n_frames)) AS i FROM d)
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_frames,
+          CAST(1 AS INT) AS channels,
+          round(avg(CAST((i * 7 + doc_id) % 256 AS DOUBLE)), 4)
+            AS mean_amplitude,
+          'javax.sound' AS codec
+        FROM s GROUP BY 1, 3 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_uniq_text,
         count(DISTINCT md5(text)) AS n_uniq_hash FROM documents""",

@@ -339,6 +339,28 @@ class DedupSpec extends SparkSpec {
     assert(back.codec == "imageio" && back.width == 4 && back.height == 4)
   }
 
+  test("real WAV decode: javax.sound recovers closed-form format and mean amplitude") {
+    val docs = (0L to 30L).map(i => Tuple1(i)).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(Multimodal.withMediaWav(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded.size == 31)
+    assert(decoded.values.forall(_.codec == "javax.sound"))
+    (0L to 30L).foreach { id =>
+      val d = decoded(id)
+      val n = 800 + (id % 100).toInt
+      assert(d.sample_rate == 8000 && d.channels == 1 && d.n_frames == n,
+        s"doc $id: ${d.sample_rate}Hz x${d.channels} ${d.n_frames}f, want 8000x1 ${n}f")
+      val want = (0 until n).map(i => ((i * 7 + id) % 256).toDouble).sum / n
+      assert(math.abs(d.mean_amplitude - want) < 1e-9,
+        s"doc $id: mean ${d.mean_amplitude}, want $want")
+    }
+    // an opaque payload takes the pseudo fallback, dims unknowable
+    val opaque = Multimodal.decodeAudio(
+      Seq((99L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "media"))
+      .collect().head
+    assert(opaque.codec == "pseudo" && opaque.sample_rate == -1)
+  }
+
   test("frameNearDupPairs: shared frames pair; ubiquitous frames are dropped") {
     // 600-byte payloads = 3 frames of 256/256/88 bytes. Docs 1 and 2
     // share ALL three frames (identical payload); doc 3 shares only
