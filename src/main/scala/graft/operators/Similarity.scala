@@ -65,6 +65,31 @@ object Similarity {
       posexplode(graft.functions.VectorExpressions.sign_project(
         col("v"), bits, tables)).as(Seq("table", "bucket")))
 
+  /** Per-bucket size above which the ANN candidate side truncates to
+    * the bucket's lowest-id members (see [[cappedMembership]]).
+    */
+  val DefaultMaxAnnBucket = 10000
+
+  /** Hot-bucket defense for the ANN candidate join: a DEGENERATE
+    * bucket (near-constant embeddings all sharing one sign pattern)
+    * would otherwise make every probing query rerank the whole bucket
+    * — corpus-sized at the pathological limit, the exact blowup
+    * Dedup.cappedPairs guards against in the pair pipelines. Buckets
+    * over `maxBucket` keep only their `maxBucket` LOWEST-ID members as
+    * candidates: deterministic, one window over the light membership
+    * frame (which the join shuffles anyway). The trade is the usual
+    * bounded-recall one — but inside a degenerate bucket the members
+    * are near-identical by construction (they collided on every sign
+    * bit), so any `maxBucket`-sized subset still yields a valid top-k
+    * of ~equal similarities; ScaleStressSpec pins exactly that.
+    */
+  private[operators] def cappedMembership(memb: DataFrame,
+      maxBucket: Int): DataFrame =
+    memb.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+
   /** Approximate top-k neighbors of `queryId`: exact cosine rerank
     * restricted to the union, over `tables` independent LSH tables, of
     * the query's bucket plus its `bits` Hamming-1 neighbor buckets
@@ -74,10 +99,13 @@ object Similarity {
     * to catch a neighbor the first hyperplane set split away. The
     * probe set is a broadcast of tables*(bits+1) rows against the
     * light (id, table, bucket) membership index — the raw vectors are
-    * only touched for the bucketing scan and the candidate rerank.
+    * only touched for the bucketing scan and the candidate rerank,
+    * and a degenerate bucket contributes at most `maxBucket`
+    * candidates ([[cappedMembership]]).
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int = 10, bits: Int = 12, tables: Int = 8): DataFrame = {
+      k: Int = 10, bits: Int = 12, tables: Int = 8,
+      maxBucket: Int = DefaultMaxAnnBucket): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val memb = lshBucketsMulti(prep, bits, tables)
     val qv = prep.filter(col("id") === queryId).select(col("v").as("qv"))
@@ -86,7 +114,7 @@ object Similarity {
         col("bucket") +:
           (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*
       )).as("pbucket"))
-    val candidates = memb.join(broadcast(probes),
+    val candidates = cappedMembership(memb, maxBucket).join(broadcast(probes),
         col("table") === col("ptable") && col("bucket") === col("pbucket"))
       .select(col("id")).distinct()
     prep.join(candidates, Seq("id"), "left_semi")
@@ -133,7 +161,7 @@ object Similarity {
     */
   def annTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       queryIds: DataFrame, k: Int = 10, bits: Int = 12,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, maxBucket: Int = DefaultMaxAnnBucket): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val memb = lshBucketsMulti(prep, bits, tables)
     val qids = queryIds.select(col("qid").cast("long").as("qid"))
@@ -142,7 +170,7 @@ object Similarity {
         col("bucket") +:
           (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*
       )).as("pbucket"))
-    val candidates = memb.join(broadcast(probes),
+    val candidates = cappedMembership(memb, maxBucket).join(broadcast(probes),
         col("table") === col("ptable") && col("bucket") === col("pbucket") &&
           col("id") =!= col("qid"))
       .select(col("qid"), col("id")).distinct()

@@ -239,6 +239,25 @@ class ScaleStressSpec extends SparkSpec {
     assert(dropped.forall(id => id >= 1L && id < 19000L))
   }
 
+  test("degenerate-bucket ANN: capped membership bounds the rerank, top-k stays valid") {
+    // 19k near-constant vectors share every sign bucket; uncapped, each
+    // of the 5 queries would rerank the whole bucket. With the cap the
+    // candidate side is at most maxBucket ids per (table, bucket), and
+    // because degenerate-bucket members are near-identical BY
+    // CONSTRUCTION, the truncated top-k still returns cosine ~1 rows.
+    val qids = spark.range(5L).select(col("id").as("qid"))
+    val topk = timed("ann_batch_degenerate_20k") {
+      Similarity.annTopKBatch(constEmbeddings, "vec_id", "embedding", qids,
+          k = 10, bits = 8, tables = 4, maxBucket = 512)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val byQ = topk.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    // full k for every query, all at cosine ~1.0 (the bucket is honest)
+    assert(byQ.values.forall(_.length == 10))
+    assert(topk.forall(_._3 >= 0.9999), topk.filter(_._3 < 0.9999).take(3).mkString(", "))
+  }
+
   test("near-constant embeddings: near-dup pairs stay linear via the star degradation") {
     val (pairs, n) = timed("emb_neardup_20k") {
       val p = Similarity.cosineNearDupPairs(constEmbeddings, "vec_id", "embedding",
