@@ -43,6 +43,15 @@ object VectorExpressions {
       org.apache.spark.sql.graft.SignProjection(
         ColumnBridge.expression(v), bits, tables))
 
+  /** Whole-document MinHash signature in one codegen'd pass — the
+    * map-only replacement for shingle_explode + minhash_agg (bit-
+    * identical signatures, no generator rows, no groupBy exchange).
+    */
+  def minhash_signature(tokens: Column, shingleLen: Int, numPerm: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.MinHashSignature(
+        ColumnBridge.expression(tokens), shingleLen, numPerm))
+
   /** Register the graft SQL functions on an existing session (the
     * temp-function path; [[GraftExtensions]] is the config-driven
     * equivalent for sessions you don't construct). Aggregate builders

@@ -75,7 +75,9 @@ object Dedup {
   /** MinHash signatures via the native TypedImperativeAggregate
     * (org.apache.spark.sql.graft.MinHashAgg): one array-buffer
     * aggregate instead of numPerm scalar min() columns — same hash
-    * family, same signatures, half the shuffle bookkeeping.
+    * family, same signatures, half the shuffle bookkeeping. Kept as
+    * the aggregate formulation (DedupSpec pins its equivalence); the
+    * pipelines use the map-only [[minhashSignaturesFast]].
     */
   def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32): DataFrame = {
@@ -86,6 +88,20 @@ object Dedup {
       .groupBy(col("id"))
       .agg(minhash_agg(col("s"), numPerm).as("sig"))
   }
+
+  /** MinHash signatures MAP-ONLY via the native
+    * [[graft.functions.VectorExpressions.minhash_signature]] kernel:
+    * one codegen'd pass per document, bit-identical to
+    * [[minhashSignaturesAgg]] (DedupSpec-pinned) with no generator
+    * row blowup and no groupBy exchange — at 100 TB the exploded
+    * shingle frame was the near-dup pipelines' widest intermediate,
+    * and it existed only to be aggregated straight back down.
+    */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerm: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.minhash_signature(
+        tokens(col(textCol)), shingleLen, numPerm).as("sig"))
 
   /** Default per-(band,key) bucket size above which the self-join
     * degrades to representative-star linking (see [[cappedPairs]]).
@@ -173,7 +189,7 @@ object Dedup {
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    bandedBuckets(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm),
+    bandedBuckets(minhashSignaturesFast(df, idCol, textCol, shingleLen, numPerm),
       bands, numPerm / bands)
   }
 
@@ -382,7 +398,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     def buckets(df: DataFrame, sigs: Option[DataFrame]) =
       bandedBuckets(
-        sigs.getOrElse(minhashSignaturesAgg(df, idCol, textCol, shingleLen, numPerm)),
+        sigs.getOrElse(minhashSignaturesFast(df, idCol, textCol, shingleLen, numPerm)),
         bands, rowsPerBand)
     val incBuckets = buckets(increment, None)
     // increment vs base: any banded collision that verifies kills the

@@ -1028,7 +1028,7 @@ object Queries {
       sys.props("java.io.tmpdir"), "graft_base_sigs_" +
         java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(sigDir.resolve("_SUCCESS")))
-      Dedup.minhashSignaturesAgg(base, "doc_id", "text")
+      Dedup.minhashSignaturesFast(base, "doc_id", "text")
         .write.mode("overwrite").parquet(sigDir.toString)
     val baseSigs = s.read.parquet(sigDir.toString)
     val planted = base.filter(col("doc_id") % 50 === 1)

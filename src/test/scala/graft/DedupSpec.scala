@@ -54,6 +54,10 @@ class DedupSpec extends SparkSpec {
     val viaAgg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", numPerm = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaAgg == viaCols && viaAgg.nonEmpty)
+    // the map-only kernel the pipelines run is bit-identical too
+    val viaFast = Dedup.minhashSignaturesFast(docs, "doc_id", "text", numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaFast == viaCols)
   }
 
   test("minhash LSH: near-identical pair surfaces as candidate, verified by jaccard") {
