@@ -52,6 +52,13 @@ object VectorExpressions {
       org.apache.spark.sql.graft.MinHashSignature(
         ColumnBridge.expression(tokens), shingleLen, numPerm))
 
+  /** 64-bit SimHash of a token array in one codegen'd pass — the
+    * map-only replacement for the explode + 64-sum-column aggregate.
+    */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.SimHash64(ColumnBridge.expression(tokens)))
+
   /** Register the graft SQL functions on an existing session (the
     * temp-function path; [[GraftExtensions]] is the config-driven
     * equivalent for sessions you don't construct). Aggregate builders

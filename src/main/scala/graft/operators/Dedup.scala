@@ -514,23 +514,15 @@ object Dedup {
     }.reduce((x, y) => x + y)
   }
 
-  /** SimHash as a DataFrame op (the scale path): explode distinct
-    * tokens, hash once per row, take 64 codegen'd bit-vote sums in one
-    * partial-aggregated groupBy, reassemble the signature. Same result
-    * as [[simhash64]], one map-side-combined shuffle on the doc id.
+  /** SimHash as a DataFrame op (the scale path): MAP-ONLY via the
+    * native [[graft.functions.VectorExpressions.simhash64]] kernel —
+    * one codegen'd pass per document, bit-identical to the
+    * interpreted [[simhash64]] fold and to the historical explode +
+    * 64-sum-column aggregate (DedupSpec-pinned), with no token
+    * explode and no groupBy exchange.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("tk"))
-      .select(col("id"), xxhash64(col("tk")).as("h"))
-    val votes = hashed.groupBy(col("id"))
-      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-        (1 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"v$b")): _*)
-    votes.select(col("id"),
-      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce((x, y) => x + y).as("sig"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.simhash64(
+        tokens(col(textCol))).as("sig"))
 }

@@ -274,6 +274,63 @@ case class MinHashSignature(child: Expression, shingleLen: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a token array in one codegen'd pass: per DISTINCT
+  * token, h = xxhash64(token) (string hash, seed 42 — the same value
+  * the SQL `xxhash64` column computes), each bit b votes
+  * sign((h >> b) & 1); the signature sets bit b where the vote sum is
+  * positive. Bit-identical to both the explode + 64-sum-column
+  * aggregate and the interpreted `aggregate()` fold it replaces, with
+  * no token explode and no groupBy exchange — map-only, like
+  * [[MinHashSignature]].
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  def compute(arr: ArrayData): Long = {
+    val len = arr.numElements()
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < len) {
+      val tk = arr.getUTF8String(i)
+      if (seen.add(tk)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tk, org.apache.spark.sql.types.StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression converters for expression-building facades. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -91,6 +91,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) <= 16)
   }
 
+  test("native simhash64 kernel equals the interpreted fold on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaFold = docs
+      .select(col("doc_id"), Dedup.simhash64(Dedup.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaFold && viaKernel.nonEmpty)
+  }
+
   test("connected components: transitive clusters resolve to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val comps = Dedup.connectedComponents(pairs)
