@@ -287,4 +287,52 @@ class PropertySpec extends SparkSpec {
         exact.forall { case (v, n) => n <= bound || cands.contains(v) }
     })
   }
+
+  test("map-only minhash/simhash kernels equal the aggregate formulations on random docs") {
+    val docGen = Gen.listOfN(40,
+      Gen.choose(0, 200).map(i => s"w$i")).map(_.mkString(" "))
+    val corpusGen = for {
+      docs <- Gen.listOfN(25, docGen)
+      short <- Gen.oneOf("", "one", "two words") // sub-shingle-length docs
+    } yield docs :+ short
+    check(Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val mhAgg = Dedup.minhashSignaturesAgg(df, "doc_id", "text", numPerm = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val mhFast = Dedup.minhashSignaturesFast(df, "doc_id", "text", numPerm = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val shFold = df.select(col("doc_id"),
+          Dedup.simhash64(Dedup.tokens(col("text"))).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val shKernel = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      mhFast == mhAgg && shKernel == shFold
+    })
+  }
+
+  test("perDomainCap == naive per-domain rank for random domains and caps") {
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = for {
+      n <- Gen.choose(50, 300)
+      nDom <- Gen.choose(1, 12)
+      cap <- Gen.choose(0L, 25L)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, nDom, cap, seed)
+    check(Prop.forAll(rowsGen) { case (n, nDom, cap, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val df = (1L to n.toLong).map(i => (i, s"d${rnd.nextInt(nDom)}"))
+        .toDF("id", "dom")
+      val h = md5(concat(col("id").cast("string"), lit(s":$seed")))
+      val got = graft.operators.Curation
+        .perDomainCap(df, "dom", h, col("id"), cap)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val naive = df.withColumn("__h", h)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dom")).orderBy(col("__h"), col("id"))))
+        .filter(col("rn") <= cap)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      got == naive
+    })
+  }
 }
