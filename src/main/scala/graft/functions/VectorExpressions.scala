@@ -59,6 +59,14 @@ object VectorExpressions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.SimHash64(ColumnBridge.expression(tokens)))
 
+  /** Distinct n-token shingles, sorted ascending, in one codegen'd
+    * pass — the exact-Jaccard verify input, replacing four interpreted
+    * higher-order expressions plus a sort.
+    */
+  def sorted_shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.SortedShingles(ColumnBridge.expression(tokens), n))
+
   /** Register the graft SQL functions on an existing session (the
     * temp-function path; [[GraftExtensions]] is the config-driven
     * equivalent for sessions you don't construct). Aggregate builders

@@ -225,7 +225,8 @@ object Dedup {
     // |∩| in one pass per pair; |∪| = |a|+|b|-|∩|
     val sh = df.join(ids, col(idCol) === col("__pid"), "left_semi")
       .select(col(idCol).as("id"),
-        sort_array(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+        graft.functions.VectorExpressions.sorted_shingles(
+          tokens(col(textCol)), shingleLen).as("sh"))
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))

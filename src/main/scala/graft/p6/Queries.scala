@@ -953,7 +953,8 @@ object Queries {
     // |∪| = |a|+|b|-|∩|
     val d = t(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"),
-        sort_array(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
+        graft.functions.VectorExpressions.sorted_shingles(
+          Dedup.tokens(col("text")), 3).as("sh"))
     d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(sorted_intersect_size(col("a.sh"), col("b.sh")).cast("long").as("i"),
         (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("ab"))

@@ -331,6 +331,61 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** DISTINCT n-token shingles of a token array, sorted ascending
+  * (binary UTF8 order — the same ordering `sort_array` uses), in one
+  * codegen'd pass: the exact-Jaccard verify input that previously ran
+  * four interpreted higher-order expressions (transform + slice +
+  * array_join + array_distinct) plus a sort per candidate document.
+  * Documents shorter than n tokens collapse to the single
+  * whole-document shingle, matching
+  * `sort_array(Dedup.shingles(tokens, n))` element for element.
+  */
+case class SortedShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n >= 1, "shingle length must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "sorted_shingles"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (len < n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      while (i < len) { parts(i) = arr.getUTF8String(i); i += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+    } else {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedShingles", this, classOf[SortedShingles].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression converters for expression-building facades. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

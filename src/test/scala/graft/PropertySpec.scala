@@ -307,7 +307,14 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val shKernel = Dedup.simhash(df, "doc_id", "text")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      mhFast == mhAgg && shKernel == shFold
+      val sortedHof = df.select(col("doc_id"),
+          sort_array(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val sortedKernel = df.select(col("doc_id"),
+          graft.functions.VectorExpressions.sorted_shingles(
+            Dedup.tokens(col("text")), 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      mhFast == mhAgg && shKernel == shFold && sortedKernel == sortedHof
     })
   }
 
