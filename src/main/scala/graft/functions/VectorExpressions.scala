@@ -92,6 +92,18 @@ object VectorExpressions {
       exprs => org.apache.spark.sql.graft.SignProjection(exprs(0),
         GraftExtensions.intLit(exprs(1), "bits"),
         GraftExtensions.intLit(exprs(2), "tables")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => org.apache.spark.sql.graft.MinHashSignature(exprs(0),
+        GraftExtensions.intLit(exprs(1), "shingleLen"),
+        GraftExtensions.intLit(exprs(2), "numPerm")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => org.apache.spark.sql.graft.SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sorted_shingles",
+      exprs => org.apache.spark.sql.graft.SortedShingles(exprs(0),
+        GraftExtensions.intLit(exprs(1), "n")), "scala_udf")
   }
 }
 
@@ -132,6 +144,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SignProjection(
         exprs(0), GraftExtensions.intLit(exprs(1), "bits"),
         GraftExtensions.intLit(exprs(2), "tables"))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MinHashSignature]
+        .getCanonicalName, "minhash_signature"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MinHashSignature(
+        exprs(0), GraftExtensions.intLit(exprs(1), "shingleLen"),
+        GraftExtensions.intLit(exprs(2), "numPerm"))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.SimHash64]
+        .getCanonicalName, "simhash64"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SimHash64(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_shingles"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.SortedShingles]
+        .getCanonicalName, "sorted_shingles"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.SortedShingles(
+        exprs(0), GraftExtensions.intLit(exprs(1), "n"))))
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.MultiDistinctToJoin)
   }

@@ -88,6 +88,15 @@ class SketchSpec extends SparkSpec {
       sqlf("SELECT misra_gries(tok, 5000000000) FROM sql_sketch_in").collect()
     }
     assert(err2.getMessage.contains("Int-range"))
+    // the map-only kernels are SQL-callable too
+    val row = sqlf("""SELECT
+        size(minhash_signature(array('a','b','c','d'), 3, 8)) AS mh,
+        simhash64(array('a','b','c')) AS sh,
+        sorted_shingles(array('c','b','a'), 1) AS ss,
+        size(sign_project(array(1.0d, -2.0d, 3.0d), 4, 2)) AS sp""").collect()(0)
+    assert(row.getInt(0) == 8)
+    assert(row.getSeq[String](2) == Seq("a", "b", "c"))
+    assert(row.getInt(3) == 2)
   }
 
   test("knn_classify: planted near-duplicate pair outvotes closer-by-label ties") {
