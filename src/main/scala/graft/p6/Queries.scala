@@ -1070,7 +1070,8 @@ object Queries {
   }
 
   /** Multimodal: binary media column + codegen-only feature extraction
-    * (SURVEY.md §7.4; decode stub exercised in MultimodalSpec).
+    * (SURVEY.md §7.4; the REAL decode paths are oracle-gated by
+    * `media_decode`/`audio_decode`).
     */
   private def mediaFeatureStats(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
