@@ -123,6 +123,31 @@ class ScaleStressSpec extends SparkSpec {
     assert(survivors.length == 45001)       // all organic docs survive
   }
 
+  test("boilerplate corpus: distributed CC fixpoint equals the driver union-find at volume") {
+    // the two-tier connectedComponents normally closes this graph on
+    // the driver; force the distributed min-label-propagation path and
+    // require identical components over the ~40k-edge star graph the
+    // capped candidates produce
+    val (viaDriver, viaFixpoint) = timed("boiler_cc_50k") {
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashCandidates(boilerDocs, "doc_id", "text"),
+          boilerDocs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+        .persist() // consumed by BOTH engines; don't re-verify per call
+      try {
+        val d = Dedup.connectedComponents(pairs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val f = Dedup.connectedComponents(pairs, driverMaxPairs = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (d, f)
+      } finally { pairs.unpersist(false); () }
+    }
+    assert(viaDriver.nonEmpty && viaDriver == viaFixpoint)
+    // the 5k identical docs form one component rooted at doc 0
+    assert(viaDriver.count(_._2 == 0L) >= 4999)
+  }
+
   // ---------------------------------------------------------------- C
   // 50,000 rows; domain "mega" holds 45,000 (90%), 50 tail domains
   // hold 100 each.
