@@ -123,6 +123,29 @@ class ScaleStressSpec extends SparkSpec {
     assert(survivors.length == 45001)       // all organic docs survive
   }
 
+  test("boilerplate increment: inc-vs-base candidates stay linear, copies die, novel docs live") {
+    // increment = 1000 MORE copies of the boilerplate (sharing the
+    // base's degenerate bucket — the |inc| x |base| blowup scenario
+    // incBaseCandidates caps) + 1000 novel docs
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    val inc = spark.range(50000L, 52000L).select(
+      col("id").as("doc_id"),
+      when(col("id") < 51000L, lit(boiler))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("n"), pmod(xxhash64(col("id"), i), lit(5000)))), " "))
+        .as("text"))
+    val survivors = timed("boiler_increment_50k") {
+      Dedup.dedupIncrement(boilerDocs, inc, "doc_id", "text",
+          jaccardThreshold = 0.5)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    // base wins: every boilerplate copy dies against the base corpus;
+    // every novel doc survives
+    assert(survivors.forall(_ >= 51000L), s"boiler copies survived: " +
+      survivors.filter(_ < 51000L).take(5).mkString(", "))
+    assert(survivors.length == 1000, s"got ${survivors.length} survivors")
+  }
+
   test("boilerplate corpus: distributed CC fixpoint equals the driver union-find at volume") {
     // the two-tier connectedComponents normally closes this graph on
     // the driver; force the distributed min-label-propagation path and
