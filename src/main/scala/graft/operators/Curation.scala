@@ -198,13 +198,27 @@ object Curation {
     * (domain, bucket) — never a whole-domain window, so one mega-host
     * cannot pin a task. Equals the naive per-domain row_number rank
     * exactly (bucket asc, hash asc IS hash order; oracle-proven).
+    *
+    * CONTRACT: `hashCol` must be a FIXED-WIDTH lowercase hex string
+    * (md5/sha-like). The leading-byte bucket agrees with lexicographic
+    * hash order only under that shape — variable width or non-hex
+    * characters would silently select a different set than the naive
+    * rank, so the bucket column fails fast (raise_error naming this
+    * contract) on any row whose first two characters are not
+    * [0-9a-f]{2}.
     */
   def perDomainCap(df: DataFrame, domainCol: String, hashCol: Column,
       tieCol: Column, cap: Long): DataFrame = {
     require(cap >= 0L, s"cap must be >= 0, got $cap")
     val keyed = df
       .withColumn("__h", hashCol)
-      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__b",
+        when(substring(col("__h"), 1, 2).rlike("^[0-9a-f]{2}$"),
+          conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("perDomainCap requires a fixed-width lowercase-hex hash " +
+              "column (md5-like); got hash value: "), col("__h")))
+            .cast("int")))
     val wCum = Window.partitionBy(col("__d")).orderBy(col("__cb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cuts = keyed.groupBy(col(domainCol).as("__d"), col("__b").as("__cb"))

@@ -1,5 +1,7 @@
 package graft.p6
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1020,14 +1022,33 @@ object Queries {
     * measures the one-time bootstrap cost instead. Same split, same
     * planted cross-batch dups, same output columns as the cold entry —
     * DedupSpec pins warm == cold row-for-row.
+    *
+    * The persisted store is keyed on a CONTENT fingerprint of the
+    * source (per-file name+size+mtime under documents.parquet), not
+    * just the sf-dir path: regenerating the parquet at the same path
+    * changes the fingerprint and forces a signature rebuild instead of
+    * silently reusing stale base signatures.
     */
   private def dedupIncrementWarmQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val docs = t(s, dir, "documents")
     val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val fingerprint = {
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val st = java.nio.file.Files.list(src)
+          try st.iterator().asScala.toVector.sortBy(_.toString) finally st.close()
+        } else Seq(src)
+      files.map { f =>
+        s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis
+      }.mkString("|")
+    }
     val sigDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_base_sigs_" +
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
+        java.util.UUID.nameUUIDFromBytes(
+          (dir + "\n" + fingerprint).getBytes("UTF-8")).toString)
     if (!java.nio.file.Files.exists(sigDir.resolve("_SUCCESS")))
       Dedup.minhashSignaturesFast(base, "doc_id", "text")
         .write.mode("overwrite").parquet(sigDir.toString)

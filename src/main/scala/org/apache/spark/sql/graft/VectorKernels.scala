@@ -137,23 +137,28 @@ case class SignProjection(child: Expression, bits: Int, tables: Int)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "sign_project"
 
-  @transient private var signRows: Array[Array[Byte]] = _
+  // volatile: expression instances are normally task-local after
+  // deserialization, but a reused interpreted projection may evaluate one
+  // instance from several threads — build into a local and publish with a
+  // single volatile write so no thread can observe a half-built table.
+  @transient @volatile private var signRows: Array[Array[Byte]] = _
 
   /** w(k)(j) in {-1, +1}, grown to cover `dim` components. */
   private def signs(dim: Int): Array[Array[Byte]] = {
-    if (signRows == null || signRows.head.length < dim) {
-      val total = bits * tables
-      signRows = Array.tabulate(total) { k =>
-        val hk = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(k, org.apache.spark.sql.types.IntegerType, 42L)
-        Array.tabulate(dim) { j =>
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(j, org.apache.spark.sql.types.IntegerType, hk)
-          if (((h >>> 13) & 1L) == 1L) 1.toByte else (-1).toByte
-        }
+    val cached = signRows
+    if (cached != null && cached.head.length >= dim) return cached
+    val total = bits * tables
+    val built = Array.tabulate(total) { k =>
+      val hk = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.IntegerType, 42L)
+      Array.tabulate(dim) { j =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(j, org.apache.spark.sql.types.IntegerType, hk)
+        if (((h >>> 13) & 1L) == 1L) 1.toByte else (-1).toByte
       }
     }
-    signRows
+    signRows = built
+    built
   }
 
   def project(input: ArrayData): ArrayData = {
@@ -299,7 +304,9 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < len) {
       val tk = arr.getUTF8String(i)
-      if (seen.add(tk)) {
+      // skip nulls to match the replaced explode(array_distinct(...))
+      // formulation, which dropped null tokens rather than hashing them
+      if (tk != null && seen.add(tk)) {
         val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(tk, org.apache.spark.sql.types.StringType, 42L)
         var b = 0

@@ -103,6 +103,20 @@ class CurationSpec extends SparkSpec {
     assert(Curation.perDomainCap(df, "dom", h, col("id"), cap = 1000L).count() == 1200L)
   }
 
+  test("perDomainCap: non-hex hash column fails fast naming the hex contract") {
+    // the bucket-order-equals-hash-order exactness holds only for
+    // fixed-width lowercase hex; a non-hex hash must raise, not
+    // silently select a different set than the naive rank
+    val df = (1L to 10L).map(i => (i, "host")).toDF("id", "dom")
+    val err = intercept[Exception] {
+      Curation.perDomainCap(df, "dom", concat(lit("Z"), col("id").cast("string")),
+        col("id"), cap = 3L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("lowercase-hex")))
+  }
+
   test("exactQuotaSample: unbounded-cardinality domain column fails fast, naming the knob") {
     // 600 distinct domains with maxDomains=2 -> >= 600 (domain, bucket)
     // groups against a 512-row driver cap: must throw BEFORE collecting

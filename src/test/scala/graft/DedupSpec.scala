@@ -101,6 +101,17 @@ class DedupSpec extends SparkSpec {
     assert(viaKernel == viaFold && viaKernel.nonEmpty)
   }
 
+  test("simhash64 kernel drops null tokens like the explode formulation did") {
+    // explode(array_distinct(tokens)) silently dropped nulls; the
+    // map-only kernel must match rather than NPE on a null element
+    val sigs = Seq((1, Seq("a", null, "b")), (2, Seq("a", "b")))
+      .toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.VectorExpressions.simhash64(col("toks")).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sigs(1) == sigs(2))
+  }
+
   test("connected components: transitive clusters resolve to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val comps = Dedup.connectedComponents(pairs)
