@@ -965,22 +965,34 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
-  /** MinHash + LSH near-dup summary (no SQL oracle — xxhash64 has no
-    * DuckDB equivalent; the driver records a rows-only check).
+  /** MinHash + LSH near-dup detection, VERIFIED pair set: candidates
+    * from LSH banding, exact shingle-Jaccard on each candidate, keep
+    * pairs at or above the 0.5 threshold. ORACLE-BACKED: the verify
+    * stage computes EXACT Jaccard, so DuckDB reproduces the pair set
+    * closed-form (inverted-index self-join over shingles — only pairs
+    * sharing a shingle can reach J >= 0.5). The LSH stage only needs
+    * candidates ⊇ true pairs on this corpus, which DedupSpec pins
+    * against Spark-side brute force (every true pair here has
+    * J >= 0.9, where 8-band/4-row recall is 1 - (1-J^4)^8 > 0.9998,
+    * and planted exact dups collide in every band by construction).
     */
   private def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val docs = t(s, dir, "documents")
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
-    val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text")
-    verified.agg(
-      count(lit(1)).as("n_candidates"),
-      sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
-      round(coalesce(max(col("jaccard")), lit(0.0)), 4).as("max_jaccard"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** End-to-end near-dup resolution: detect -> verify -> cluster ->
-    * keep one canonical doc per cluster (no oracle — MinHash-based).
+    * keep one canonical doc per cluster. ORACLE-BACKED: survivors are
+    * determined by the exact-Jaccard edge set (threshold 0.5) plus
+    * min-id connected components, both of which DuckDB recomputes
+    * closed-form (recursive-CTE reachability over the exact pair set);
+    * LSH recall on this corpus is pinned by DedupSpec (see
+    * [[minhashNearDup]]).
     */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -991,11 +1003,15 @@ object Queries {
       .select(col("n_in"), col("n_out"), (col("n_in") - col("n_out")).as("n_removed"))
   }
 
-  /** Incremental dedup (rows-only — MinHash-based): the corpus splits
-    * into an 80% "yesterday" base and a 20% increment, the increment
-    * additionally carrying re-idd COPIES of base docs (planted
-    * cross-batch dups the operator must kill); DedupSpec pins the
-    * base-wins / min-id / invariant-preservation semantics.
+  /** Incremental dedup: the corpus splits into an 80% "yesterday" base
+    * and a 20% increment, the increment additionally carrying re-idd
+    * COPIES of base docs (planted cross-batch dups the operator must
+    * kill); DedupSpec pins the base-wins / min-id /
+    * invariant-preservation semantics. ORACLE-BACKED: base-wins kills
+    * (exact J >= 0.5 vs any base doc) and the intra-increment min-id
+    * component resolution are recomputed closed-form by DuckDB from
+    * exact Jaccard; LSH recall is pinned by DedupSpec (planted copies
+    * are exact dups — J = 1 collides in every band).
     */
   private def dedupIncrementQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -1249,8 +1265,12 @@ object Queries {
         round(coalesce(max(col("cos")), lit(0.0)), 4).as("max_cos"))
   }
 
-  /** HLL sketch vs exact distinct (rows-only check — estimates are
-    * engine-specific by nature). The spec bounds the relative error.
+  /** HLL sketch vs exact distinct. ORACLE-BACKED: the sketch estimate
+    * itself is engine-specific, so the entry emits the EXACT counts
+    * (hash-verified against DuckDB) plus `within_bound` booleans — the
+    * sketch's 5×rsd error contract, which DuckDB asserts as TRUE. A
+    * sketch drifting outside rsd*5 = 10% flips the boolean and fails
+    * the hash gate; SimilaritySpec additionally bounds the raw error.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     // exact distincts as independent aggregates (no Expand — see
@@ -1263,8 +1283,11 @@ object Queries {
       .crossJoin(li.agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
-      .select(col("exact_parts"), col("approx_parts"),
-        col("exact_orders"), col("approx_orders"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.1).as("parts_within_bound"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.1).as("orders_within_bound"))
   }
 
   /** Analytic window-function battery: row_number / lag / lead /
@@ -1869,15 +1892,25 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
-  /** Approximate-percentile sketch vs exact (rows-only — sketch
-    * internals are engine-specific; SimilaritySpec bounds the error).
+  /** Approximate-percentile sketch vs exact. ORACLE-BACKED: the sketch
+    * value is engine-specific, so the entry emits the EXACT
+    * percentiles (hash-verified against DuckDB) plus `within_bound`
+    * booleans encoding the sketch's rank-error contract — accuracy
+    * 1000 guarantees rank error <= n/1000, far inside ±0.01 quantile,
+    * so the approximate value must land between the exact quantiles at
+    * q∓0.01. DuckDB asserts the booleans as TRUE; a sketch outside its
+    * rank bound flips them and fails the hash gate.
     */
   private def approxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").agg(
-      round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
       round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
-      round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx"),
-      round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
+      round(expr("percentile(value, 0.99)"), 4).as("p99_exact"),
+      expr("approx_percentile(value, 0.5, 1000)")
+        .between(expr("percentile(value, 0.49)"), expr("percentile(value, 0.51)"))
+        .as("p50_within_bound"),
+      expr("approx_percentile(value, 0.99, 1000)")
+        .between(expr("percentile(value, 0.98)"), expr("percentile(value, 1.0)"))
+        .as("p99_within_bound"))
 
   /** SQL subquery battery via spark.sql: EXISTS, IN, NOT IN — with
     * the three-valued NOT-IN-with-NULLs trap pinned to the standard
@@ -2087,6 +2120,54 @@ object Queries {
     "media_dedup" -> (mediaDedup _),
     "quality_cutoff" -> (qualityCutoff _),
     "funnel_depth" -> (funnelDepth _))
+
+  /** Shared closed-form for the cold and warm incremental-dedup
+    * entries (identical outputs by construction — DedupSpec pins warm
+    * == cold row-for-row). Base wins on exact J >= 0.5 vs ANY base
+    * doc; within the increment min id wins via components over the
+    * exact edge set, computed even for base-killed members (matching
+    * [[graft.operators.Dedup.dedupIncrement]], where components are
+    * built before the anti join).
+    */
+  private val IncrementOracleSql: String =
+    """WITH RECURSIVE sh0 AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 3 THEN
+            list_distinct(list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i + 1: i + 3], ' ')))
+          ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM (SELECT doc_id,
+            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents)),
+      base AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 5 <> 0),
+      planted AS (SELECT doc_id + 10000000 AS doc_id, sh FROM sh0
+        WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1),
+      inc AS (SELECT doc_id, sh FROM sh0 WHERE doc_id % 5 = 0
+        UNION ALL SELECT doc_id, sh FROM planted),
+      killed AS (SELECT DISTINCT i.doc_id AS id
+        FROM inc i JOIN base b ON
+          CAST(len(list_intersect(i.sh, b.sh)) AS DOUBLE) /
+          (len(i.sh) + len(b.sh) - len(list_intersect(i.sh, b.sh))) >= 0.5),
+      e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM inc a JOIN inc b ON a.doc_id < b.doc_id AND
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      e2 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      nn AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+      reach AS (
+        SELECT id, id AS r FROM nn
+        UNION
+        SELECT e2.b AS id, reach.r FROM e2 JOIN reach ON reach.id = e2.a),
+      comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      surv AS (SELECT i.doc_id FROM inc i
+        WHERE i.doc_id NOT IN (SELECT id FROM killed)
+          AND (i.doc_id NOT IN (SELECT id FROM comp)
+            OR i.doc_id = (SELECT c FROM comp WHERE id = i.doc_id)))
+      SELECT (SELECT count(*) FROM inc) AS n_increment,
+        (SELECT count(*) FROM planted) AS n_planted,
+        (SELECT count(*) FROM surv) AS n_survivors,
+        (SELECT count(*) FROM surv WHERE doc_id >= 10000000)
+          AS n_planted_alive"""
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2581,6 +2662,75 @@ object Queries {
         count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
           AS n_fingerprints
         FROM documents""",
+    // EXACT-Jaccard closed form for the LSH-detected pair set: only
+    // pairs sharing >= 1 shingle can reach J >= 0.5, and the Spark
+    // side's verify stage computes the same exact Jaccard, so the two
+    // engines agree as long as LSH candidates ⊇ true pairs (DedupSpec
+    // pins that recall against Spark-side brute force).
+    "minhash_neardup" ->
+      """WITH d AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(range(len(toks) - 2),
+                i -> array_to_string(toks[i + 1: i + 3], ' ')))
+            ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents))
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+            AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        ORDER BY a, b""",
+    // Survivor counts via exact-Jaccard edges + recursive-CTE
+    // reachability (min-id components — the same resolution rule as
+    // Dedup.connectedComponents).
+    "dedup_corpus" ->
+      """WITH RECURSIVE d AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(range(len(toks) - 2),
+                i -> array_to_string(toks[i + 1: i + 3], ' ')))
+            ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents)),
+        e AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        e2 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        n AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+        reach AS (
+          SELECT id, id AS r FROM n
+          UNION
+          SELECT e2.b AS id, reach.r FROM e2 JOIN reach ON reach.id = e2.a),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+        SELECT (SELECT count(*) FROM documents) AS n_in,
+          (SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM comp WHERE id <> c) AS n_out,
+          (SELECT count(*) FROM comp WHERE id <> c) AS n_removed""",
+    // Incremental dedup closed-form: replicate the 80/20 split + the
+    // planted re-idd base copies, kill any increment doc with exact
+    // J >= 0.5 against base (base wins), then min-id components over
+    // the intra-increment exact edges.
+    "dedup_increment" -> IncrementOracleSql,
+    "dedup_increment_warm" -> IncrementOracleSql,
+    // The sketch estimates are engine-specific; the oracle verifies
+    // the EXACT counts and asserts the sketch error contract booleans.
+    "approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        TRUE AS parts_within_bound, TRUE AS orders_within_bound
+        FROM lineitem""",
+    "approx_percentiles" ->
+      """SELECT round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        round(quantile_cont(value, 0.99), 4) AS p99_exact,
+        TRUE AS p50_within_bound, TRUE AS p99_within_bound
+        FROM events""",
     "text_quality" ->
       """SELECT lang, count(*) AS n_docs,
         round(avg(n_tok), 4) AS avg_tokens,

@@ -15,10 +15,9 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle coverage is complete except the documented hash/sketch queries") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set("minhash_neardup", "simhash_buckets",
-      "ann_lsh_topk", "ann_lsh_batch_topk", "emb_neardup", "approx_distinct",
-      "dedup_corpus", "dedup_increment", "dedup_increment_warm",
-      "ann_ivf_topk", "ann_ivf_batch_topk", "approx_percentiles",
+    val documented = Set("simhash_buckets",
+      "ann_lsh_topk", "ann_lsh_batch_topk", "emb_neardup",
+      "ann_ivf_topk", "ann_ivf_batch_topk",
       "ann_quantized_topk", "simhash_neardup_pairs", "semdedup")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
@@ -49,7 +48,9 @@ class ContractSpec extends AnyFunSuite {
     val singleRow = Set("q2_revenue_filter", "q7_semi_anti_join", "q8_set_ops",
       "q9_distinct_counts", "dedup_exact", "dedup_fingerprint",
       "p6_term_checks", "p6_batch_validate", "q40_set_ops_all", "corpus_funnel",
-      "fuzzy_join", "q46_subqueries", "media_dedup")
+      "fuzzy_join", "q46_subqueries", "media_dedup",
+      "dedup_corpus", "dedup_increment", "dedup_increment_warm",
+      "approx_distinct", "approx_percentiles")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name

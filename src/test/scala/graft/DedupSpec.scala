@@ -277,6 +277,35 @@ class DedupSpec extends SparkSpec {
     assert(warm2 == cold)
   }
 
+  test("LSH recall pin: candidates cover every exact J>=0.5 pair; registry entry IS the exact set") {
+    // This is what licenses the DuckDB oracle on minhash_neardup /
+    // dedup_corpus / dedup_increment*: the verify stage computes EXACT
+    // Jaccard, so the only way Spark can diverge from the closed-form
+    // exact answer is an LSH recall miss — prove there is none on the
+    // test corpus (every true pair here has J >= 0.9, where
+    // 8-band/4-row recall is 1-(1-J^4)^8 > 0.9998 per pair).
+    import graft.functions.VectorExpressions.{sorted_shingles, sorted_intersect_size}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents")
+    val sh = docs.select(col("doc_id"),
+      sorted_shingles(Dedup.tokens(col("text")), 3).as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        (sorted_intersect_size(col("a.sh"), col("b.sh")).cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) -
+            sorted_intersect_size(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus has no true near-dup pairs — pin is vacuous")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands), s"LSH missed true pairs: ${exact -- cands}")
+    // and the oracle-gated registry entry returns exactly the exact set
+    val entry = graft.SparkEntry.queries("minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(entry == exact)
+  }
+
   test("hot-bucket defense is dormant on the organic corpus (no degenerate buckets)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val report = Dedup.hotBucketReport(

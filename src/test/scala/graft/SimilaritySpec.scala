@@ -323,7 +323,14 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("approx_percentile stays close to the exact percentile") {
-    val r = Queries.all("approx_percentiles")(spark, sfDir).collect()(0)
+    // raw sketch-vs-exact error bound (the registry entry now emits
+    // exact values + bound booleans for the DuckDB hash gate, so the
+    // raw comparison lives here)
+    val r = Tables(spark, sfDir, "events").agg(
+      expr("approx_percentile(value, 0.5, 1000)").as("p50a"),
+      expr("percentile(value, 0.5)").as("p50e"),
+      expr("approx_percentile(value, 0.99, 1000)").as("p99a"),
+      expr("percentile(value, 0.99)").as("p99e")).collect()(0)
     val (p50a, p50e) = (r.getDouble(0), r.getDouble(1))
     val (p99a, p99e) = (r.getDouble(2), r.getDouble(3))
     // accuracy=1000 => rank error <= n/1000; translate loosely to value space
@@ -331,12 +338,19 @@ class SimilaritySpec extends SparkSpec {
       s"p50 approx $p50a vs exact $p50e")
     assert(math.abs(p99a - p99e) <= math.max(1.0, 0.05 * math.abs(p99e)),
       s"p99 approx $p99a vs exact $p99e")
+    // and the oracle-gated entry's rank-bound booleans hold
+    val b = Queries.all("approx_percentiles")(spark, sfDir).collect()(0)
+    assert(b.getAs[Boolean]("p50_within_bound") && b.getAs[Boolean]("p99_within_bound"))
   }
 
   test("approx_count_distinct stays within its rsd bound on the corpus") {
-    val r = graft.p6.Queries.all("approx_distinct")(spark, sfDir).collect()(0)
-    val (exact, approx) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts"))
+    val r = Tables(spark, sfDir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getAs[Long]("exact"), r.getAs[Long]("approx"))
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    val b = graft.p6.Queries.all("approx_distinct")(spark, sfDir).collect()(0)
+    assert(b.getAs[Boolean]("parts_within_bound") && b.getAs[Boolean]("orders_within_bound"))
   }
 }
 
