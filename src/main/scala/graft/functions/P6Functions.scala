@@ -151,9 +151,17 @@ object P6Functions {
   /** Slash-tokenize + per-token trim/lower (zygosity & inheritance cells,
     * ref: src/P6/mapper.py:248-255).
     */
+  /** Equivalent to `transform(split(cell, "/"), t => lower(trim(t)))`
+    * but fully codegen'd: `transform` is a higher-order function with
+    * no doGenCode, so the per-token form dropped every consumer (the
+    * genotype validator runs per input row) out of whole-stage
+    * codegen. Folding the space-trim into the split delimiter and
+    * lowering the whole cell once is token-for-token identical —
+    * `lower` commutes with `split`, and `trim`/`[ ]*` both strip
+    * exactly the space character (0x20).
+    */
   def slashTokens(c: Column): Column =
-    transform(split(coalesce(c.cast("string"), lit("")), "/"),
-      t => lower(trim(t)))
+    split(lower(trim(coalesce(c.cast("string"), lit("")))), "[ ]*/[ ]*")
 
   // ---------------------------------------------------------------- F11
   /** Enum decode maps (ref: src/P6/mapper.py:67-80). A miss yields null,

@@ -160,8 +160,27 @@ object Assemble {
     * layout is `write.partitionBy("patient_id").text(...)` — provided
     * as `writePartitioned`.
     */
+  /** Hard cap on the driver-side numbered/legacy sink. Overridable via
+    * `-Dgraft.maxNumberedFiles=N` for parity runs that genuinely need
+    * more; the scale path is [[writePartitioned]].
+    */
+  def maxNumberedFiles: Long =
+    sys.props.get("graft.maxNumberedFiles").map(_.toLong).getOrElse(100000L)
+
   def writeNumberedJson(packets: DataFrame, outDir: String,
       legacyNames: Boolean = false): Long = {
+    // fail fast BEFORE collecting: the numbered layout is a driver-side
+    // small-N parity path, and pointing it at a large frame would pull
+    // the whole corpus onto the driver. Same discipline as
+    // Curation.bucketHistogram: bounded probe, error names the knob
+    // and the scale alternative.
+    val cap = maxNumberedFiles
+    val probe = packets.select(col("patient_id")).limit(
+      math.min(cap, Int.MaxValue - 2L).toInt + 1).count()
+    require(probe <= cap,
+      s"writeNumberedJson is the small-N parity sink: got > $cap patients " +
+        "(cap graft.maxNumberedFiles). Use Assemble.writePartitioned for " +
+        "the distributed per-patient layout.")
     val rows = packets
       .select(col("patient_id"), to_json(col("packet")).as("json"))
       .orderBy(col("patient_id"))

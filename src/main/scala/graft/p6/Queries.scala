@@ -946,6 +946,14 @@ object Queries {
     * index join degenerates to quadratic pair expansion per shingle.
     * Bounded exact baselines brute-force; the corpus-scale near-dup
     * path is MinHash+LSH (minhash_neardup / dedup_corpus).
+    *
+    * Round-8 A/B (solo, 3 cold runs each at sf0.1): the
+    * sorted_shingles kernel (median 1.12 s) and the prior
+    * sort_array(shingles(...)) formulation (median 1.21 s) are
+    * indistinguishable within run noise — the round-7 "1.38x
+    * regression" was batch-measurement noise, not the kernel. The
+    * kernel stays: same wall time here, and it keeps the shingle prep
+    * map-only/codegen'd for the corpus-scale dedup pipelines.
     */
   private def ngramJaccardHist(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup

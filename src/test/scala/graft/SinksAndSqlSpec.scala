@@ -34,6 +34,26 @@ class SinksAndSqlSpec extends SparkSpec {
     assert(one.contains("\"id\":\"P100\"") && two.contains("\"id\":\"P200\""))
   }
 
+  test("S4 numbered sink fails fast above the cap, naming the knob and the scale path") {
+    val dir = Files.createTempDirectory("sinkcap").toString
+    val packets = Assemble.phenopackets(onePatientBundles)
+    val prev = sys.props.put("graft.maxNumberedFiles", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Assemble.writeNumberedJson(packets, dir)
+      }
+      assert(e.getMessage.contains("graft.maxNumberedFiles"))
+      assert(e.getMessage.contains("writePartitioned"))
+      // nothing was collected or written
+      assert(new java.io.File(dir).listFiles().forall(_.isDirectory == false))
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.maxNumberedFiles", v)
+      case None => sys.props.remove("graft.maxNumberedFiles")
+    }
+    // back under the cap, the sink works unchanged
+    assert(Assemble.writeNumberedJson(packets, dir) == 2)
+  }
+
   test("S4 partitioned sink: patient_id=... directory layout (the at-scale shape)") {
     val dir = Files.createTempDirectory("sinkp").toString + "/out"
     Assemble.writePartitioned(Assemble.phenopackets(onePatientBundles), dir)
