@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   * the explicit shapes for when the skew is known ahead of time (a
   * hot patient id, a viral document) or when AQE can't help (skewed
   * aggregation keys, which AQE does not split).
+  *
+  * WHICH TOOL WHEN (SkewSpec proves both sides on the same hot-key
+  * corpus; PLANS.md "skew: AQE vs manual salting" shows the plans):
+  *
+  *  - Skewed equi-JOIN, skew unknown until runtime: prefer PLAIN join
+  *    + AQE (`spark.sql.adaptive.skewJoin.enabled`, on by default).
+  *    OptimizeSkewedJoin splits the oversized partition into
+  *    advisory-sized slices and replicates the matching other side —
+  *    same effect as [[saltedJoin]] with a data-driven salt count, no
+  *    code change, and it composes with broadcast/CBO decisions.
+  *    SkewSpec pins that the split actually engages (`skew=true` on
+  *    the join node) and returns [[saltedJoin]]'s rows exactly.
+  *  - Skewed JOIN where AQE can't see or can't act: [[saltedJoin]].
+  *    That means broadcast-ineligible shapes AQE leaves alone (e.g.
+  *    the join must stay shuffle-free upstream of a reused exchange —
+  *    OptimizeSkewedJoin skips joins whose output partitioning other
+  *    operators depend on), or engines/pipelines with AQE disabled.
+  *  - Skewed AGGREGATION: always [[saltedSum]] (or the two-stage
+  *    pattern generally). AQE never splits a groupBy key — a 50%-hot
+  *    key serializes on one reducer regardless of adaptive settings;
+  *    the salt is the only way to spread it.
   */
 object Skew {
 

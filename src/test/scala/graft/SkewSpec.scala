@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** AQE-vs-manual-salting evidence (SURVEY.md "Partitioning & shuffle").
+  *
+  * The salted operators in [[graft.operators.Skew]] duplicate what
+  * AQE's skew-join handling does natively for JOINS — so this suite
+  * proves, on the same hot-key corpus, (1) that a plain sort-merge
+  * join under AQE actually engages skew splitting (`skew=true` in the
+  * final adaptive plan) and returns exactly the salted join's rows,
+  * and (2) that salted AGGREGATION remains exact — the case AQE does
+  * NOT cover (OptimizeSkewedJoin only rewrites join partitions;
+  * a skewed groupBy key still lands on one reducer). The scaladoc on
+  * [[Skew]] records the decision rule; `sbt "runMain graft.PlanDump"`
+  * dumps both plans side by side in PLANS.md.
+  */
+class SkewSpec extends SparkSpec {
+
+  /** 50k-row fact frame, 50% on one hot key, plus a 100-key dim. */
+  private def hotFact = spark.range(50000L).select(
+    when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+    (col("id") % 1000).cast("double").as("v"),
+    // ballast so the hot partition's byte size clears the lowered
+    // AQE skew threshold
+    concat(lit("payload-"), col("id").cast("string"),
+      lit("-" * 64)).as("pad"))
+
+  private def dim = spark.range(100L).select(
+    col("id").as("dk"), concat(lit("d"), col("id").cast("string")).as("dname"))
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE skew-join engages on the plain hot-key join and matches the salted join") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the 256MB/64MB defaults down to test volume so the
+      // optimizer sees the hot partition as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // deny broadcast so the join is the sort-merge shape AQE splits
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+
+      // keep `pad` in the output so it rides the shuffle — column
+      // pruning would otherwise shrink the hot partition below the
+      // skew threshold
+      val plain = hotFact.join(dim, col("k") === col("dk"))
+        .select(col("k"), col("v"), col("pad"), col("dname"))
+      val plainRows = plain.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+        .toSet
+      // collect() executed THIS queryExecution, so the adaptive plan
+      // is final and records the skew split on the join node
+      val finalPlan = plain.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew handling did not engage; final plan:\n$finalPlan")
+
+      // the manual salt produces exactly the same rows
+      val saltedRows = Skew.saltedJoin(hotFact, dim, "k", "dk", salts = 8)
+        .select(col("k"), col("v"), col("pad"), col("dname"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(saltedRows == plainRows && plainRows.size == 50000)
+    }
+  }
+
+  test("skewed aggregation: AQE does not split groupBy keys — saltedSum is exact") {
+    // OptimizeSkewedJoin rewrites only join partitions; a 50%-hot
+    // groupBy key still serializes on one reducer no matter what AQE
+    // does. saltedSum is the explicit two-stage fix — prove it is
+    // EXACT against the plain aggregate on the same frame.
+    val plain = hotFact.groupBy(col("k"))
+      .agg(sum(col("v")).as("sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSum(hotFact, col("k"), col("v"), salts = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}

@@ -260,6 +260,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters reproduce the batch heavy_hitters_topk answer on the corpus") {
+    // The q12/q13 pattern for the MG sketch: the batch entry is
+    // oracle-green against DuckDB, so pinning the transformWithState
+    // path to it transitively oracle-gates the streaming sketch. The
+    // corpus tokens arrive over THREE micro-batches; the final
+    // per-shard candidate sets must cover the exact top-10, and the
+    // exact count restricted to those candidates must reproduce the
+    // batch answer token-for-token, count-for-count.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val toks = Tables(spark, sf, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        .collect().map(_.getString(0)).toSeq
+      val stream = MemoryStream[String]
+      val q = EventStreams.streamingHeavyHitters(stream.toDS(), k = 64, shards = 8)
+        .writeStream.format("memory").queryName("hh_oracle_out")
+        .outputMode("update").start()
+      toks.grouped(math.max(1, toks.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // update mode appends one row per (shard, batch); the LAST row
+      // per shard is that shard's final sketch state
+      val rows = spark.table("hh_oracle_out")
+        .as[EventStreams.ShardCandidates].collect().zipWithIndex
+      val finalCands = rows.groupBy(_._1.shard)
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .flatMap(_.candidates).toSet
+      val batchTop = graft.p6.Queries.all("heavy_hitters_topk")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(batchTop.size == 10)
+      // (1) candidate coverage: every exact top-10 token survived the sketch
+      val missed = batchTop.map(_._1).filterNot(finalCands.contains)
+      assert(missed.isEmpty, s"streaming MG sketch lost top-10 tokens: $missed")
+      // (2) exact-count-over-candidates == the batch entry, rank for rank
+      val streamTop = toks.filter(finalCands.contains)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(10)
+      assert(streamTop == batchTop,
+        s"stream-derived top-10 $streamTop != batch $batchTop")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file sink + checkpoint: restart resumes from committed offsets exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toFile
