@@ -1,0 +1,207 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.sources.WorkbookSource
+
+/** ScalaCheck fuzz of the XLSX reader (round-7 review item): the
+  * reference's loader faced arbitrary clinician spreadsheets, but the
+  * checked-in fixtures are well-formed. Here random workbooks —
+  * random sheet names (incl. XML-escapable chars), shared vs inline vs
+  * boolean vs numeric vs formula-string cells, rich-text shared
+  * strings, sparse rows with explicit A1-style refs, empty sheets,
+  * absolute and relative rel targets — are WRITTEN as real OOXML zips
+  * and round-tripped through [[WorkbookSource.readRaw]] against a
+  * pure-Scala expected grid computed from the generated model.
+  */
+class WorkbookFuzzSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // ---------------------------------------------------------- model
+  private sealed trait Cell { def expected(shared: IndexedSeq[String]): String }
+  private case class SharedCell(idx: Int, padIdx: Boolean) extends Cell {
+    def expected(shared: IndexedSeq[String]): String = shared.lift(idx).getOrElse("")
+  }
+  private case class InlineCell(s: String) extends Cell {
+    def expected(shared: IndexedSeq[String]): String = s
+  }
+  private case class BoolCell(v: Boolean) extends Cell {
+    def expected(shared: IndexedSeq[String]): String = if (v) "true" else "false"
+  }
+  private case class NumCell(s: String) extends Cell {
+    def expected(shared: IndexedSeq[String]): String = s
+  }
+  private case class FormulaStrCell(s: String) extends Cell {
+    def expected(shared: IndexedSeq[String]): String = s
+  }
+
+  /** rows: per row, (explicitRefs, cells) — None = gap, representable
+    * only when the row writes explicit r= refs.
+    */
+  private case class SheetModel(name: String, target: String,
+      absoluteTarget: Boolean, rows: Seq[(Boolean, Seq[Option[Cell]])])
+  private case class BookModel(shared: IndexedSeq[String],
+      richSplit: Set[Int], sheets: Seq[SheetModel])
+
+  // ------------------------------------------------------ generators
+  // é/世: non-ASCII survives the zip+DOM round trip too
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(10)),
+    Gen.const(""),
+    Gen.const("  padded  "),
+    Gen.const("a&b<c>d\"e'f"),
+    Gen.const("café 世"),
+    Gen.alphaNumStr.map(s => s"line $s & <tag>"))
+
+  private def cellGen(nShared: Int): Gen[Cell] = Gen.frequency(
+    4 -> (if (nShared > 0)
+      Gen.zip(Gen.choose(0, nShared - 1), Gen.oneOf(true, false))
+        .map { case (i, p) => SharedCell(i, p) }
+    else textGen.map(InlineCell)),
+    3 -> textGen.map(InlineCell),
+    1 -> Gen.oneOf(true, false).map(BoolCell),
+    2 -> Gen.oneOf(Gen.choose(-9999, 99999).map(_.toString),
+      Gen.choose(0, 9999).map(i => s"$i.25")).map(NumCell),
+    1 -> textGen.map(FormulaStrCell))
+
+  private def rowGen(nShared: Int): Gen[(Boolean, Seq[Option[Cell]])] = for {
+    explicit <- Gen.oneOf(true, false)
+    width <- Gen.choose(0, 8)
+    cells <- Gen.listOfN(width, for {
+      gap <- if (explicit) Gen.frequency(4 -> false, 1 -> true) else Gen.const(false)
+      c <- cellGen(nShared)
+    } yield if (gap) None else Some(c))
+  } yield (explicit, cells)
+
+  private val bookGen: Gen[BookModel] = for {
+    shared <- Gen.listOf(textGen).map(_.take(6).toIndexedSeq)
+    rich <- Gen.listOf(Gen.choose(0, math.max(0, shared.size - 1))).map(_.toSet)
+    nSheets <- Gen.choose(0, 4)
+    sheets <- Gen.listOfN(nSheets, for {
+      base <- Gen.alphaNumStr.map(_.take(6))
+      decor <- Gen.oneOf("", " s&p ", "<odd>", "q\"q")
+      abs <- Gen.oneOf(true, false)
+      rows <- Gen.listOfN(5, rowGen(shared.size)).flatMap(rs =>
+        Gen.choose(0, 5).map(rs.take)) // 0 rows = empty sheet
+    } yield SheetModel(base + decor, "", abs, rows))
+  } yield BookModel(shared, rich,
+    // unique names + per-sheet targets assigned positionally
+    sheets.zipWithIndex.map { case (s, i) =>
+      s.copy(name = s"${s.name}_$i", target = s"worksheets/sheet${i + 1}.xml")
+    })
+
+  // ---------------------------------------------------------- writer
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /** "A", "B", .. "Z", "AA", .. (0-based index -> letters). */
+  private def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def cellXml(c: Cell, ref: Option[String]): String = {
+    val r = ref.map(x => s""" r="$x"""").getOrElse("")
+    c match {
+      case SharedCell(i, pad) =>
+        val v = if (pad) s" $i " else i.toString
+        s"""<c$r t="s"><v>$v</v></c>"""
+      case InlineCell(s) => s"""<c$r t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
+      case BoolCell(v) => s"""<c$r t="b"><v>${if (v) "1" else "0"}</v></c>"""
+      case NumCell(s) => s"""<c$r><v>$s</v></c>"""
+      case FormulaStrCell(s) => s"""<c$r t="str"><v>${esc(s)}</v></c>"""
+    }
+  }
+
+  private def write(book: BookModel): java.nio.file.Path = {
+    val path = java.nio.file.Files.createTempFile("fuzzwb", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val sheetsXml = book.sheets.zipWithIndex.map { case (s, i) =>
+      s"""<sheet name="${esc(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook><sheets>$sheetsXml</sheets></workbook>""")
+    val relsXml = book.sheets.zipWithIndex.map { case (s, i) =>
+      val target = if (s.absoluteTarget) s"/xl/${s.target}" else s.target
+      s"""<Relationship Id="rId${i + 1}" Target="$target"/>"""
+    }.mkString
+    entry("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships>$relsXml</Relationships>""")
+    if (book.shared.nonEmpty) {
+      val sis = book.shared.zipWithIndex.map { case (s, i) =>
+        if (book.richSplit.contains(i) && s.length >= 2) {
+          val (a, b) = s.splitAt(s.length / 2) // rich-text runs concatenate
+          s"<si><r><t>${esc(a)}</t></r><r><t>${esc(b)}</t></r></si>"
+        } else s"<si><t>${esc(s)}</t></si>"
+      }.mkString
+      entry("xl/sharedStrings.xml", s"""<?xml version="1.0"?><sst>$sis</sst>""")
+    }
+    book.sheets.foreach { s =>
+      val rowsXml = s.rows.zipWithIndex.map { case ((explicit, cells), ri) =>
+        val cellsXml = cells.zipWithIndex.collect {
+          case (Some(c), ci) =>
+            cellXml(c, if (explicit) Some(s"${colLetters(ci)}${ri + 1}") else None)
+        }.mkString
+        s"""<row r="${ri + 1}">$cellsXml</row>"""
+      }.mkString
+      entry(s"xl/${s.target}",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$rowsXml</sheetData></worksheet>""")
+    }
+    zos.close()
+    path
+  }
+
+  // ------------------------------------------------- expected model
+  private def expectedGrid(book: BookModel, s: SheetModel): Seq[Seq[String]] =
+    s.rows.map { case (_, cells) =>
+      // a trailing gap writes no <c>, so the reader never sees it —
+      // the row ends at the last PRESENT cell
+      val lastPresent = cells.lastIndexWhere(_.isDefined)
+      cells.take(lastPresent + 1).map {
+        case Some(c) => c.expected(book.shared)
+        case None => ""
+      }
+    }
+
+  test("fuzzed workbooks round-trip through readRaw cell-for-cell") {
+    check(Prop.forAll(bookGen) { book =>
+      val path = write(book)
+      try {
+        val got = WorkbookSource.readRaw(path.toString)
+        val want = book.sheets.map(s => s.name -> expectedGrid(book, s)).toMap
+        val ok = got == want
+        if (!ok) System.err.println(s"MISMATCH\n want=$want\n got =$got")
+        ok
+      } finally java.nio.file.Files.delete(path)
+    })
+  }
+
+  test("fuzzed workbooks load as DataFrames: header row consumed, data rows preserved") {
+    check(Prop.forAll(bookGen) { book =>
+      val path = write(book)
+      try {
+        val dfs = WorkbookSource.readWorkbook(spark, path.toString)
+        book.sheets.forall { s =>
+          val grid = expectedGrid(book, s)
+          val df = dfs(s.name)
+          if (grid.isEmpty) df.columns.isEmpty ||
+            df.isEmpty // empty sheet -> empty frame
+          else df.count() == (grid.size - 1).toLong &&
+            df.columns.length == grid.map(_.size).max
+        }
+      } finally java.nio.file.Files.delete(path)
+    })
+  }
+}
