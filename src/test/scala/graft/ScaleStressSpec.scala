@@ -320,4 +320,62 @@ class ScaleStressSpec extends SparkSpec {
     val planted = pairs.find(p => p._1 == 0L && p._2 == 1L)
     assert(planted.exists(_._3 == 1.0), s"planted pair missing: $planted")
   }
+
+  // ---------------------------------------------------------------- E
+  // 100x sf0.1 (round-8): the 10x scenarios amortize some driver-side
+  // and single-partition costs that another order of magnitude
+  // exposes. Same adversarial shapes, 500k docs / 10M events, still on
+  // the deliberately undersized shared local[4] session (harsher than
+  // the 128 GiB local[32] the box could offer).
+
+  test("100x boilerplate corpus: 50k identical docs in 500k still dedup linearly") {
+    val docs = corpus("docs_boiler_500k") {
+      val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+      spark.range(500000L).select(
+        col("id").as("doc_id"),
+        when(col("id") < 50000L, lit(boiler))
+          .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000)))), " "))
+          .as("text"))
+    }
+    val survivors = timed("boiler_dedup_500k") {
+      Dedup.dedupDocuments(docs, "doc_id", "text", jaccardThreshold = 0.5)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    // one survivor from the 50k identical docs, min-id canonical; the
+    // 450k organic docs (5x the vocab of the 10x corpus, so organic
+    // near-dups stay rare) survive minus any true organic dups
+    assert(survivors.count(_ < 50000L) == 1)
+    assert(survivors.min == 0L)
+    assert(survivors.length >= 449000 && survivors.length <= 450001,
+      s"got ${survivors.length} survivors")
+  }
+
+  test("100x skewed events: 5M-event single-user window partition still sessionizes") {
+    import org.apache.spark.sql.expressions.Window
+    val gap = 1800000L
+    val ev = corpus("events_skew_ts_10m") {
+      spark.range(10000000L).select(
+        when(col("id") < 5000000L, 42L)
+          .otherwise(col("id") % 1000000L + 100L).as("user_id"),
+        col("id").as("event_id"),
+        timestamp_millis(lit(1704067200000L) + col("id") * 1000L).as("ts"))
+    }
+    val (viaLag, viaSessionWindow) = timed("sessionize_skew_10m") {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lagSessions = ev
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev")) > gap, 1L)
+            .otherwise(0L))
+        .agg(sum(col("is_new"))).collect().head.getLong(0)
+      val sw = ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes")).count()
+        .count()
+      (lagSessions, sw)
+    }
+    assert(viaLag == viaSessionWindow, s"lag=$viaLag session_window=$viaSessionWindow")
+    assert(viaLag >= 1000000L) // at least one session per user
+  }
 }
