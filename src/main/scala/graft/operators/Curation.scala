@@ -217,7 +217,11 @@ object Curation {
           conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
           .otherwise(raise_error(concat(
             lit("perDomainCap requires a fixed-width lowercase-hex hash " +
-              "column (md5-like); got hash value: "), col("__h")))
+              "column (md5-like); got hash value: "),
+            // coalesce: concat(NULL) would swallow the whole contract
+            // message exactly when the cause (a NULL hash) is least
+            // obvious
+            coalesce(col("__h"), lit("NULL"))))
             .cast("int")))
     val wCum = Window.partitionBy(col("__d")).orderBy(col("__cb"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -169,22 +169,24 @@ object Assemble {
 
   def writeNumberedJson(packets: DataFrame, outDir: String,
       legacyNames: Boolean = false): Long = {
-    // fail fast BEFORE collecting: the numbered layout is a driver-side
+    // fail fast BEFORE writing: the numbered layout is a driver-side
     // small-N parity path, and pointing it at a large frame would pull
     // the whole corpus onto the driver. Same discipline as
-    // Curation.bucketHistogram: bounded probe, error names the knob
-    // and the scale alternative.
+    // Curation.bucketHistogram: bounded fetch (cap+1 rows — the same
+    // driver-memory bound the success path already implies), error
+    // names the knob and the scale alternative. ONE execution: a
+    // separate count() probe would run the whole Janino-heavy packet
+    // pipeline twice.
     val cap = maxNumberedFiles
-    val probe = packets.select(col("patient_id")).limit(
-      math.min(cap, Int.MaxValue - 2L).toInt + 1).count()
-    require(probe <= cap,
-      s"writeNumberedJson is the small-N parity sink: got > $cap patients " +
-        "(cap graft.maxNumberedFiles). Use Assemble.writePartitioned for " +
-        "the distributed per-patient layout.")
     val rows = packets
       .select(col("patient_id"), to_json(col("packet")).as("json"))
       .orderBy(col("patient_id"))
+      .limit(math.min(cap, Int.MaxValue - 2L).toInt + 1)
       .collect() // parity path: one small file per patient, driver-side
+    require(rows.length <= cap,
+      s"writeNumberedJson is the small-N parity sink: got > $cap patients " +
+        "(cap graft.maxNumberedFiles). Use Assemble.writePartitioned for " +
+        "the distributed per-patient layout.")
     val dir = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(dir)
     rows.zipWithIndex.foreach { case (r, i) =>

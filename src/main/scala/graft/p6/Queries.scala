@@ -1069,13 +1069,38 @@ object Queries {
           java.nio.file.Files.getLastModifiedTime(f).toMillis
       }.mkString("|")
     }
-    val sigDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_base_sigs_" +
-        java.util.UUID.nameUUIDFromBytes(
-          (dir + "\n" + fingerprint).getBytes("UTF-8")).toString)
-    if (!java.nio.file.Files.exists(sigDir.resolve("_SUCCESS")))
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val sigDir = tmpRoot.resolve("graft_base_sigs_" +
+      java.util.UUID.nameUUIDFromBytes(
+        (dir + "\n" + fingerprint).getBytes("UTF-8")).toString)
+    if (!java.nio.file.Files.exists(sigDir.resolve("_SUCCESS"))) {
+      // a regenerated source changes the fingerprint and therefore the
+      // store path — delete the prior stores for THIS source dir (each
+      // records its source in a marker) so rebuilds don't accumulate
+      // orphaned signature parquet in tmp forever
+      val siblings = java.nio.file.Files.list(tmpRoot)
+      try siblings.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_base_sigs_"))
+        .filter(_ != sigDir)
+        .filter { p =>
+          val marker = p.resolve("_source_dir")
+          java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == dir
+        }
+        .foreach { p =>
+          val victims = java.nio.file.Files.walk(p)
+          try victims.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally victims.close()
+        }
+      finally siblings.close()
       Dedup.minhashSignaturesFast(base, "doc_id", "text")
         .write.mode("overwrite").parquet(sigDir.toString)
+    }
+    // marker written on build AND backfilled on reuse of a pre-marker
+    // store, so every store is reclaimable by the cleanup above
+    if (!java.nio.file.Files.exists(sigDir.resolve("_source_dir")))
+      java.nio.file.Files.writeString(sigDir.resolve("_source_dir"), dir)
     val baseSigs = s.read.parquet(sigDir.toString)
     val planted = base.filter(col("doc_id") % 50 === 1)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),

@@ -238,9 +238,15 @@ object EventStreams {
   }
 
   final case class ShardTok(shard: Int, tok: String)
-  final case class MgState(toks: Seq[String], counts: Seq[Long])
+  final case class MgState(toks: Seq[String], counts: Seq[Long],
+      updates: Long)
+  /** `updates` is a per-shard monotonic state-version counter: sinks
+    * that retain every Update-mode emission (e.g. the memory sink)
+    * can select each shard's FINAL sketch with max(updates) instead
+    * of assuming the sink preserves append order.
+    */
   final case class ShardCandidates(shard: Int, candidates: Seq[String],
-      retained: Seq[Long])
+      retained: Seq[Long], updates: Long)
 
   /** Streaming Misra-Gries: one k-counter sketch per token shard,
     * carried across micro-batches in transformWithState value state.
@@ -267,6 +273,7 @@ object EventStreams {
     override def handleInputRows(key: Int, rows: Iterator[ShardTok],
         timerValues: TimerValues): Iterator[ShardCandidates] = {
       val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      val version = (if (state.exists()) state.get().updates else 0L) + 1L
       if (state.exists()) {
         val s = state.get()
         s.toks.iterator.zip(s.counts.iterator).foreach { case (t, c) => buf.update(t, c) }
@@ -283,10 +290,10 @@ object EventStreams {
         }
       }
       val (toks, counts) = buf.toSeq.sortBy(_._1).unzip
-      state.update(MgState(toks, counts))
+      state.update(MgState(toks, counts, version))
       // retained counts are MG lower bounds (decrements only subtract),
       // and exact while the shard's sketch never overflowed k
-      Iterator.single(ShardCandidates(key, toks, counts))
+      Iterator.single(ShardCandidates(key, toks, counts, version))
     }
   }
 

@@ -45,7 +45,7 @@ class SinksAndSqlSpec extends SparkSpec {
       assert(e.getMessage.contains("graft.maxNumberedFiles"))
       assert(e.getMessage.contains("writePartitioned"))
       // nothing was collected or written
-      assert(new java.io.File(dir).listFiles().forall(_.isDirectory == false))
+      assert(new java.io.File(dir).listFiles().isEmpty)
     } finally prev match {
       case Some(v) => sys.props.put("graft.maxNumberedFiles", v)
       case None => sys.props.remove("graft.maxNumberedFiles")

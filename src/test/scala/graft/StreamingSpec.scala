@@ -287,12 +287,13 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
       }
       q.stop()
-      // update mode appends one row per (shard, batch); the LAST row
-      // per shard is that shard's final sketch state
+      // update mode emits one row per (shard, batch); the row with the
+      // highest `updates` version per shard IS that shard's final
+      // sketch state — no reliance on the memory sink's scan order
       val rows = spark.table("hh_oracle_out")
-        .as[EventStreams.ShardCandidates].collect().zipWithIndex
-      val finalCands = rows.groupBy(_._1.shard)
-        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .as[EventStreams.ShardCandidates].collect()
+      val finalCands = rows.groupBy(_.shard)
+        .map { case (_, rs) => rs.maxBy(_.updates) }
         .flatMap(_.candidates).toSet
       val batchTop = graft.p6.Queries.all("heavy_hitters_topk")(spark, sf)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
