@@ -2005,9 +2005,13 @@ object Queries {
         countDistinct(col("t")).as("n_right_matched"))
   }
 
-  /** Int8-quantized cosine top-10 (no oracle — reduced-precision sims
-    * are approximate by design; SimilaritySpec bounds the error and
-    * recall vs the float path).
+  /** Int8-quantized cosine top-10. ORACLE-BACKED: unlike the
+    * hash-derived ANN paths, the quantization is CLOSED-FORM
+    * arithmetic (max-abs scale, round-half-away-from-zero, cosine in
+    * the quantized domain), and the quantized dot products are exact
+    * integers well inside double precision — DuckDB reproduces the
+    * rounded similarities bit-for-bit. SimilaritySpec additionally
+    * bounds the quantization error and recall vs the float path.
     */
   private def annQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
@@ -2764,6 +2768,30 @@ object Queries {
         round(quantile_cont(value, 0.99), 4) AS p99_exact,
         TRUE AS p50_within_bound, TRUE AS p99_within_bound
         FROM events""",
+    // Int8 quantization is CLOSED-FORM (no hashing): per-vector
+    // max-abs scale, round-half-away-from-zero to [-127,127], cosine
+    // in the quantized domain. The quantized dot products are exact
+    // integers (<= 127^2 * dim << 2^53), so both engines' double
+    // arithmetic is bit-identical and the rounded similarities
+    // hash-match.
+    "ann_quantized_topk" ->
+      """WITH prep AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        s AS (SELECT vec_id, v,
+            greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
+              AS sc
+          FROM prep),
+        qz AS (SELECT vec_id, list_transform(v, x -> round(x / sc)) AS qv
+          FROM s),
+        q AS (SELECT qv AS query FROM qz WHERE vec_id = 0),
+        d AS (SELECT z.vec_id AS id,
+            list_dot_product(z.qv, q.query) /
+              (sqrt(list_dot_product(z.qv, z.qv)) *
+               sqrt(list_dot_product(q.query, q.query))) AS cos
+          FROM qz z, q WHERE z.vec_id <> 0)
+        SELECT id, round(cos, 4) AS sim FROM d
+        ORDER BY sim DESC, id LIMIT 10""",
     "text_quality" ->
       """SELECT lang, count(*) AS n_docs,
         round(avg(n_tok), 4) AS avg_tokens,

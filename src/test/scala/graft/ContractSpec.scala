@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     val documented = Set("simhash_buckets",
       "ann_lsh_topk", "ann_lsh_batch_topk", "emb_neardup",
       "ann_ivf_topk", "ann_ivf_batch_topk",
-      "ann_quantized_topk", "simhash_neardup_pairs", "semdedup")
+      "simhash_neardup_pairs", "semdedup")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }
