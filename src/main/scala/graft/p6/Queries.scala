@@ -1572,6 +1572,32 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Balanced training-shard layout over a GLOBAL document order:
+    * shard id = floor(exclusive-token-cumsum / 512) by doc_id, i.e.
+    * contiguous curriculum-order runs with loader-even token budgets.
+    * The partitioned cousin is q48 (per-bucket packing); the point
+    * here is the partition-LESS running sum, which a window would
+    * compile to a single-task WindowExec — instead
+    * [[graft.operators.GlobalRank.shardAssign]] computes it as a
+    * two-pass distributed prefix sum (range-partitioned sort,
+    * per-partition totals to the driver, offset-seeded scan), so the
+    * 100 TB corpus never funnels through one task. Reports per-shard
+    * doc/token accounting.
+    */
+  private def tokenShardAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val ntoks = size(Dedup.tokens(col("text")))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), ntoks.cast("long").as("ntoks"))
+    GlobalRank.shardAssign(docs, Seq(col("doc_id")), col("ntoks"), 512L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntoks")).cast("long").as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Gopher-style repetition quality signal: the duplicate-trigram
     * ratio (1 - distinct/total 3-gram occurrences) per doc flags
     * boilerplate/looping text. Shape: codegen'd position explode +
@@ -2140,6 +2166,7 @@ object Queries {
     "q46_subqueries" -> (q46Subqueries _),
     "q47_contamination" -> (q47Contamination _),
     "q48_sequence_packing" -> (q48SequencePacking _),
+    "token_shard_assign" -> (tokenShardAssign _),
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
     "q51_rare_token_ratio" -> (q51RareTokenRatio _),
@@ -3073,6 +3100,19 @@ object Queries {
             floor(coalesce(sum(ntoks) OVER (PARTITION BY bucket ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS bin
           FROM (SELECT doc_id, doc_id % 8 AS bucket,
+                  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
+                FROM documents))
+        GROUP BY 1 ORDER BY 1""",
+    "token_shard_assign" ->
+      """SELECT shard_id, count(*) AS n_docs,
+        CAST(sum(ntoks) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM (
+          SELECT doc_id, ntoks,
+            CAST(floor(coalesce(sum(ntoks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+              AS BIGINT) AS shard_id
+          FROM (SELECT doc_id,
                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
                 FROM documents))
         GROUP BY 1 ORDER BY 1""",

@@ -73,6 +73,49 @@ class ScalePatternSpec extends SparkSpec {
     assert(tiny == Set((1L, 1L), (2L, 2L)))
   }
 
+  test("GlobalRank.withPrefixSum matches the single-partition window running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("w"))
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = li
+      .withColumn("excl", coalesce(sum(col("w")).over(
+        Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val viaScan = graft.operators.GlobalRank.withPrefixSum(li, order, col("w"), "excl")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // ~6k rows through the 32-partition range sort: the offsets-seeded
+    // scan must agree with the window across every partition boundary
+    assert(viaScan == viaWindow && viaScan.size > 1000)
+  }
+
+  test("GlobalRank.shardAssign: contiguous shards, token budgets within one doc of target") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("ntoks"))
+    val target = 512L
+    val sharded = graft.operators.GlobalRank
+      .shardAssign(docs, Seq(col("doc_id")), col("ntoks"), target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDoc = sharded.map(_._2).max
+    val byShard = sharded.groupBy(_._3).toSeq.sortBy(_._1)
+    // shard ids are dense from 0
+    assert(byShard.map(_._1) == (0L until byShard.size.toLong))
+    // shards are contiguous runs of the doc_id order
+    val ranges = byShard.map { case (sid, rs) =>
+      (sid, rs.map(_._1).min, rs.map(_._1).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo2, _)) => assert(hi < lo2, "shards overlap")
+      case _ =>
+    }
+    // every non-final shard's tokens land in [target - maxDoc + 1, target + maxDoc - 1]
+    byShard.dropRight(1).foreach { case (sid, rs) =>
+      val tot = rs.map(_._2).sum
+      assert(tot > target - maxDoc && tot < target + maxDoc,
+        s"shard $sid total $tot vs target $target (max doc $maxDoc)")
+    }
+  }
+
   test("as-of join semantics: latest right at-or-before left, per key") {
     def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
     val clicks = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"))
