@@ -318,6 +318,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("withPrefixSum == window running sum for random weights across partitions") {
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, Gen.oneOf(Gen.const(0L), Gen.choose(1L, 5L),
+        Gen.choose(1L, 1000000L)))
+      keys <- Gen.pick(n, 0 until 100000)
+    } yield keys.toList.map(_.toLong).zip(ws)
+    check(Prop.forAll(rowsGen) { rows =>
+      // unique keys (Gen.pick is without replacement) -> deterministic order
+      val df = rows.toDF("k", "w").repartition(7)
+      val order = Seq(col("k"))
+      val viaWindow = df.withColumn("excl", coalesce(sum(col("w")).over(
+          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val viaScan = graft.operators.GlobalRank
+        .withPrefixSum(df, order, col("w"), "excl")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      viaScan == viaWindow
+    })
+  }
+
   test("perDomainCap == naive per-domain rank for random domains and caps") {
     import org.apache.spark.sql.expressions.Window
     val rowsGen = for {
