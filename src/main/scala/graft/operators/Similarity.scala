@@ -314,6 +314,18 @@ object Similarity {
       refineIters: Int = 0): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val (assign, centroids) = ivfIndex(prep, nlist, refineIters)
+    ivfSearchBatch(prep, assign, centroids, queryIds, k, nprobe)
+  }
+
+  /** The search stage of [[ivfTopKBatch]] against a PREBUILT coarse
+    * index — the warm path: centroids and assignments can come from a
+    * persisted store (index metadata survives between batches; only
+    * new vectors pay assignment work), `prep` supplies the raw vectors
+    * for the exact rerank exactly as the lake supplies them at scale.
+    */
+  def ivfSearchBatch(prep: DataFrame, assign: DataFrame,
+      centroids: DataFrame, queryIds: DataFrame, k: Int = 10,
+      nprobe: Int = 8): DataFrame = {
     val qids = queryIds.select(col("qid").cast("long").as("qid"))
     val qvecs = prep.join(broadcast(qids), col("id") === col("qid"))
       .select(col("qid"), col("v").as("qv"))

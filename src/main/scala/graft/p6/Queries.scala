@@ -1037,7 +1037,8 @@ object Queries {
         sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
   }
 
-  /** WARM-path incremental dedup (rows-only — MinHash-based): the
+  /** WARM-path incremental dedup (oracle-backed since the round-8
+    * conversion — DuckDB recomputes the closed-form survivor set): the
     * production shape the operator is built for. Yesterday's base
     * signatures are a persisted artifact — written ONCE per (tmpdir,
     * sf dir) here, parquet — and each batch pays only the increment's
