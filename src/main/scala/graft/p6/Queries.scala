@@ -1079,20 +1079,25 @@ object Queries {
       // store path — delete the prior stores for THIS source dir (each
       // records its source in a marker) so rebuilds don't accumulate
       // orphaned signature parquet in tmp forever
+      // BEST-EFFORT: tmpdir is shared — a concurrent JVM (parallel
+      // bench/test run) may be reading or deleting the same store, so
+      // any IO failure here skips that store instead of failing the
+      // query; an orphan merely survives until the next rebuild.
       val siblings = java.nio.file.Files.list(tmpRoot)
       try siblings.iterator().asScala
         .filter(_.getFileName.toString.startsWith("graft_base_sigs_"))
         .filter(_ != sigDir)
-        .filter { p =>
-          val marker = p.resolve("_source_dir")
-          java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == dir
-        }
         .foreach { p =>
-          val victims = java.nio.file.Files.walk(p)
-          try victims.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally victims.close()
+          try {
+            val marker = p.resolve("_source_dir")
+            if (java.nio.file.Files.exists(marker) &&
+                java.nio.file.Files.readString(marker) == dir) {
+              val victims = java.nio.file.Files.walk(p)
+              try victims.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally victims.close()
+            }
+          } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
         }
       finally siblings.close()
       Dedup.minhashSignaturesFast(base, "doc_id", "text")

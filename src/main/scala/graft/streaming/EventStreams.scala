@@ -238,6 +238,14 @@ object EventStreams {
   }
 
   final case class ShardTok(shard: Int, tok: String)
+  /** transformWithState value-state schema for streamingHeavyHitters.
+    * COMPATIBILITY: adding `updates` (round 8) changed this encoder
+    * schema, so checkpoints written by earlier builds fail state-schema
+    * validation on restart — discard old checkpoints (or enable state
+    * schema evolution where the provider supports it) when upgrading.
+    * Any future field change carries the same cost; version markers
+    * belong in the checkpoint path, not this case class.
+    */
   final case class MgState(toks: Seq[String], counts: Seq[Long],
       updates: Long)
   /** `updates` is a per-shard monotonic state-version counter: sinks

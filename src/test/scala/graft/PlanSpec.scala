@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("windowspecdefinition(qid"), s.take(1200))
   }
 
+  test("token_shard_assign: native PrefixScan over the range sort — no window, no RDD boundary") {
+    val df = Queries.all("token_shard_assign")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan
+    assert(p.collect {
+      case e: org.apache.spark.sql.graft.PrefixScanExec => e
+    }.nonEmpty, s"prefix scan exec missing:\n${p.toString.take(1200)}")
+    val s = p.toString
+    // the old formulation round-tripped through createDataFrame — an
+    // ExistingRDD scan that deserialized every row off the Tungsten path
+    assert(!s.contains("ExistingRDD") && !s.contains("Scan ExistingRDD"),
+      s"RDD round-trip boundary is back:\n${s.take(1200)}")
+    assert(!s.contains("Window"), "shard layout regressed to a window plan")
+  }
+
+  test("q26_ntile: global index via PrefixScan, no single-partition stage") {
+    val s = plan("q26_ntile")
+    assert(s.contains("PrefixScan"), s.take(1200))
+    assert(!s.contains("ExistingRDD") && !s.contains("Window"), s.take(1200))
+  }
+
   test("media_decode: per-partition codec batch is a MapPartitions sandwich over a doc_id-only scan") {
     val s = plan("media_decode")
     assert(s.contains("MapPartitions"), s.take(1200))
