@@ -54,10 +54,13 @@ object VectorExpressions {
 
   /** 64-bit SimHash of a token array in one codegen'd pass — the
     * map-only replacement for the explode + 64-sum-column aggregate.
+    * `md5Basis = true` uses md5-low-64 per-token hashes (DuckDB's
+    * `md5_number_lower`) so the signature has a closed-form SQL twin.
     */
-  def simhash64(tokens: Column): Column =
+  def simhash64(tokens: Column, md5Basis: Boolean = false): Column =
     ColumnBridge.column(
-      org.apache.spark.sql.graft.SimHash64(ColumnBridge.expression(tokens)))
+      org.apache.spark.sql.graft.SimHash64(
+        ColumnBridge.expression(tokens), md5Basis))
 
   /** Distinct n-token shingles, sorted ascending, in one codegen'd
     * pass — the exact-Jaccard verify input, replacing four interpreted

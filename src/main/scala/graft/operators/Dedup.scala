@@ -478,12 +478,13 @@ object Dedup {
     * [[hotBucketReport]] to see what a given cap would skip.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket,
+      md5Basis: Boolean = false): DataFrame = {
     val bands = maxDist + 1
     require(64 % bands == 0, s"maxDist+1 must divide 64 (got $bands bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhash(df, idCol, textCol)
+    val sigs = simhash(df, idCol, textCol, md5Basis)
     val banded = sigs.select(col("id"), col("sig").as("p"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -522,8 +523,9 @@ object Dedup {
     * 64-sum-column aggregate (DedupSpec-pinned), with no token
     * explode and no groupBy exchange.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      md5Basis: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.VectorExpressions.simhash64(
-        tokens(col(textCol))).as("sig"))
+        tokens(col(textCol)), md5Basis).as("sig"))
 }

@@ -777,33 +777,42 @@ object Queries {
       .withColumnRenamed("id", "vec_id")
   }
 
-  /** Batch IVF ANN over the same query set (no oracle — centroid
-    * assignment is engine-specific; SimilaritySpec proves
-    * nprobe=nlist reproduces the exact batch and the pruning path
-    * matches the single-query entry).
+  /** Batch IVF ANN over the same query set. ORACLE-BACKED since round
+    * 9 via the [[annRecallBatchSummary]] contract: per-qid exact-side
+    * stats DuckDB recomputes, per-query recall floor >= 0.4 (observed
+    * min 0.5 across SFs — k-means centroids trade per-query variance
+    * for mean recall) and MEAN recall@10 >= 0.8 (observed 0.865-0.925)
+    * asserted TRUE. SimilaritySpec keeps nprobe=nlist == exact-batch
+    * equality and the single-query agreement pins.
     */
   private def annIvfBatchTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = t(s, dir, "embeddings")
     val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
-    Similarity.ivfTopKBatch(e, "vec_id", "embedding", qids,
+    val ann = Similarity.ivfTopKBatch(e, "vec_id", "embedding", qids,
       k = 10, nlist = 32, nprobe = 8, refineIters = 2)
-      .withColumnRenamed("id", "vec_id")
+    annRecallBatchSummary(
+      Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10),
+      ann, k = 10, minHitsPerQuery = 4, minMeanRecall = 0.8)
   }
 
-  /** Batch multi-probe LSH ANN over the same query set (no oracle —
-    * hash-derived hyperplanes; SimilaritySpec pins MEAN recall@10
-    * >= 0.9 against the exact batch across all 20 queries; 16 tables,
+  /** Batch multi-probe LSH ANN over the same query set (16 tables,
     * because a batch answers for every query's angle at once where the
-    * single-query entry only needs its own).
+    * single-query entry only needs its own). ORACLE-BACKED since
+    * round 9 via the [[annRecallBatchSummary]] contract: per-qid
+    * exact-side stats DuckDB recomputes, per-query recall floor >= 0.6
+    * (observed min 0.7 across SFs) and MEAN recall@10 >= 0.9 (the
+    * SimilaritySpec pin; observed 0.96-0.995) asserted TRUE.
     */
   private def annLshBatchTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = t(s, dir, "embeddings")
     val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
-    Similarity.annTopKBatch(e, "vec_id", "embedding", qids,
+    val ann = Similarity.annTopKBatch(e, "vec_id", "embedding", qids,
       k = 10, bits = 6, tables = 16)
-      .withColumnRenamed("id", "vec_id")
+    annRecallBatchSummary(
+      Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10),
+      ann, k = 10, minHitsPerQuery = 6, minMeanRecall = 0.9)
   }
 
   /** Semi-structured columns: parse the JSON props payload and
@@ -1120,10 +1129,17 @@ object Queries {
         sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
   }
 
-  /** SimHash bucket histogram (no SQL oracle — xxhash64-based). */
+  /** SimHash bucket histogram. ORACLE-BACKED since round 9: the
+    * md5-low-64 hash basis (the [[org.apache.spark.sql.graft.SimHash64]]
+    * knob) makes per-token hashes equal DuckDB's `md5_number_lower`,
+    * so the oracle recomputes every signature — distinct-token bit
+    * votes, sign threshold, 16-bit prefix histogram — closed-form.
+    * The xxhash64 basis remains the kernel default for pure-Spark
+    * dedup paths (DedupSpec keeps its equivalence pins there).
+    */
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", md5Basis = true)
       .groupBy(shiftrightunsigned(col("sig"), 48).as("prefix"))
       .agg(count(lit(1)).as("n_docs"))
       .groupBy(col("n_docs").as("bucket_size"))
@@ -1132,14 +1148,19 @@ object Queries {
   }
 
   /** SimHash hamming-distance near-dup pairs via pigeonhole banding
-    * (no oracle — xxhash64-based; DedupSpec proves the banding is
-    * lossless vs brute-force hamming).
+    * (maxDist 3 -> 4 exact 16-bit bands; any pair within hamming 3
+    * must agree on >= 1 band). ORACLE-BACKED since round 9 via the
+    * md5-low-64 basis: DuckDB recomputes the signatures, the banded
+    * candidate pairs INCLUDING the >maxBucket star degradation (which
+    * genuinely binds at sf0.1 — one band bucket holds 316 docs), and
+    * the exact popcount verify. DedupSpec keeps the brute-force
+    * losslessness pin on the xxhash64 default path.
     */
   private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val pairs = Dedup.simhashNearDupPairs(
       t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
-      maxDist = 3)
+      maxDist = 3, md5Basis = true)
     pairs.agg(count(lit(1)).as("n_pairs"),
       coalesce(min(col("hamming")), lit(-1)).cast("int").as("min_hamming"),
       coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
@@ -1282,15 +1303,82 @@ object Queries {
         coalesce(sum(col("shared_frames")), lit(0L)).as("n_shared_frames")))
   }
 
+  /** Recall-contract summary for a SINGLE-query approximate-ANN entry
+    * (the round-9 oracle conversion, same pattern as the approx_*
+    * sketches): the approximate result's ids themselves are
+    * hash-derived and have no SQL equivalent, so the entry emits what
+    * DuckDB CAN recompute closed-form — the exact brute-force top-k's
+    * count / sum-of-sims / boundary sim — plus contract booleans the
+    * oracle asserts TRUE: the ANN plan returned the full k rows, and
+    * its recall@k against the in-plan exact top-k clears `minHits`/k.
+    * `exact_sum_sim` over the 4-decimal per-pair sims (not avg): the
+    * true value is a multiple of 1e-4, so the final round(.,4) sits
+    * ~5e-5 from any boundary and double-summation-order ULPs cannot
+    * flip the hash. Thresholds carry >= one-hit margin below every
+    * observed value at sf0.001/0.01/0.1 (BASELINE.md round-9 record);
+    * the tight 0.9 pins stay in SimilaritySpec.
+    */
+  private def annRecallSummary(exact: DataFrame, ann: DataFrame,
+      k: Int, minHits: Int): DataFrame =
+    exact.join(ann.select(col("id"), lit(1).as("__hit")), Seq("id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(col("sim")), 4).as("exact_sum_sim"),
+        round(min(col("sim")), 4).as("exact_min_sim"),
+        (coalesce(sum(col("__hit")), lit(0)) >= minHits).as("recall_ok"))
+      .crossJoin(broadcast(
+        ann.agg((count(lit(1)) === k).as("returned_k_ok"))))
+
+  /** Batch variant of [[annRecallSummary]]: one row per query with the
+    * exact side's per-qid stats (DuckDB recomputes), a per-query
+    * recall FLOOR boolean, and the spec-pinned MEAN-recall contract
+    * repeated on every row (computed once, broadcast back — the 1-row
+    * crossJoin pattern the corpus-totals queries use).
+    */
+  private def annRecallBatchSummary(exact: DataFrame, ann: DataFrame,
+      k: Int, minHitsPerQuery: Int, minMeanRecall: Double): DataFrame = {
+    val perQ = exact.join(
+        ann.select(col("qid"), col("id"), lit(1).as("__hit")),
+        Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(col("sim")), 4).as("exact_sum_sim"),
+        round(min(col("sim")), 4).as("exact_min_sim"),
+        coalesce(sum(col("__hit")), lit(0)).as("__hits"))
+    perQ.crossJoin(broadcast(perQ.agg(
+        (avg(col("__hits")) / k >= minMeanRecall).as("mean_recall_ok"))))
+      .select(col("qid"), col("n_exact"), col("exact_sum_sim"),
+        col("exact_min_sim"),
+        (col("__hits") >= minHitsPerQuery).as("recall_floor_ok"),
+        col("mean_recall_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** The exact brute-force top-k NEIGHBORS of vec 0 (query excluded) —
+    * the in-plan baseline the single-query ANN contracts score against.
+    */
+  private def exactTop10(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+    val q = prep.filter(col("id") === 0L).select(col("v").as("qv"))
+    prep.filter(col("id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("id"), round(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(10)
+  }
+
   /** ANN via multi-table multi-probe random-hyperplane LSH: exact
     * rerank over the union of the query's bucket and its Hamming-1
-    * neighbors across 8 independent tables (no oracle — hash-derived
-    * hyperplanes; SimilaritySpec pins recall@10 >= 0.9 vs brute force).
+    * neighbors across 8 independent tables. ORACLE-BACKED since round
+    * 9 via the [[annRecallSummary]] contract (exact-side stats DuckDB
+    * recomputes + recall@10 >= 0.7 asserted TRUE; observed 0.8-0.9
+    * across SFs; SimilaritySpec pins 0.9 at sf0.001).
     */
   private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+    val ann = Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 6, tables = 8)
+    annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 7)
   }
 
   /** Embedding-cosine near-dup pair summary via LSH buckets
@@ -2067,13 +2155,17 @@ object Queries {
       .orderBy(col("y"))
   }
 
-  /** IVF ANN top-10 (no oracle — centroid assignment has no SQL
-    * equivalent; SimilaritySpec pins subset-correctness and recall).
+  /** IVF ANN top-10. ORACLE-BACKED since round 9 via the
+    * [[annRecallSummary]] contract (the centroid assignment itself has
+    * no SQL equivalent; the exact-side stats are recomputed by DuckDB
+    * and recall@10 >= 0.7 is asserted TRUE — observed 0.8-1.0 across
+    * SFs; SimilaritySpec keeps the structural subset/recall pins).
     */
   private def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+    val ann = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nlist = 32, nprobe = 8)
+    annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 7)
   }
 
   // ================================================================
@@ -2199,6 +2291,191 @@ object Queries {
     * [[graft.operators.Dedup.dedupIncrement]], where components are
     * built before the anti join).
     */
+  /** One row of the sign-random-projection hyperplane matrix as a SQL
+    * DOUBLE[] literal: w(k)(j) = +/-1 by bit 13 of xxhash64(j, seed
+    * xxhash64(k, 42)) — the SAME data-independent constants the
+    * [[org.apache.spark.sql.graft.SignProjection]] kernel tabulates, so
+    * the DuckDB oracle recomputes the LSH buckets closed-form by
+    * plain dot products (applying +/-1 weights via list_dot_product
+    * reproduces the kernel's ascending-j summation bit for bit).
+    */
+  private def lshSignRow(k: Int, dim: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val hk = XxHash64Function.hash(k, IntegerType, 42L)
+    (0 until dim).map { j =>
+      val h = XxHash64Function.hash(j, IntegerType, hk)
+      if (((h >>> 13) & 1L) == 1L) "1.0" else "-1.0"
+    }.mkString("[", ",", "]")
+  }
+
+  /** emb_neardup closed-form oracle (round 9): recompute the 6-bit
+    * sign-LSH bucket of every embedding from the inlined hyperplane
+    * matrix, enumerate same-bucket candidate pairs WITH the >256
+    * star degradation (cappedPairs semantics — min-id representative;
+    * it never binds on this corpus, max observed bucket 53, but the
+    * oracle mirrors the operator exactly), verify exact cosine >= 0.5
+    * on the rounded value, and summarize.
+    */
+  private val EmbNearDupOracleSql: String = {
+    val planes = (0 until 6).map(k => s"($k, ${lshSignRow(k, 64)}::DOUBLE[])")
+      .mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      planes(k, w) AS (VALUES
+        $planes),
+      proj AS (SELECT vec_id, k, list_dot_product(v, w) AS p
+        FROM e, planes),
+      bucket AS (SELECT vec_id,
+          sum(CASE WHEN p > 0 THEN (1 << k) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      stats AS (SELECT e.vec_id, e.v, b.bucket,
+          count(*) OVER (PARTITION BY b.bucket) AS bsz,
+          first_value(e.vec_id) OVER (PARTITION BY b.bucket
+            ORDER BY e.vec_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id,
+          first_value(e.v) OVER (PARTITION BY b.bucket
+            ORDER BY e.vec_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_v
+        FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+      cand AS (
+        SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+        FROM stats x JOIN stats y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE x.bsz <= 256 AND y.bsz <= 256
+        UNION ALL
+        SELECT rep_id AS a, vec_id AS b, rep_v AS va, v AS vb
+        FROM stats WHERE bsz > 256 AND vec_id <> rep_id),
+      verified AS (SELECT
+          round(list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+            4) AS cos
+        FROM cand)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        round(coalesce(max(cos), 0.0), 4) AS max_cos
+      FROM verified WHERE cos >= 0.5"""
+  }
+
+  /** The shared md5-basis SimHash signature CTE chain (round 9): per
+    * doc, DISTINCT whitespace tokens of lower(trim(text)), per-token
+    * h = md5_number_lower (the kernel's md5Basis twin), each bit votes
+    * +/-1 by (h >> b) & 1, signature sets bit b where the vote sum is
+    * positive — built in the UBIGINT domain so bit 63 packs without
+    * overflow (the Spark side's signed long has the same bit pattern,
+    * and only prefix/key/popcount derivatives reach any output).
+    */
+  private def simhashSigCtes(source: String): String = {
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n          ")
+    // bit values as precomputed unsigned literals: DuckDB's << is
+    // BIGINT-domain and raises on 1 << 63
+    val sig = (0 until 64).map { b =>
+      val pow = java.lang.Long.toUnsignedString(1L << b)
+      s"(CASE WHEN v$b > 0 THEN CAST($pow AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    }.mkString(" +\n          ")
+    s"""toks AS (SELECT doc_id,
+          unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tk
+        FROM $source),
+      hs AS (SELECT doc_id, md5_number_lower(tk) AS th FROM toks),
+      votes AS (SELECT doc_id,
+          $votes
+        FROM hs GROUP BY doc_id),
+      sig AS (SELECT doc_id,
+          $sig AS sig
+        FROM votes)"""
+  }
+
+  private val SimhashBucketsOracleSql: String =
+    s"""WITH ${simhashSigCtes("documents")},
+      pref AS (SELECT doc_id, sig >> 48 AS prefix FROM sig),
+      counts AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pref GROUP BY prefix)
+      SELECT n_docs AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM counts GROUP BY n_docs ORDER BY bucket_size"""
+
+  /** simhash_neardup_pairs oracle: banding + star degradation +
+    * popcount verify, mirroring Dedup.simhashNearDupPairs (maxDist 3,
+    * 4 exact 16-bit bands, maxBucket 256 — which BINDS at sf0.1).
+    */
+  private val SimhashNearDupOracleSql: String =
+    s"""WITH ${simhashSigCtes("documents WHERE doc_id < 2000")},
+      banded AS (SELECT doc_id, sig, b.band,
+          (sig >> (b.band * 16)) & 65535 AS key
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      stats AS (SELECT doc_id, sig, band, key,
+          count(*) OVER (PARTITION BY band, key) AS bsz,
+          first_value(doc_id) OVER (PARTITION BY band, key
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id,
+          first_value(sig) OVER (PARTITION BY band, key
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_sig
+        FROM banded),
+      cand AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+        FROM stats x JOIN stats y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        WHERE x.bsz <= 256 AND y.bsz <= 256
+        UNION ALL
+        SELECT rep_id AS a, doc_id AS b, rep_sig AS sa, sig AS sb
+        FROM stats WHERE bsz > 256 AND doc_id <> rep_id),
+      pairs AS (SELECT DISTINCT a, b,
+          bit_count(xor(sa, sb)) AS hamming
+        FROM cand),
+      ok AS (SELECT * FROM pairs WHERE hamming <= 3)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(coalesce(min(hamming), -1) AS INT) AS min_hamming,
+        coalesce(round(avg(hamming), 4), -1.0) AS avg_hamming
+      FROM ok"""
+
+  /** Shared oracle for the single-query approximate-ANN contracts
+    * (ann_lsh_topk / ann_ivf_topk): the exact top-10 NEIGHBOR stats of
+    * vec 0 (query excluded), closed-form, plus the contract booleans
+    * asserted TRUE. Sims round to 4 decimals per pair BEFORE the sum,
+    * mirroring the Spark side, so the sum is a multiple of 1e-4 and
+    * immune to summation-order ULPs.
+    */
+  private val AnnSingleOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      s AS (SELECT e.vec_id,
+          round(list_dot_product(v, qv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+            4) AS sim
+        FROM e, q WHERE e.vec_id <> 0),
+      r AS (SELECT vec_id, sim,
+          row_number() OVER (ORDER BY sim DESC, vec_id) AS rn FROM s)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        round(sum(sim), 4) AS exact_sum_sim,
+        round(min(sim), 4) AS exact_min_sim,
+        TRUE AS recall_ok, TRUE AS returned_k_ok
+      FROM r WHERE rn <= 10"""
+
+  /** Shared oracle for the batch approximate-ANN contracts
+    * (ann_lsh_batch_topk / ann_ivf_batch_topk): per-qid exact batch
+    * top-10 stats + the per-query-floor and mean-recall booleans.
+    */
+  private val AnnBatchOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      s AS (SELECT qid, e.vec_id,
+          round(list_dot_product(v, qv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+            4) AS sim
+        FROM e, q WHERE e.vec_id != qid),
+      r AS (SELECT qid, vec_id, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        FROM s)
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+        round(sum(sim), 4) AS exact_sum_sim,
+        round(min(sim), 4) AS exact_min_sim,
+        TRUE AS recall_floor_ok, TRUE AS mean_recall_ok
+      FROM r WHERE rn <= 10
+      GROUP BY qid ORDER BY qid"""
+
   private val IncrementOracleSql: String =
     """WITH RECURSIVE sh0 AS (
         SELECT doc_id,
@@ -2889,6 +3166,20 @@ object Queries {
           FROM s)
         SELECT qid, vec_id, sim FROM r WHERE rn <= 10
         ORDER BY qid, sim DESC, vec_id""",
+    // The approximate-ANN recall contracts (round 9): DuckDB recomputes
+    // the exact brute-force top-10's count / sum-of-sims / boundary sim
+    // closed-form and asserts the recall booleans TRUE (thresholds with
+    // one-hit margin below every observed SF value; BASELINE.md r9).
+    "ann_lsh_topk" -> AnnSingleOracleSql,
+    "ann_ivf_topk" -> AnnSingleOracleSql,
+    "ann_lsh_batch_topk" -> AnnBatchOracleSql,
+    "ann_ivf_batch_topk" -> AnnBatchOracleSql,
+    // Closed-form hash-basis oracles (round 9): the LSH hyperplane
+    // matrix is a data-independent constant (inlined), and the simhash
+    // entries run the md5-low-64 token-hash basis DuckDB can recompute.
+    "emb_neardup" -> EmbNearDupOracleSql,
+    "simhash_buckets" -> SimhashBucketsOracleSql,
+    "simhash_neardup_pairs" -> SimhashNearDupOracleSql,
     "q30_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         row_number() OVER bydate AS rn,

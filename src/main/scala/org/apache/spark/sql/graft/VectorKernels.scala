@@ -287,8 +287,17 @@ case class MinHashSignature(child: Expression, shingleLen: Int, numPerm: Int)
   * aggregate and the interpreted `aggregate()` fold it replaces, with
   * no token explode and no groupBy exchange — map-only, like
   * [[MinHashSignature]].
+  *
+  * `md5Basis = true` swaps the per-token hash for the low 64 bits of
+  * md5(token) (digest bytes 8..15, little-endian — the exact value
+  * DuckDB's `md5_number_lower` returns), keeping every other rule
+  * identical. That makes the signature recomputable closed-form in
+  * ANSI-ish SQL, which is what lets the simhash registry entries
+  * carry a real DuckDB oracle; the xxhash64 basis stays the default
+  * for pure-Spark pipelines (md5 is a full cryptographic digest per
+  * token — measurably slower, never better for dedup quality).
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, md5Basis: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes {
 
@@ -296,6 +305,20 @@ case class SimHash64(child: Expression)
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash64"
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def md5Lower64(tk: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(tk.getBytes)
+    java.nio.ByteBuffer.wrap(digest, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
 
   def compute(arr: ArrayData): Long = {
     val len = arr.numElements()
@@ -307,7 +330,8 @@ case class SimHash64(child: Expression)
       // skip nulls to match the replaced explode(array_distinct(...))
       // formulation, which dropped null tokens rather than hashing them
       if (tk != null && seen.add(tk)) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        val h = if (md5Basis) md5Lower64(tk)
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(tk, org.apache.spark.sql.types.StringType, 42L)
         var b = 0
         while (b < 64) {

@@ -15,10 +15,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle coverage is complete except the documented hash/sketch queries") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set("simhash_buckets",
-      "ann_lsh_topk", "ann_lsh_batch_topk", "emb_neardup",
-      "ann_ivf_topk", "ann_ivf_batch_topk",
-      "simhash_neardup_pairs", "semdedup")
+    val documented = Set("semdedup")
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }
@@ -50,7 +47,9 @@ class ContractSpec extends AnyFunSuite {
       "p6_term_checks", "p6_batch_validate", "q40_set_ops_all", "corpus_funnel",
       "fuzzy_join", "q46_subqueries", "media_dedup",
       "dedup_corpus", "dedup_increment", "dedup_increment_warm",
-      "approx_distinct", "approx_percentiles")
+      "approx_distinct", "approx_percentiles",
+      "ann_lsh_topk", "ann_ivf_topk",
+      "emb_neardup", "simhash_neardup_pairs")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name

@@ -101,6 +101,37 @@ class DedupSpec extends SparkSpec {
     assert(viaKernel == viaFold && viaKernel.nonEmpty)
   }
 
+  test("md5-basis simhash64 matches a direct MessageDigest reference (DuckDB md5_number_lower twin)") {
+    // the oracle contract: per-token hash = digest bytes 8..15 of
+    // md5(token), little-endian — exactly DuckDB's md5_number_lower.
+    // Recompute a signature from first principles and compare.
+    val toks = Seq("alpha", "beta", "gamma", "beta", "")
+    def md5Lower64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 8, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    val votes = new Array[Int](64)
+    toks.distinct.foreach { tk =>
+      val h = md5Lower64(tk)
+      (0 until 64).foreach(b =>
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+    }
+    val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+      if (votes(b) > 0) acc | (1L << b) else acc)
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(graft.functions.VectorExpressions
+        .simhash64(col("toks"), md5Basis = true).as("sig"))
+      .collect()(0).getLong(0)
+    assert(got == expected)
+    // and the basis genuinely differs from the xxhash64 default
+    val xx = Seq(Tuple1(toks)).toDF("toks")
+      .select(graft.functions.VectorExpressions.simhash64(col("toks")).as("sig"))
+      .collect()(0).getLong(0)
+    assert(got != xx)
+  }
+
   test("simhash64 kernel drops null tokens like the explode formulation did") {
     // explode(array_distinct(tokens)) silently dropped nulls; the
     // map-only kernel must match rather than NPE on a null element
