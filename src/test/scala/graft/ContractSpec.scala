@@ -15,7 +15,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle coverage is complete except the documented hash/sketch queries") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set("semdedup")
+    val documented = Set.empty[String]
     assert(rowsOnly == documented,
       s"unexpected rows-only queries (add an oracle or document): ${rowsOnly -- documented}")
   }
@@ -49,7 +49,7 @@ class ContractSpec extends AnyFunSuite {
       "dedup_corpus", "dedup_increment", "dedup_increment_warm",
       "approx_distinct", "approx_percentiles",
       "ann_lsh_topk", "ann_ivf_topk",
-      "emb_neardup", "simhash_neardup_pairs")
+      "emb_neardup", "simhash_neardup_pairs", "semdedup")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name
