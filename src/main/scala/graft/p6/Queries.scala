@@ -666,20 +666,36 @@ object Queries {
       "vec_id", "embedding", nlist = 8, refineIters = 2, threshold = thr)
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
     // round-then-filter like emb_neardup: the hashed boundary sits on a
-    // 1e-4 grid, so engine ULP noise cannot flip membership
-    val globalPairs = prep.as("x").join(prep.as("y"), col("x.id") < col("y.id"))
+    // 1e-4 grid, so engine ULP noise cannot flip membership. Norms are
+    // computed ONCE per vector (N sqrt-of-dots, not 2 per pair) — the
+    // same ops in the same order as cosine_similarity, so the rounded
+    // values are bit-identical while the all-pairs pass does one dot
+    // per pair instead of three.
+    val prepN = prep.select(col("id"), col("v"),
+      sqrt(graft.functions.VectorExpressions.dot_product(col("v"), col("v")))
+        .as("nrm"))
+    val globalPairs = prepN.as("x").join(prepN.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(Similarity.cosine(col("x.v"), col("y.v")), 4).as("cos"))
+        round(graft.functions.VectorExpressions.dot_product(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .filter(col("cos") >= thr)
     val globalStats = globalPairs.agg(
       count(lit(1)).as("n_global_pairs"),
       countDistinct(col("b")).as("n_global_dups"),
       round(coalesce(max(col("cos")), lit(0.0)), 4).as("max_global_cos"))
-    val dropStats = drops.join(globalPairs,
-        drops("kept") === globalPairs("a") && drops("id") === globalPairs("b"),
-        "left")
+    // validity re-verifies each dropped (kept, id) pair by DIRECT
+    // cosine recompute against the prepared vectors ((kept, id) is in
+    // the global pair set iff round(cos(kept, id), 4) >= thr, since
+    // kept < id always) — joining the drops back into `globalPairs`
+    // would stream the whole all-pairs subtree a second time (measured
+    // ~2x the entry at sf0.1, BASELINE.md round-10 record)
+    val dropStats = drops
+      .join(prep.select(col("id").as("kept"), col("v").as("kv")), Seq("kept"))
+      .join(prep.select(col("id"), col("v").as("dv")), Seq("id"))
       .agg(count(lit(1)).as("__n_dropped"),
-        coalesce(sum(when(col("cos").isNotNull, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(
+            round(Similarity.cosine(col("kv"), col("dv")), 4) >= thr,
+            1L).otherwise(0L)), lit(0L))
           .as("__n_verified"))
     globalStats.crossJoin(broadcast(dropStats))
       .select(col("n_global_pairs"), col("n_global_dups"), col("max_global_cos"),
@@ -1352,20 +1368,31 @@ object Queries {
     * the tight 0.9 pins stay in SimilaritySpec.
     */
   private def annRecallSummary(exact: DataFrame, ann: DataFrame,
-      k: Int, minHits: Int): DataFrame =
-    exact.join(ann.select(col("id"), lit(1).as("__hit")), Seq("id"), "left")
+      k: Int, minHits: Int): DataFrame = {
+    // the ANN result feeds two consumers (the hit join and the
+    // returned-k count); pin its <= k rows once so the index build +
+    // probe doesn't execute twice per run (measured 2x on the IVF
+    // entries — BASELINE.md round-10 record)
+    val annP = ann.localCheckpoint(true)
+    exact.join(annP.select(col("id"), lit(1).as("__hit")), Seq("id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         round(sum(col("sim")), 4).as("exact_sum_sim"),
         round(min(col("sim")), 4).as("exact_min_sim"),
         (coalesce(sum(col("__hit")), lit(0)) >= minHits).as("recall_ok"))
       .crossJoin(broadcast(
-        ann.agg((count(lit(1)) === k).as("returned_k_ok"))))
+        annP.agg((count(lit(1)) === k).as("returned_k_ok"))))
+  }
 
   /** Batch variant of [[annRecallSummary]]: one row per query with the
     * exact side's per-qid stats (DuckDB recomputes), a per-query
     * recall FLOOR boolean, and the spec-pinned MEAN-recall contract
     * repeated on every row (computed once, broadcast back — the 1-row
-    * crossJoin pattern the corpus-totals queries use).
+    * crossJoin pattern the corpus-totals queries use). The per-qid
+    * frame is pinned via localCheckpoint before fan-out: its two
+    * consumers would otherwise each re-execute the whole exact-join-ann
+    * subtree — index build included — doubling the entry (measured
+    * 10.8 -> 4.1 s steady on ann_ivf_batch_topk at sf0.1, BASELINE.md
+    * round-10 record). |Q| rows, so the pin is free.
     */
   private def annRecallBatchSummary(exact: DataFrame, ann: DataFrame,
       k: Int, minHitsPerQuery: Int, minMeanRecall: Double): DataFrame = {
@@ -1377,6 +1404,7 @@ object Queries {
         round(sum(col("sim")), 4).as("exact_sum_sim"),
         round(min(col("sim")), 4).as("exact_min_sim"),
         coalesce(sum(col("__hit")), lit(0)).as("__hits"))
+      .localCheckpoint(true)
     perQ.crossJoin(broadcast(perQ.agg(
         (avg(col("__hits")) / k >= minMeanRecall).as("mean_recall_ok"))))
       .select(col("qid"), col("n_exact"), col("exact_sum_sim"),

@@ -175,7 +175,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_lsh_batch_topk: probes broadcast; per-query top-k is a qid-partitioned window") {
-    val s = plan("ann_lsh_batch_topk")
+    // pin the ANN operator's own plan: since the round-10 contract fix
+    // the registry entry localCheckpoints the per-qid frame (so the
+    // index build doesn't execute twice), which hides the ANN subtree
+    // behind an RDD scan in the entry's final plan
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    val s = graft.operators.Similarity
+      .annTopKBatch(e, "vec_id", "embedding", qids, k = 10, bits = 6, tables = 16)
+      .queryExecution.sparkPlan.toString
     // the probe set must hit the membership index as a broadcast, and
     // the batch must rank per query (qid window), never globally
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
