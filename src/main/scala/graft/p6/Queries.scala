@@ -1753,6 +1753,34 @@ object Queries {
       .orderBy(col("shard_id"))
   }
 
+  /** Fact-fact join over BUCKETED twins of orders and lineitem — the
+    * storage-layout scale pattern: both sides too big to broadcast at
+    * the design point, so a plain join shuffles both corpora on every
+    * run; the bucketed layout ([[graft.sources.BucketedLayout]]) pays
+    * that shuffle once at write time and this whole plan — sort-merge
+    * join, revenue aggregation grouped BY the bucket key, global
+    * top-100 — runs with ZERO exchanges (PlanSpec pins it: no
+    * ShuffleExchange anywhere; the top-100 is a TakeOrderedAndProject,
+    * local top-k + driver merge, not a sort shuffle). The merge hint
+    * only pre-empts the broadcast the optimizer would pick at TEST
+    * scale (a few MB); at the design point sort-merge is what
+    * JoinSelection picks unhinted, and the exchange elision is the
+    * point. ORACLE: plain SQL join+group+top-100 — the layout must
+    * never change results, only plans.
+    */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BucketedLayout
+    val o = BucketedLayout.bucketedTable(s, dir, "orders", "o_orderkey", 8)
+    val l = BucketedLayout.bucketedTable(s, dir, "lineitem", "l_orderkey", 8)
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Gopher-style repetition quality signal: the duplicate-trigram
     * ratio (1 - distinct/total 3-gram occurrences) per doc flags
     * boilerplate/looping text. Shape: codegen'd position explode +
@@ -2326,6 +2354,7 @@ object Queries {
     "q47_contamination" -> (q47Contamination _),
     "q48_sequence_packing" -> (q48SequencePacking _),
     "token_shard_assign" -> (tokenShardAssign _),
+    "bucketed_join" -> (bucketedJoin _),
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
     "q51_rare_token_ratio" -> (q51RareTokenRatio _),
@@ -3267,6 +3296,15 @@ object Queries {
     // Round 10: the last rows-only entry converted — exact global
     // dup stats + precision/recall-floor contract booleans.
     "semdedup" -> SemDedupOracleSql,
+    // Round 10: the bucketed-layout entry — storage layout must never
+    // change results, so the oracle is the PLAIN join.
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_custkey,
+        CAST(count(*) AS BIGINT) AS n_items,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_custkey
+        ORDER BY revenue DESC, o_orderkey LIMIT 100""",
     "q30_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         row_number() OVER bydate AS rn,

@@ -1,0 +1,127 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed storage layout: pay a table's join/aggregation shuffle
+  * ONCE at write time, then run every downstream key-join and
+  * key-aggregation exchange-free.
+  *
+  * This is the canonical Spark answer to the fact-fact join at 100 TB
+  * scale — two tables too big to broadcast, joined on the same key in
+  * every batch job. A plain join shuffles BOTH corpora on every run; a
+  * bucketed twin written with `bucketBy(n, key)` carries Spark's hash
+  * partitioning in the catalog, so `FileSourceScanExec` reports
+  * `HashPartitioning(key, n)` and Catalyst elides the exchanges on
+  * both sides of a sort-merge join, under the final aggregation when
+  * the grouping keys contain the bucket key, and under any number of
+  * further key-joins in the same plan. The layout is written by
+  * `repartition(n, key)` first, so every task holds exactly one
+  * bucket's rows and each bucket lands in ONE file — which also makes
+  * the per-bucket `sortBy` metadata usable (Spark only trusts bucket
+  * sort order when a bucket has a single file) and elides the
+  * sort-merge sorts too. At real scale one file per bucket means
+  * thousands of buckets, not 8; the bucket count is the knob that
+  * trades file size against layout parallelism.
+  *
+  * Twins are registered per session in the in-memory catalog, keyed on
+  * a content fingerprint of the source parquet (name+size+mtime, the
+  * warm-signature-store discipline): a regenerated source changes the
+  * fingerprint and forces a rewrite instead of silently reusing a
+  * stale layout. The parquet itself lives in tmp and is REUSED across
+  * JVMs — if the fingerprint dir already has a `_SUCCESS`, a later
+  * session registers the existing bucketed files with `CREATE TABLE …
+  * CLUSTERED BY` DDL rather than rewriting them (bucket ids are
+  * encoded in the file names, so registration is metadata-only).
+  * Cleanup of superseded fingerprints is best-effort, like the warm
+  * store: tmpdir is shared, so IO races skip a store, never fail the
+  * query.
+  */
+object BucketedLayout {
+
+  /** The bucketed twin of `sfDir/table.parquet`, bucketed AND
+    * per-bucket sorted by `keyCol` into `numBuckets` buckets.
+    */
+  def bucketedTable(spark: SparkSession, sfDir: String, table: String,
+      keyCol: String, numBuckets: Int = 8): DataFrame = {
+    val name = twinName(sfDir, table, keyCol, numBuckets)
+    if (!spark.catalog.tableExists(name)) {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_bkt")
+      java.nio.file.Files.createDirectories(root)
+      val loc = root.resolve(name)
+      cleanupSuperseded(root, loc, sfDir, table)
+      if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        // cross-JVM warm path: bucketed files already on disk —
+        // register them; CLUSTERED BY restores the catalog bucket spec
+        val schema = graft.Tables(spark, sfDir, table).schema.toDDL
+        spark.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+          s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) " +
+          s"INTO $numBuckets BUCKETS LOCATION '${loc.toUri}'")
+      } else {
+        graft.Tables(spark, sfDir, table)
+          .repartition(numBuckets, col(keyCol))
+          .write.mode("overwrite")
+          .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+          .option("path", loc.toString)
+          .saveAsTable(name)
+      }
+      if (!java.nio.file.Files.exists(loc.resolve("_source")))
+        java.nio.file.Files.writeString(loc.resolve("_source"),
+          sfDir + "\n" + table)
+    }
+    spark.table(name)
+  }
+
+  /** Catalog/dir name for the twin: deterministic in (source content,
+    * key, bucket count), so a changed source or layout re-keys.
+    */
+  private def twinName(sfDir: String, table: String, keyCol: String,
+      numBuckets: Int): String = {
+    val src = java.nio.file.Paths.get(sfDir, s"$table.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val st = java.nio.file.Files.list(src)
+        try st.iterator().asScala.toVector.sortBy(_.toString)
+        finally st.close()
+      } else Seq(src)
+    val fingerprint = files.map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis
+    }.mkString("|")
+    val key = s"$sfDir\n$table\n$keyCol\n$numBuckets\n$fingerprint"
+    "graft_bkt_" + table + "_" + java.util.UUID
+      .nameUUIDFromBytes(key.getBytes("UTF-8")).toString.replace("-", "")
+  }
+
+  /** Best-effort delete of sibling twins of the SAME (source dir,
+    * table) under a different fingerprint — rebuilds must not
+    * accumulate orphaned layouts in tmp forever. Mirrors the warm
+    * signature store: any IO failure (concurrent JVM reading or
+    * deleting the same store) skips that store, never fails the query.
+    */
+  private def cleanupSuperseded(root: java.nio.file.Path,
+      keep: java.nio.file.Path, sfDir: String, table: String): Unit = {
+    val siblings = java.nio.file.Files.list(root)
+    try siblings.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"graft_bkt_${table}_"))
+      .filter(_ != keep)
+      .foreach { p =>
+        try {
+          val marker = p.resolve("_source")
+          if (java.nio.file.Files.exists(marker) &&
+              java.nio.file.Files.readString(marker) == sfDir + "\n" + table) {
+            val victims = java.nio.file.Files.walk(p)
+            try victims.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally victims.close()
+          }
+        } catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
+      }
+    finally siblings.close()
+  }
+}

@@ -191,6 +191,31 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("windowspecdefinition(qid"), s.take(1200))
   }
 
+  test("bucketed_join: layout-co-located fact-fact join — zero exchanges in the whole plan") {
+    val df = Queries.all("bucketed_join")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan
+    // both scans carry the catalog bucket spec (HashPartitioning from
+    // the layout, not from a shuffle) …
+    val bucketedScans = p.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.bucketSpec.isDefined => s
+    }
+    assert(bucketedScans.size == 2,
+      s"expected two bucketed scans:\n${p.toString.take(1500)}")
+    // … the join is sort-merge (the 100 TB shape; broadcast is pre-empted
+    // by the hint at test scale) …
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, s"no sort-merge join:\n${p.toString.take(1500)}")
+    // … and NOTHING in the plan shuffles: join + groupBy(bucket key)
+    // ride the layout partitioning, the top-100 is TakeOrderedAndProject
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"exchange crept into the bucketed plan:\n${p.toString.take(1500)}")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"top-100 is not a local-topk merge:\n${p.toString.take(1500)}")
+  }
+
   test("token_shard_assign: native PrefixScan over the range sort — no window, no RDD boundary") {
     val df = Queries.all("token_shard_assign")(spark, sfDir)
     val p = df.queryExecution.sparkPlan

@@ -275,4 +275,41 @@ class ScalePatternSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("BucketedLayout: twin matches the source; re-registration reuses files without rewriting") {
+    import graft.sources.BucketedLayout
+    val twin = BucketedLayout.bucketedTable(spark, sfDir, "orders", "o_orderkey", 8)
+    val src = Tables(spark, sfDir, "orders")
+    // layout must never change content
+    assert(twin.count() == src.count())
+    assert(twin.exceptAll(src).isEmpty && src.exceptAll(twin).isEmpty)
+    // find the twin's files and record mtimes
+    val name = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_bkt_orders_"))
+      .collect().map(_.name).head
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+        .filter(col("col_name") === "Location")
+        .collect().head.getString(1)))
+    def mtimes = {
+      val st = java.nio.file.Files.list(loc)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(p =>
+          p.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(p))
+          .toMap
+      } finally st.close()
+    }
+    val before = mtimes
+    // simulate a new JVM: catalog forgets the table, parquet survives
+    spark.sql(s"DROP TABLE $name")
+    val again = BucketedLayout.bucketedTable(spark, sfDir, "orders", "o_orderkey", 8)
+    assert(mtimes == before, "warm re-registration rewrote the layout files")
+    // the re-registered twin still carries the bucket spec (exchange-free join)
+    val joined = again.join(again.select(col("o_orderkey").as("k"), col("o_totalprice").as("p2")),
+      col("o_orderkey") === col("k"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"re-registered twin lost its bucket spec:\n${plan.take(1500)}")
+  }
 }
