@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions.col
   * the grouping keys contain the bucket key, and under any number of
   * further key-joins in the same plan. The layout is written by
   * `repartition(n, key)` first, so every task holds exactly one
-  * bucket's rows and each bucket lands in ONE file — which also makes
-  * the per-bucket `sortBy` metadata usable (Spark only trusts bucket
-  * sort order when a bucket has a single file) and elides the
-  * sort-merge sorts too. At real scale one file per bucket means
+  * bucket's rows and each bucket lands in ONE file; with `sortBy` the
+  * file is key-sorted, so the sort-merge's residual per-bucket Sort
+  * (kept by default — Spark only trusts bucket sort metadata under
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering`, and only with
+  * one file per bucket) is a cheap pass over already-ordered rows and
+  * never an exchange. At real scale one file per bucket means
   * thousands of buckets, not 8; the bucket count is the knob that
   * trades file size against layout parallelism.
   *
