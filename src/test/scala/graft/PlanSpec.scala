@@ -214,6 +214,25 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, s"exchange crept into the bucketed plan:\n${p.toString.take(1500)}")
     assert(p.toString.contains("TakeOrderedAndProject"),
       s"top-100 is not a local-topk merge:\n${p.toString.take(1500)}")
+    // bonus layout property: an equality filter on the bucket key
+    // prunes the scan to a single bucket (the point-lookup path — at
+    // the design point, 1/n of the corpus is read, no shuffle, no scan
+    // of the other buckets' files). A filter-only plan has no
+    // interchange requirement, so DisableUnnecessaryBucketedScan would
+    // demote the scan and lose the pruning — pin it off for the probe,
+    // which is also what a production point-lookup service would set.
+    import org.apache.spark.sql.functions.{col, lit}
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(confKey)
+    try {
+      spark.conf.set(confKey, "false")
+      val pruned = graft.sources.BucketedLayout
+        .bucketedTable(spark, sfDir, "orders", "o_orderkey", 8)
+        .filter(col("o_orderkey") === lit(42L))
+        .queryExecution.executedPlan
+      assert(pruned.toString.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n${pruned.toString.take(1500)}")
+    } finally spark.conf.set(confKey, prev)
   }
 
   test("token_shard_assign: native PrefixScan over the range sort — no window, no RDD boundary") {
