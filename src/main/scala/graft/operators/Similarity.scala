@@ -287,6 +287,18 @@ object Similarity {
       refineIters: Int = 0): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val (assign, centroids) = ivfIndex(prep, nlist, refineIters)
+    ivfProbe(prep, assign, centroids, queryId, k, nprobe)
+  }
+
+  /** The probe half of [[ivfTopK]], over a PREBUILT index — the
+    * amortized path: at the design point the index (assignment +
+    * centroids) is a persisted artifact built once per corpus (see the
+    * `ann_ivf_warm` registry entry), and each batch of queries pays
+    * only this — one broadcast centroid ranking plus the
+    * semi-join-pruned exact rerank of ~nprobe/nlist of the corpus.
+    */
+  def ivfProbe(prep: DataFrame, assign: DataFrame, centroids: DataFrame,
+      queryId: Long, k: Int = 10, nprobe: Int = 8): DataFrame = {
     val q = prep.filter(col("id") === queryId).select(col("v").as("qv"))
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))

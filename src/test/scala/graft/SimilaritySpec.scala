@@ -352,6 +352,17 @@ class SimilaritySpec extends SparkSpec {
     val b = graft.p6.Queries.all("approx_distinct")(spark, sfDir).collect()(0)
     assert(b.getAs[Boolean]("parts_within_bound") && b.getAs[Boolean]("orders_within_bound"))
   }
+
+  test("warm IVF (persisted index) equals the cold entry row-for-row, twice") {
+    // same index parameters (nlist=32 lowest-id seeds — deterministic),
+    // so the store-backed probe must reproduce the cold contract output
+    // exactly; the second warm call exercises the reuse path
+    val cold = graft.p6.Queries.all("ann_ivf_topk")(spark, sfDir).collect().toSeq
+    val warm1 = graft.p6.Queries.all("ann_ivf_warm")(spark, sfDir).collect().toSeq
+    val warm2 = graft.p6.Queries.all("ann_ivf_warm")(spark, sfDir).collect().toSeq
+    assert(warm1 == cold, s"warm != cold:\n$warm1\n$cold")
+    assert(warm2 == warm1)
+  }
 }
 
 object SimilaritySpec {
