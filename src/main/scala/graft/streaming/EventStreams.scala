@@ -338,4 +338,113 @@ object EventStreams {
       else gated.dropDuplicates("fp")
     deduped.withColumn("split", TextOps.stableSplit(col("doc_id")))
   }
+
+  final case class BandedSig(band: Int, key: Long, id: Long, sig: Long)
+  final case class NearDupPair(a: Long, b: Long, hamming: Int, band: Int)
+  final case class BucketMembers(ids: Seq[Long], sigs: Seq[Long])
+
+  /** Per-(band, key) bucket state for [[streamingNearDup]]: the
+    * members seen so far, in arrival order, capped at `maxBucket` with
+    * the same star degradation as the batch path — a doc arriving at a
+    * full bucket is compared against the bucket's min-id
+    * REPRESENTATIVE only and not stored, so one degenerate bucket
+    * (boilerplate flood) holds <= maxBucket state entries forever and
+    * each arrival does <= maxBucket popcounts. The difference from
+    * batch `cappedPairs` is arrival-order-shaped: the first maxBucket
+    * members pair in full, the tail is star-linked — batch degrades
+    * the WHOLE oversized bucket to the star. On buckets that never
+    * overflow (every corpus this library pins), the emitted pair set
+    * is IDENTICAL to the batch banding.
+    */
+  class NearDupProcessor(maxDist: Int, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandedSig, NearDupPair] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[BucketMembers] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[BucketMembers]("bucket",
+        Encoders.product[BucketMembers], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedSig],
+        timerValues: TimerValues): Iterator[NearDupPair] = {
+      // ascending-id processing inside the batch makes the emitted set
+      // independent of partition iteration order
+      val incoming = rows.toArray.sortBy(_.id)
+      val st = if (state.exists()) state.get() else BucketMembers(Nil, Nil)
+      val ids = scala.collection.mutable.ArrayBuffer(st.ids: _*)
+      val sigs = scala.collection.mutable.ArrayBuffer(st.sigs: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      def emit(x: Long, sx: Long, y: Long, sy: Long, band: Int): Unit = {
+        val h = java.lang.Long.bitCount(sx ^ sy)
+        if (h <= maxDist)
+          out += NearDupPair(math.min(x, y), math.max(x, y), h, band)
+      }
+      incoming.foreach { r =>
+        if (!ids.contains(r.id)) { // at-least-once replay guard
+          if (ids.length >= maxBucket) {
+            val rep = ids.indices.minBy(ids)
+            emit(ids(rep), sigs(rep), r.id, r.sig, r.band)
+          } else {
+            var i = 0
+            while (i < ids.length) {
+              emit(ids(i), sigs(i), r.id, r.sig, r.band)
+              i += 1
+            }
+            ids += r.id
+            sigs += r.sig
+          }
+        }
+      }
+      state.update(BucketMembers(ids.toSeq, sigs.toSeq))
+      out.iterator
+    }
+  }
+
+  /** Streaming SimHash near-dup detection — near-dup pairs ON INGEST,
+    * the streaming twin of [[graft.operators.Dedup.simhashNearDupPairs]]:
+    * each document's 64-bit SimHash (the same codegen'd kernel, a
+    * stateless projection) splits into `maxDist + 1` pigeonhole bands;
+    * each band's 64/(maxDist+1)-bit key routes the doc to a bucket
+    * whose members live in transformWithState value state across
+    * micro-batches, so a new document is compared (exact popcount)
+    * ONLY against its <= bands x maxBucket bucket peers — never the
+    * corpus — and a pair spanning arbitrarily distant micro-batches is
+    * still found the moment its second member arrives. Emits each
+    * discovered pair once per colliding band (Append mode — pairs
+    * never retract); distinct (a, b, hamming) downstream for the pair
+    * set. State is bounded by corpus distinct-signature volume exactly
+    * like the batch banding's shuffle, and per-bucket by `maxBucket`;
+    * a production deployment working over an unbounded stream would
+    * add TTL eviction (accepting recall loss against evicted history)
+    * — the same trade `dedupEvents` makes with its watermark.
+    * StreamingSpec pins the multi-batch pair set == the batch
+    * formulation token-for-token, planted cross-batch dups included.
+    */
+  def streamingNearDup(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
+      : Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val bands = maxDist + 1
+    require(64 % bands == 0, s"maxDist+1 must divide 64 (got $bands bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = docs.select(col("doc_id").cast("long").as("id"),
+      graft.functions.VectorExpressions.simhash64(
+        graft.operators.Dedup.tokens(col("text"))).as("sig"))
+    sigs.select(col("id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * width).bitwiseAND(mask)
+              .as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("id"), col("sig"))
+      .as[BandedSig]
+      .groupByKey(r => (r.band, r.key))
+      .transformWithState(new NearDupProcessor(maxDist, maxBucket),
+        TimeMode.None(), OM.Append())
+  }
 }

@@ -315,6 +315,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs == batch simhash banding, planted cross-batch dups included") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      // the corpus plus re-idd EXACT copies of every 25th doc — the
+      // copies arrive in the LAST micro-batch, so their pairs span
+      // batches and can only come out of persistent bucket state
+      val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val nPlanted = planted.count()
+      assert(nPlanted > 0)
+      val corpus = docs.unionByName(planted)
+      val rows = corpus.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val stream = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingNearDup(
+          stream.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("neardup_out")
+        .outputMode("append").start()
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamPairs = spark.table("neardup_out")
+        .select("a", "b", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batchPairs = graft.operators.Dedup
+        .simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 3)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream-only: ${streamPairs -- batchPairs}; batch-only: ${batchPairs -- streamPairs}")
+      // every planted copy's (original, copy) hamming-0 pair was found,
+      // and the copies could only pair ACROSS micro-batches
+      val plantedPairs = streamPairs.filter { case (a, b, h) =>
+        h == 0 && b == a + 100000L }
+      assert(plantedPairs.size == nPlanted,
+        s"expected $nPlanted cross-batch planted pairs, got ${plantedPairs.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file sink + checkpoint: restart resumes from committed offsets exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toFile
