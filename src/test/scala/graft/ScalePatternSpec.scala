@@ -276,6 +276,32 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("WarmStore: content change re-keys the store and reclaims the superseded one") {
+    import graft.sources.WarmStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_src")
+    val src = tmp.resolve("documents.parquet")
+    java.nio.file.Files.writeString(src, "v1")
+    val (s1, ready1) = WarmStore.resolve(tmp.toString, "documents", "graft_ws_test_")
+    assert(!ready1)
+    java.nio.file.Files.createDirectories(s1)
+    java.nio.file.Files.writeString(s1.resolve("_SUCCESS"), "")
+    WarmStore.markSource(s1, tmp.toString)
+    // same content -> same store, now warm
+    val (s1b, ready1b) = WarmStore.resolve(tmp.toString, "documents", "graft_ws_test_")
+    assert(s1b == s1 && ready1b)
+    // changed content -> new fingerprint -> different cold store, and
+    // the superseded store for this source dir is reclaimed
+    java.nio.file.Files.writeString(src, "v2-with-different-size")
+    val (s2, ready2) = WarmStore.resolve(tmp.toString, "documents", "graft_ws_test_")
+    assert(s2 != s1 && !ready2)
+    assert(!java.nio.file.Files.exists(s1),
+      "superseded store was not reclaimed")
+    // a different parameterization keys its own store
+    val (s3, _) = WarmStore.resolve(tmp.toString, "documents",
+      "graft_ws_test_", extraKey = "k=2")
+    assert(s3 != s2)
+  }
+
   test("BucketedLayout: twin matches the source; re-registration reuses files without rewriting") {
     import graft.sources.BucketedLayout
     val twin = BucketedLayout.bucketedTable(spark, sfDir, "orders", "o_orderkey", 8)

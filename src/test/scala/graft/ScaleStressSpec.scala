@@ -378,4 +378,50 @@ class ScaleStressSpec extends SparkSpec {
     assert(viaLag == viaSessionWindow, s"lag=$viaLag session_window=$viaSessionWindow")
     assert(viaLag >= 1000000L) // at least one session per user
   }
+
+  test("boilerplate flood into the stream: near-dup bucket state caps, pairs stay linear") {
+    // 2000 identical docs arrive over two micro-batches with
+    // maxBucket=64: every band's bucket fills at 64 members and the
+    // remaining 1936 arrivals each do ONE representative popcount —
+    // state and per-arrival work both bounded, no 2M-pair blowup.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val flood = (0L until 2000L).map(i => (i, "the same boilerplate line over and over"))
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStreams.streamingNearDup(
+          stream.toDF().toDF("doc_id", "text"), maxBucket = 64)
+        .writeStream.format("memory").queryName("flood_out")
+        .outputMode("append").start()
+      val n = timed("stream_flood_2k") {
+        flood.grouped(1000).foreach { chunk =>
+          stream.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.table("flood_out").count()
+      }
+      val pairs = spark.table("flood_out")
+        .select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // full pairing among the first 64 (64*63/2), star pairs (0, i)
+      // for the 1936 capped arrivals — and nothing quadratic beyond:
+      // 2016 + 1936 distinct pairs per the cap, never ~2M
+      assert(pairs.size == 64 * 63 / 2 + 1936, s"pair count ${pairs.size}")
+      assert((64L until 2000L).forall(i => pairs.contains((0L, i))),
+        "capped arrivals must star-link to the min-id representative")
+      // emitted rows are bounded by bands x distinct pairs (identical
+      // sigs collide in all 4 bands)
+      assert(n <= 4L * pairs.size, s"emitted $n rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
