@@ -77,6 +77,44 @@ object BucketedLayout {
     spark.table(name)
   }
 
+  /** Append a new batch into an existing bucketed twin — the daily
+    * increment path: rows hash into the SAME bucket files' id space
+    * (Spark refuses a mismatched bucket spec), so every key-join and
+    * key-aggregation over the grown table stays exchange-free. Each
+    * append adds one file per bucket it touches; per-bucket sort
+    * metadata only holds for single-file buckets, so appended twins
+    * fall back to the sort-merge's cheap per-bucket Sort (never an
+    * exchange). Compact by rewriting the twin when file counts grow —
+    * at the design point that is a periodic maintenance job, the same
+    * trade every LSM-shaped layout makes.
+    */
+  def append(spark: SparkSession, twin: DataFrame, batch: DataFrame): Unit = {
+    val name = twinTableName(spark, twin)
+    val catalog = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = catalog.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$name carries no bucket spec"))
+    batch.select(twin.columns.map(col): _*)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .option("path", catalog.location.getPath)
+      .saveAsTable(name)
+  }
+
+  /** The catalog table name behind a [[bucketedTable]] result. */
+  private def twinTableName(spark: SparkSession, twin: DataFrame): String =
+    twin.queryExecution.analyzed.collectLeaves().collectFirst {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.identifier.table
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.catalogTable.isDefined =>
+        r.catalogTable.get.identifier.table
+    }.getOrElse(throw new IllegalArgumentException(
+      "not a catalog-backed bucketed twin"))
+
   /** Catalog/dir name for the twin: deterministic in (source content,
     * key, bucket count), so a changed source or layout re-keys.
     */

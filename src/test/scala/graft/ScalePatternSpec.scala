@@ -302,6 +302,38 @@ class ScalePatternSpec extends SparkSpec {
     assert(s3 != s2)
   }
 
+  test("BucketedLayout.append: the grown twin still joins exchange-free and loses no rows") {
+    import graft.sources.BucketedLayout
+    // an ISOLATED copy of the source — appending into the shared
+    // fingerprint-keyed twin would silently change bucketed_join's
+    // oracle-gated answer for every later run against this tmpdir
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bkt_append")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "lineitem.parquet"),
+      srcDir.resolve("lineitem.parquet"))
+    val twin = BucketedLayout.bucketedTable(spark, srcDir.toString,
+      "lineitem", "l_orderkey", 8)
+    val before = twin.count()
+    // a re-keyed increment (distinct ids so the union is checkable)
+    val batch = Tables(spark, sfDir, "lineitem").limit(200)
+      .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+    BucketedLayout.append(spark, twin, batch)
+    val grown = spark.table(twin.queryExecution.analyzed.collectLeaves().collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.catalogTable.isDefined => r.catalogTable.get.identifier.table
+    }.get)
+    assert(grown.count() == before + 200)
+    assert(grown.filter(col("l_orderkey") >= 1000000L).count() == 200)
+    // the grown layout still carries the bucket spec: self-join with no exchange
+    val joined = grown.hint("merge").join(
+      grown.select(col("l_orderkey").as("k"), col("l_quantity").as("q2")),
+      col("l_orderkey") === col("k"))
+    val plan = joined.queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"append broke the bucketed layout:\n${plan.toString.take(1500)}")
+  }
+
   test("BucketedLayout: twin matches the source; re-registration reuses files without rewriting") {
     import graft.sources.BucketedLayout
     val twin = BucketedLayout.bucketedTable(spark, sfDir, "orders", "o_orderkey", 8)
