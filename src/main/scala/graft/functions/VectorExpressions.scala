@@ -27,6 +27,15 @@ object VectorExpressions {
     dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
   }
 
+  /** Codegen'd exact integer dot product over two int8-quantized
+    * vectors (array<byte>) — the prescreen side of lossless
+    * filter-and-refine ([[graft.operators.Similarity.exactCosinePairs]]).
+    */
+  def byte_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.ByteDot(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Codegen'd |a ∩ b| for two sorted, distinct string arrays (one
     * merge pass; no per-row hash sets). |a ∪ b| = size(a)+size(b)-∩.
     */
@@ -80,6 +89,9 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "byte_dot",
+      exprs => org.apache.spark.sql.graft.ByteDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -122,6 +134,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("byte_dot"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.ByteDot]
+        .getCanonicalName, "byte_dot"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ByteDot(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.SortedIntersectSize]

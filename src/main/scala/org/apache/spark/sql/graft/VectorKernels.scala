@@ -59,6 +59,56 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two int8-quantized vectors (array<byte>),
+  * the prescreen kernel for lossless filter-and-refine over quantized
+  * embeddings (Similarity.exactCosinePairs). All arithmetic is exact:
+  * |acc| <= d * 127^2, so an Int holds the result without overflow for
+  * every dimension up to ~133k — far past any embedding width. The
+  * per-pair work is d byte loads + integer multiply-adds against rows
+  * ~8x smaller than the double vectors, which is the whole point: the
+  * all-pairs prescreen pass is memory-bandwidth-bound.
+  */
+case class ByteDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(org.apache.spark.sql.types.ByteType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "byte_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i) * y.getByte(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getByte($i) * $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** |a ∩ b| for two SORTED string arrays via a single merge pass — no
   * per-row hash-set construction, unlike array_intersect. The caller
   * guarantees both sides are sorted ascending (sort_array uses the
