@@ -15,14 +15,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    // default; read nanos as long and truncate to microseconds (the same
-    // conversion DuckDB applies for its microsecond TIMESTAMP).
+    // events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4 rejects
+    // unless read as long) in some corpus generations and TIMESTAMP(MICROS)
+    // in others. Normalize BY SCHEMA, not by assumption, to the
+    // session-timezone (UTC) TIMESTAMP every downstream operator,
+    // watermark, and DuckDB oracle was written against.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => // nanos-as-long: truncate to micros (DuckDB does the same)
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // micros NTZ: reinterpret in UTC (value-identical)
+          df.withColumn("ts", df.col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every corpus table as a temp view (catalog-of-views model,
