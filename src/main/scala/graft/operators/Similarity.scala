@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Similarity search over embedding columns (SURVEY.md §7.4).
   *
   * Brute-force cosine is the exact baseline (Queries.annCosineTopK);
@@ -388,6 +390,86 @@ object Similarity {
       .select(col("id"), round(cosine(col("qv"), col("query")), 4).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** EXACT cosine-threshold pair mining — every (a < b) pair with
+    * round(cos(a,b), 4) >= `threshold`, bit-identical to the
+    * brute-force all-pairs filter — via a LOSSLESS int8
+    * filter-and-refine over a triangle block-pair join. Exact pair
+    * mining is inherently quadratic (no sublinear exact method exists
+    * for general cosine), so the levers at scale are the SHAPE and the
+    * COST of the quadratic pass, not its existence:
+    *
+    *   - Shape: never a cartesian product. Each vector hashes into one
+    *     of `blocks` blocks; a vector in block b is emitted to the
+    *     "low" side of block-pair keys (b, q), q >= b, and the "high"
+    *     side of keys (p, b), p <= b — so an EQUI-join on the
+    *     (kp, kq) key covers every unordered pair exactly once across
+    *     blocks*(blocks+1)/2 independent, uniformly-sized tasks
+    *     (hash-assigned blocks, so no skew), each holding 2n/blocks
+    *     rows. `blocks` scales with sqrt(corpus) to bound per-task
+    *     work; replication is (blocks+1)x of the SMALL side only.
+    *   - Cost: the joined rows are the int8-quantized twin (~8x
+    *     smaller than the double vectors) plus four scalars; the
+    *     prescreen keeps a pair only when a provable UPPER BOUND on
+    *     its true cosine — integer multiply-adds via the codegen'd
+    *     [[org.apache.spark.sql.graft.ByteDot]] kernel — clears the
+    *     threshold. The full double vectors are touched only for the
+    *     (tiny) survivor set, which is re-verified exactly.
+    *
+    * The bound: with per-vector scale s and q_i = round(v_i/s),
+    * |v_i - s*q_i| <= s/2, so
+    * dot(a,b) <= sa*sb*dotq + sa*sb/2 * ||qa||_1 + sa/2 * ||b||_1
+    * — all terms from per-vector precomputed scalars plus the
+    * quantized dot product. A pair is discarded only when even the
+    * upper bound (minus a 6e-5 slack covering the output's round-to-4
+    * boundary and float evaluation error) falls below `threshold`, so
+    * no qualifying pair is ever lost: the prescreen is pure speedup
+    * (SimilaritySpec pins equality with the unscreened brute force).
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, blocks: Int = 8): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    exactCosineCandidates(prep, threshold, blocks)
+      .join(prep.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(prep.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The prescreen-survivor (a, b) pairs [[exactCosinePairs]] sends to
+    * exact verification — package-visible so the spec can pin the
+    * PRUNING claim (survivors << all pairs), not just correctness.
+    */
+  private[graft] def exactCosineCandidates(prep: DataFrame,
+      threshold: Double, blocks: Int): DataFrame = {
+    val s = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)) / 127.0
+    val qm = prep
+      .select(col("id"), col("v"), s.as("scale"),
+        transform(col("v"), x => round(x / s).cast("byte")).as("q"))
+      .select(col("id"), col("scale"), col("q"),
+        sqrt(VectorExpressions.dot_product(col("v"), col("v"))).as("nrm"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)).as("l1"),
+        aggregate(col("q"), lit(0), (acc, x) => acc + abs(x).cast("int")).as("ql1"))
+      .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+    val lo = qm.withColumn("kp", col("blk"))
+      .withColumn("kq", explode(sequence(col("blk"), lit(blocks - 1))))
+    val hi = qm.withColumn("kq", col("blk"))
+      .withColumn("kp", explode(sequence(lit(0), col("blk"))))
+    def side(d: DataFrame, sfx: String) =
+      d.select(d.columns.map(c => col(c).as(c + sfx)): _*)
+    val ub = col("scalea") * col("scaleb") *
+        (VectorExpressions.byte_dot(col("qa"), col("qb")) +
+          col("ql1a") / 2.0) +
+      col("scalea") / 2.0 * col("l1b")
+    side(lo, "a").join(side(hi, "b"),
+        col("kpa") === col("kpb") && col("kqa") === col("kqb"))
+      // same-block pairs appear on both sides: order by id. Cross-block
+      // pairs appear exactly once (low block is always the "a" side).
+      .where(col("blka") =!= col("blkb") || col("ida") < col("idb"))
+      .where(ub >= (lit(threshold) - 6e-5) * col("nrma") * col("nrmb"))
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates = same LSH

@@ -1410,6 +1410,20 @@ object Queries {
         round(coalesce(max(col("cos")), lit(0.0)), 4).as("max_cos"))
   }
 
+  /** EXACT cosine-threshold pair mining — the ground truth the LSH
+    * `emb_neardup` entry approximates: EVERY (a < b) pair with
+    * round(cos, 4) >= 0.35, not just same-bucket ones. ORACLE-BACKED
+    * by the straightforward DuckDB all-pairs filter; the Spark side
+    * must reproduce that pair set bit-for-bit through the int8
+    * filter-and-refine triangle block join
+    * ([[graft.operators.Similarity.exactCosinePairs]]), so the hash
+    * gate itself proves the quantized prescreen lossless on this
+    * corpus.
+    */
+  private def exactCosinePairsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.exactCosinePairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35)
+
   /** HLL sketch vs exact distinct. ORACLE-BACKED: the sketch estimate
     * itself is engine-specific, so the entry emits the EXACT counts
     * (hash-verified against DuckDB) plus `within_bound` booleans — the
@@ -2320,6 +2334,7 @@ object Queries {
     "ann_ivf_batch_topk" -> (annIvfBatchTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "emb_neardup" -> (embNearDup _),
+    "exact_cosine_pairs" -> (exactCosinePairsQuery _),
     "approx_distinct" -> (approxDistinct _),
     "q30_window_battery" -> (q30WindowBattery _),
     "q31_array_fns" -> (q31ArrayFns _),
@@ -3289,6 +3304,18 @@ object Queries {
     // matrix is a data-independent constant (inlined), and the simhash
     // entries run the md5-low-64 token-hash basis DuckDB can recompute.
     "emb_neardup" -> EmbNearDupOracleSql,
+    // Round 9 (this round): exact pair mining — the oracle is the plain
+    // all-pairs filter, so the gate proves the Spark side's int8
+    // prescreen + triangle block join lossless on this corpus.
+    "exact_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+            round(list_dot_product(x.v, y.v) /
+              (sqrt(list_dot_product(x.v, x.v)) *
+               sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+          FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        SELECT a, b, cos FROM p WHERE cos >= 0.35 ORDER BY a, b""",
     "simhash_buckets" -> SimhashBucketsOracleSql,
     "simhash_neardup_pairs" -> SimhashNearDupOracleSql,
     // Round 10: the last rows-only entry converted — exact global

@@ -34,6 +34,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getDouble(1) == 1.0)
   }
 
+  test("exact cosine pairs: int8 prescreen + block join equal the unscreened brute force") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    // unscreened ground truth: every (a < b) pair, exact cosine
+    def brute(th: Double): Set[(Long, Long, Double)] = prep
+      .select(col("id").as("a"), col("v").as("va"))
+      .join(prep.select(col("id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (th <- Seq(0.35, 0.5); blocks <- Seq(1, 3, 8)) {
+      val got = Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+          threshold = th, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute(th),
+        s"th=$th blocks=$blocks: prescreen lost or invented pairs " +
+          s"(missing=${(brute(th) -- got).take(3)}, extra=${(got -- brute(th)).take(3)})")
+    }
+    // and the prescreen actually PRUNES: the survivor set the verify
+    // stage touches is a small fraction of the n*(n-1)/2 pair space
+    val n = prep.count()
+    val survivors = Similarity.exactCosineCandidates(prep, 0.35, blocks = 8).count()
+    assert(survivors < n * (n - 1) / 2 / 5,
+      s"prescreen kept $survivors of ${n * (n - 1) / 2} pairs — not pruning")
+  }
+
   test("multi-probe LSH ANN: full k rows, recall@10 >= 0.9 vs brute force") {
     val emb = Tables(spark, sfDir, "embeddings")
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L,
