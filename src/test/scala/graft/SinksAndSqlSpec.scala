@@ -64,6 +64,58 @@ class SinksAndSqlSpec extends SparkSpec {
     assert(read.length == 1 && read(0).getString(0).contains("GENO:0000135"))
   }
 
+  test("shard writer: partitionBy(shard_id) preserves the prefix-scan layout end-to-end") {
+    import graft.operators.Dedup
+    import graft.sources.ShardLayout
+    val out = Files.createTempDirectory("shards").toString + "/corpus"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).cast("long").as("ntoks"))
+    val target = 512L
+    val assigned = ShardLayout.write(docs, Seq(col("doc_id")), col("ntoks"), target, out)
+
+    // the whole assign+write pipeline contains exactly ONE exchange —
+    // the range partitioning the prefix scan needs; partitionBy added none
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"extra exchange in:\n$plan")
+
+    // read-back: nothing lost, shards are contiguous curriculum runs,
+    // budgets loader-even within the documented (heaviest row) bound
+    val back = ShardLayout.read(spark, out)
+    assert(back.count() == docs.count())
+    val shards = back.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"), sum(col("ntoks")).as("toks"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("shard_id")).collect()
+    assert(shards.length > 3, s"want a multi-shard layout, got ${shards.length}")
+    shards.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) < b.getLong(3), // hi(k) < lo(k+1)
+        s"shards ${a.get(0)} and ${b.get(0)} interleave")
+    }
+    val wMax = docs.agg(max(col("ntoks"))).head.getLong(0)
+    shards.dropRight(1).foreach { r =>
+      val toks = r.getLong(2)
+      assert(toks > target - wMax && toks < target + wMax,
+        s"shard ${r.get(0)} holds $toks tokens (target $target, wMax $wMax)")
+    }
+
+    // layout proof: contiguous runs mean a shard's directory gets files
+    // from the task(s) whose range covers it — a handful, never one per
+    // task, which is what a shuffle-scrambled write would produce
+    val filesPerShard = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(filesPerShard.nonEmpty && filesPerShard.max <= 3,
+      s"shard smeared over ${filesPerShard.max} files")
+
+    // partition pruning: a single-shard read touches one directory
+    val one = ShardLayout.read(spark, out).filter(col("shard_id") === 1)
+    val scanned = one.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(one.count() == shards(1).getLong(1))
+    assert(scanned.contains("PartitionFilters: [isnotnull(shard_id"),
+      s"shard filter not pushed to partition pruning:\n$scanned")
+  }
+
   test("catalog-of-views: registerAll exposes the corpus to plain SQL") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
