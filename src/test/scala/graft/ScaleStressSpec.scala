@@ -328,16 +328,18 @@ class ScaleStressSpec extends SparkSpec {
   // the deliberately undersized shared local[4] session (harsher than
   // the 128 GiB local[32] the box could offer).
 
+  private lazy val boilerDocs500k = corpus("docs_boiler_500k") {
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    spark.range(500000L).select(
+      col("id").as("doc_id"),
+      when(col("id") < 50000L, lit(boiler))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000)))), " "))
+        .as("text"))
+  }
+
   test("100x boilerplate corpus: 50k identical docs in 500k still dedup linearly") {
-    val docs = corpus("docs_boiler_500k") {
-      val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
-      spark.range(500000L).select(
-        col("id").as("doc_id"),
-        when(col("id") < 50000L, lit(boiler))
-          .otherwise(array_join(transform(sequence(lit(0), lit(39)),
-            i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000)))), " "))
-          .as("text"))
-    }
+    val docs = boilerDocs500k
     val survivors = timed("boiler_dedup_500k") {
       Dedup.dedupDocuments(docs, "doc_id", "text", jaccardThreshold = 0.5)
         .select(col("doc_id")).collect().map(_.getLong(0))
@@ -349,6 +351,32 @@ class ScaleStressSpec extends SparkSpec {
     assert(survivors.min == 0L)
     assert(survivors.length >= 449000 && survivors.length <= 450001,
       s"got ${survivors.length} survivors")
+  }
+
+  test("100x boilerplate increment: 20k increment vs 500k base sharing one degenerate bucket") {
+    // the |inc| x |base| blowup scenario at 100x: 10k MORE copies of
+    // the boilerplate (every one collides with the base's 50k-member
+    // bucket in every band — 10k x 50k = 500M uncapped inc-base pairs)
+    // + 10k novel docs on a vocabulary disjoint from the base's
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    val inc = corpus("docs_boiler_inc_20k") {
+      spark.range(500000L, 520000L).select(
+        col("id").as("doc_id"),
+        when(col("id") < 510000L, lit(boiler))
+          .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+            i => concat(lit("x"), pmod(xxhash64(col("id"), i), lit(50000)))), " "))
+          .as("text"))
+    }
+    val survivors = timed("boiler_increment_500k") {
+      Dedup.dedupIncrement(boilerDocs500k, inc, "doc_id", "text",
+          jaccardThreshold = 0.5)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    // base wins through the capped candidate join: all 10k boilerplate
+    // copies die against the base corpus, all 10k novel docs live
+    assert(survivors.forall(_ >= 510000L), s"boiler copies survived: " +
+      survivors.filter(_ < 510000L).take(5).mkString(", "))
+    assert(survivors.length == 10000, s"got ${survivors.length} survivors")
   }
 
   test("100x skewed events: 5M-event single-user window partition still sessionizes") {
