@@ -34,9 +34,28 @@ object WorkbookSource {
     }
   }
 
-  /** Sheet name -> row-major cell grid (strings; "" for blanks). */
+  /** Sheet name -> row-major cell grid (strings; "" for blanks).
+    *
+    * Malformed-input contract (clinician files arrive broken in
+    * practice; WorkbookFuzzSpec drives every branch): a file that is
+    * not a readable zip, or whose XML parts do not parse, raises
+    * `IllegalArgumentException` NAMING the file and part — never a raw
+    * `ZipException`/`SAXException`, and never a silent partial read.
+    * Recoverable cell-level damage degrades to "" instead: a shared-
+    * string reference that is non-numeric or out of range (including
+    * when `sharedStrings.xml` is absent entirely) reads as blank, and
+    * a cell ref with no column letters falls back to the next free
+    * column. Duplicate sheet names keep the LAST occurrence
+    * (workbook order), matching the map semantics downstream.
+    */
   def readRaw(path: String): Map[String, Seq[Seq[String]]] = {
-    val zip = new ZipFile(path)
+    val zip =
+      try new ZipFile(path)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"$path: not a readable xlsx (zip open failed: ${e.getMessage})")
+      }
     try {
       def parse(entryName: String): Option[Element] =
         Option(zip.getEntry(entryName)).map { e =>
@@ -50,7 +69,14 @@ object WorkbookSource {
           dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
           dbf.setXIncludeAware(false)
           dbf.setExpandEntityReferences(false)
-          dbf.newDocumentBuilder().parse(zip.getInputStream(e)).getDocumentElement
+          try dbf.newDocumentBuilder().parse(zip.getInputStream(e)).getDocumentElement
+          catch {
+            case ex @ (_: org.xml.sax.SAXException | _: java.io.IOException) =>
+              // a part that EXISTS but does not parse is broken data a
+              // clinician needs told about, not silently dropped rows
+              throw new IllegalArgumentException(
+                s"$path!$entryName: malformed XML (${ex.getMessage})")
+          }
         }
 
       val shared: IndexedSeq[String] = parse("xl/sharedStrings.xml") match {
@@ -96,14 +122,15 @@ object WorkbookSource {
       var nextCol = 0
       elems(row, "c").foreach { c =>
         val col = Option(c.getAttribute("r")).filter(_.nonEmpty)
-          .map(colIndex).getOrElse(nextCol)
+          .map(colIndex).filter(_ >= 0).getOrElse(nextCol)
         while (cells.length < col) cells += ""
         val t = c.getAttribute("t")
         val v = elems(c, "v").headOption.map(_.getTextContent)
         val is = elems(c, "is").headOption
           .map(e => elems(e, "t").map(_.getTextContent).mkString)
         val value = t match {
-          case "s" => v.flatMap(i => shared.lift(i.trim.toInt)).getOrElse("")
+          case "s" => v.flatMap(i => i.trim.toIntOption).flatMap(shared.lift)
+            .getOrElse("") // non-numeric / dangling / absent sst -> blank
           case "inlineStr" => is.getOrElse("")
           case "b" => v.map(x => if (x.trim == "1") "true" else "false").getOrElse("")
           case _ => v.getOrElse("") // numbers, formula strings

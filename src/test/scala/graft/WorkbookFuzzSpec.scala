@@ -188,6 +188,139 @@ class WorkbookFuzzSpec extends SparkSpec {
     })
   }
 
+  // ------------------------------------------- malformed inputs
+  // (round-9 review item: the happy-grid fuzz above proves well-formed
+  // zips; clinician files also arrive BROKEN. Contract: file/part-level
+  // damage -> IllegalArgumentException naming file and part, cell-level
+  // damage -> "" or next-free-column, duplicate sheet names -> last wins.)
+
+  private def rawZip(entries: (String, String)*): java.nio.file.Path = {
+    val path = java.nio.file.Files.createTempFile("badwb", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    path
+  }
+
+  private def withBook[T](entries: (String, String)*)(f: java.nio.file.Path => T): T = {
+    val p = rawZip(entries: _*)
+    try f(p) finally java.nio.file.Files.delete(p)
+  }
+
+  private val oneSheetWorkbook =
+    """<?xml version="1.0"?><workbook><sheets>""" +
+      """<sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+  private val oneSheetRels =
+    """<?xml version="1.0"?><Relationships>""" +
+      """<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+
+  test("truncated zips fail fast with the file named, never a raw ZipException") {
+    check(Prop.forAll(bookGen, Gen.choose(0.1, 0.9)) { (book, frac) =>
+      val path = write(book)
+      try {
+        val bytes = java.nio.file.Files.readAllBytes(path)
+        val cut = java.nio.file.Files.createTempFile("truncwb", ".xlsx")
+        java.nio.file.Files.write(cut,
+          java.util.Arrays.copyOf(bytes, math.max(1, (bytes.length * frac).toInt)))
+        try {
+          // a cut anywhere kills the central directory at the tail:
+          // the reader must refuse with its own diagnostic
+          val r = scala.util.Try(WorkbookSource.readRaw(cut.toString))
+          r.isFailure &&
+            r.failed.get.isInstanceOf[IllegalArgumentException] &&
+            r.failed.get.getMessage.contains(cut.toString)
+        } finally java.nio.file.Files.delete(cut)
+      } finally java.nio.file.Files.delete(path)
+    })
+  }
+
+  test("malformed sheet XML raises a named error instead of silently dropping rows") {
+    withBook(
+      "xl/workbook.xml" -> oneSheetWorkbook,
+      "xl/_rels/workbook.xml.rels" -> oneSheetRels,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData><row""") { p =>
+      val e = intercept[IllegalArgumentException](WorkbookSource.readRaw(p.toString))
+      assert(e.getMessage.contains("sheet1.xml"))
+      assert(e.getMessage.contains("malformed XML"))
+    }
+  }
+
+  test("shared-string damage degrades to blank cells: missing sst, dangling and garbage indexes") {
+    def sheet(cells: String) =
+      s"""<?xml version="1.0"?><worksheet><sheetData><row r="1">$cells</row></sheetData></worksheet>"""
+    // no sharedStrings.xml at all, plus out-of-range / negative /
+    // non-numeric indexes against a one-entry sst
+    withBook(
+      "xl/workbook.xml" -> oneSheetWorkbook,
+      "xl/_rels/workbook.xml.rels" -> oneSheetRels,
+      "xl/worksheets/sheet1.xml" ->
+        sheet("""<c t="s"><v>0</v></c><c t="s"><v>7</v></c>""")) { p =>
+      assert(WorkbookSource.readRaw(p.toString) == Map("s1" -> Seq(Seq("", ""))))
+    }
+    withBook(
+      "xl/workbook.xml" -> oneSheetWorkbook,
+      "xl/_rels/workbook.xml.rels" -> oneSheetRels,
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst><si><t>ok</t></si></sst>""",
+      "xl/worksheets/sheet1.xml" -> sheet(
+        """<c t="s"><v>0</v></c><c t="s"><v>99</v></c>""" +
+          """<c t="s"><v>-3</v></c><c t="s"><v>x1</v></c>""")) { p =>
+      assert(WorkbookSource.readRaw(p.toString) ==
+        Map("s1" -> Seq(Seq("ok", "", "", ""))))
+    }
+  }
+
+  test("degenerate cell refs: letter-less r= falls back to next free column; far refs pad") {
+    withBook(
+      "xl/workbook.xml" -> oneSheetWorkbook,
+      "xl/_rels/workbook.xml.rels" -> oneSheetRels,
+      "xl/worksheets/sheet1.xml" ->
+        ("""<?xml version="1.0"?><worksheet><sheetData><row r="1">""" +
+          """<c r="12" t="inlineStr"><is><t>a</t></is></c>""" +
+          """<c r="E1" t="inlineStr"><is><t>b</t></is></c>""" +
+          """</row></sheetData></worksheet>""")) { p =>
+      // "12" has no column letters -> column 0; "E1" -> column 4 with
+      // blanks padded between (refs far beyond any declared dimension
+      // simply extend the row)
+      assert(WorkbookSource.readRaw(p.toString) ==
+        Map("s1" -> Seq(Seq("a", "", "", "", "b"))))
+    }
+  }
+
+  test("duplicate sheet names: the last workbook occurrence wins, deterministically") {
+    withBook(
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0"?><workbook><sheets>""" +
+          """<sheet name="dup" sheetId="1" r:id="rId1"/>""" +
+          """<sheet name="dup" sheetId="2" r:id="rId2"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0"?><Relationships>""" +
+          """<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>""" +
+          """<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>"""),
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData><row r="1"><c t="inlineStr"><is><t>first</t></is></c></row></sheetData></worksheet>""",
+      "xl/worksheets/sheet2.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData><row r="1"><c t="inlineStr"><is><t>second</t></is></c></row></sheetData></worksheet>""") { p =>
+      assert(WorkbookSource.readRaw(p.toString) ==
+        Map("dup" -> Seq(Seq("second"))))
+    }
+  }
+
+  test("not a zip at all: named refusal") {
+    val p = java.nio.file.Files.createTempFile("notzip", ".xlsx")
+    java.nio.file.Files.write(p, "just text, no PK header".getBytes("UTF-8"))
+    try {
+      val e = intercept[IllegalArgumentException](WorkbookSource.readRaw(p.toString))
+      assert(e.getMessage.contains(p.toString))
+      assert(e.getMessage.contains("zip open failed"))
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("fuzzed workbooks load as DataFrames: header row consumed, data rows preserved") {
     check(Prop.forAll(bookGen) { book =>
       val path = write(book)
