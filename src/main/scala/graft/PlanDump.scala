@@ -54,6 +54,8 @@ object PlanDump {
       "Real javax.imageio decode: DeserializeToObject -> MapPartitions -> SerializeFromObject sandwich over the per-partition codec batch, everything before and after stays columnar",
     "domain_cap" ->
       "Executor-side histogram pruning: cumulative bucket sums window over <=256 rows per domain, (domain, bucket) join back, boundary-bucket-only ranking — no driver collect, no whole-domain window",
+    "exact_cosine_pairs" ->
+      "Exact cosine pair mining: int8-quantized prescreen rows meet in a triangle block-pair EQUI-join (never a cartesian), ByteDot upper-bound filter inside the join, exact double-vector verify only for survivors",
     "bucketed_join" ->
       "Storage-layout co-location: both fact scans carry the catalog bucket spec, so the sort-merge join, the bucket-key aggregation, and the TakeOrderedAndProject top-100 all run with ZERO exchanges — the one shuffle was paid at layout-write time")
 
