@@ -390,6 +390,33 @@ class SimilaritySpec extends SparkSpec {
     assert(warm1 == cold, s"warm != cold:\n$warm1\n$cold")
     assert(warm2 == warm1)
   }
+
+  test("IVF append: frozen-centroid growth equals one-shot assignment of the full corpus") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val base = prep.filter(col("id") % 5 =!= 0)
+    val inc = prep.filter(col("id") % 5 === 0)
+    val (baseAssign, centroids) = Similarity.ivfIndex(base, nlist = 32)
+    // the append path: base lists untouched, increment assigned alone
+    // against the frozen centroids
+    val grown = baseAssign.unionByName(Similarity.assignNearest(inc, centroids))
+    val oneShot = Similarity.assignNearest(prep, centroids)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(grown) == pairs(oneShot))
+    // and the probe over the grown index is the one-shot probe exactly
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbe(prep, df, centroids, queryId = 0L, k = 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(grown) == top(oneShot))
+    // the registry entry (warm-store-backed) honors the same contract
+    // twice — the second call exercises the store-reuse path
+    val e1 = graft.p6.Queries.all("ann_ivf_append")(spark, sfDir).collect().toSeq
+    val e2 = graft.p6.Queries.all("ann_ivf_append")(spark, sfDir).collect().toSeq
+    assert(e1 == e2)
+    assert(e1.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      s"append contract booleans not TRUE: $e1")
+  }
 }
 
 object SimilaritySpec {
