@@ -429,7 +429,11 @@ object Similarity {
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, blocks: Int = 8): DataFrame = {
+    // a zero vector has no direction: its cosine is 0/0 = NaN, which
+    // Spark's SQL ordering ranks ABOVE every threshold — exclude
+    // zero-norm rows up front rather than leak NaN "pairs"
     val prep = prepared(df, idCol, vecCol)
+      .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
     exactCosineCandidates(prep, threshold, blocks)
       .join(prep.select(col("id").as("a"), col("v").as("va")), "a")
       .join(prep.select(col("id").as("b"), col("v").as("vb")), "b")

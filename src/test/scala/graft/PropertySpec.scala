@@ -365,4 +365,52 @@ class PropertySpec extends SparkSpec {
       got == naive
     })
   }
+
+  test("exact cosine pairs: the int8 prescreen bound is lossless on adversarial vectors") {
+    import graft.operators.Similarity
+    // components spanning ~12 orders of magnitude, exact zeros,
+    // negatives, and near-tie values around the quantization midpoints
+    // — the shapes a provable-upper-bound prescreen must survive
+    val compGen: Gen[Float] = Gen.frequency(
+      3 -> Gen.choose(-1f, 1f),
+      1 -> Gen.const(0f),
+      1 -> Gen.oneOf(1e-8f, -1e-8f, 1e4f, -1e4f),
+      1 -> Gen.choose(-1f, 1f).map(x => x * 1e3f))
+    val caseGen = for {
+      dim <- Gen.choose(3, 12)
+      n <- Gen.choose(4, 20)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, compGen))
+      th <- Gen.oneOf(0.1, 0.35, 0.7, 0.95)
+      blocks <- Gen.choose(1, 5)
+    } yield (vecs, th, blocks)
+    val p = Prop.forAll(caseGen) { case (vecs, th, blocks) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity
+        .exactCosinePairs(df, "vec_id", "embedding", th, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // pure-Scala reference: same double cast, same sequential
+      // summation order as the DotProduct kernel, same HALF_UP round
+      val dv = vecs.map(_.map(_.toDouble).toArray).toArray
+      def dot(a: Array[Double], b: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val want = (for {
+        a <- dv.indices; b <- (a + 1) until dv.length
+        denom = math.sqrt(dot(dv(a), dv(a))) * math.sqrt(dot(dv(b), dv(b)))
+        // zero vectors have no direction: excluded, like the operator
+        if denom > 0
+        cos = BigDecimal(dot(dv(a), dv(b)) / denom)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= th
+      } yield (a.toLong, b.toLong, cos)).toSet
+      val ok = got == want
+      if (!ok) System.err.println(s"th=$th blocks=$blocks\n want=$want\n got =$got")
+      ok
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, r.status.toString)
+  }
 }
