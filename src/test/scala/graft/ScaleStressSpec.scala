@@ -306,6 +306,39 @@ class ScaleStressSpec extends SparkSpec {
     assert(topk.forall(_._3 >= 0.9999), topk.filter(_._3 < 0.9999).take(3).mkString(", "))
   }
 
+  test("exact pair mining at 20k vectors: 200M-pair space, prescreen prunes, blocks balance") {
+    // diverse random +/-1 vectors (expected cosine ~0, sd ~ 1/sqrt(32))
+    // with 50 PLANTED near-identical pairs the miner must return: the
+    // inherent work is the 2x10^8-pair quadratic prescreen, run on int8
+    // rows across blocks*(blocks+1)/2 uniform block-pair tasks
+    val emb = corpus("emb_pairs_20k") {
+      val planted = transform(sequence(lit(0), lit(31)),
+        j => when(pmod(xxhash64(pmod(col("id"), lit(50L)), j), lit(2)) === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+      val flip = transform(sequence(lit(0), lit(31)),
+        j => when(j === 0 && col("id") >= 50L, lit(-1.0)).otherwise(lit(1.0)))
+      spark.range(20000L).select(
+        col("id").as("vec_id"),
+        when(col("id") < 100L,
+          zip_with(planted, flip, (a, b) => a * b)) // 50 pairs, 1 flipped sign
+          .otherwise(transform(sequence(lit(0), lit(31)),
+            j => when(pmod(xxhash64(col("id"), j, lit(7)), lit(2)) === 0,
+              lit(1.0)).otherwise(lit(-1.0)))).as("embedding"))
+    }
+    val pairs = timed("exact_pairs_20k") {
+      Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.9, blocks = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    // every planted pair (i, i+50) survives at cos = 30/32 = 0.9375;
+    // random +/-1 pairs at cos >= 0.9 are ~impossible (needs 31+/32
+    // agreeing signs)
+    val planted = pairs.filter(p => p._2 == p._1 + 50L && p._1 < 50L)
+    assert(planted.length == 50, s"planted pairs found: ${planted.length}")
+    assert(planted.forall(_._3 == 0.9375))
+    assert(pairs.length < 200, s"expected ~50 pairs, got ${pairs.length}")
+  }
+
   test("near-constant embeddings: near-dup pairs stay linear via the star degradation") {
     val (pairs, n) = timed("emb_neardup_20k") {
       val p = Similarity.cosineNearDupPairs(constEmbeddings, "vec_id", "embedding",
