@@ -182,6 +182,49 @@ object Curation {
     selectByQuota(keyed, domainCol, tieCol, hist, quotas)
   }
 
+  /** Temperature-rebalanced mixture (T=2, i.e. weight ~ count^(1/2)):
+    * the policy weights are DERIVED from the observed per-domain
+    * counts instead of hand-set — the standard multilingual /
+    * data-source rebalancing that upsamples tail domains and
+    * downsamples the head (alpha = 1 keeps natural proportions,
+    * alpha -> 0 approaches uniform; alpha = 1/2 is the classic
+    * multilingual-pretraining choice). Shares the one bounded
+    * histogram pass with [[exactQuotaSample]] and the same
+    * histogram-pruned selection — no extra corpus scan.
+    *
+    * Reproducibility discipline, same reason the plain mixture takes
+    * integer per-mille: the whole weight derivation is INTEGER
+    * arithmetic so no engine's float libm can drift the policy.
+    * w_d = floor(sqrt(n_d * 10^6)) — IEEE sqrt is correctly rounded
+    * and n_d * 10^6 is an exact double for any n_d below ~9e9, so the
+    * floor is bit-stable across JVMs and SQL engines (a DuckDB oracle
+    * recomputes it); per-mille shares then come from integer division
+    * with LARGEST-REMAINDER rounding (ties broken by domain name asc),
+    * summing to exactly 1000.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String, hashCol: Column,
+      tieCol: Column, budgetPerMille: Long = 1000L,
+      maxDomains: Int = 10000): DataFrame = {
+    val (keyed, hist) = bucketHistogram(df, domainCol, hashCol, maxDomains)
+    val totals: Map[String, Long] =
+      hist.groupBy(_._1).map { case (d, rows) => d -> rows.map(_._3).sum }
+    val w: Map[String, Long] =
+      totals.map { case (d, n) => d -> math.sqrt(n.toDouble * 1e6).toLong }
+    val wSum = w.values.sum
+    require(wSum > 0, "temperature mixture over an empty corpus")
+    val base = w.map { case (d, x) => d -> x * 1000L / wSum }
+    val leftover = (1000L - base.values.sum).toInt
+    val bumped = w.toSeq
+      .map { case (d, x) => (d, x * 1000L % wSum) }
+      .sortBy { case (d, r) => (-r, d) }
+      .take(leftover).map(_._1).toSet
+    val pm = base.map { case (d, b) => d -> (b + (if (bumped(d)) 1L else 0L)) }
+    val budget = totals.values.sum * budgetPerMille / 1000L
+    val quotas = pm.map { case (d, p) =>
+      d -> math.min(totals(d), budget * p / 1000L) }
+    selectByQuota(keyed, domainCol, tieCol, hist, quotas)
+  }
+
   /** Per-domain row cap for UNBOUNDED domain cardinality ("at most
     * `cap` docs per host" — the web-crawl curation primitive): keep
     * each domain's `cap` lowest-hash rows, exactly, with NO driver

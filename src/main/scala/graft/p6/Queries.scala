@@ -638,6 +638,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-rebalanced mixture over the documents corpus (T=2):
+    * per-language quotas derived from the observed counts as
+    * weight ~ sqrt(count) — upsample the tail languages, downsample
+    * the head — then the same histogram-pruned exact selection as
+    * `mixture_sample`. The whole weight derivation is integer
+    * arithmetic (floor(sqrt(n*10^6)) basis + largest-remainder
+    * per-mille), so the DuckDB oracle recomputes the policy AND the
+    * selection bit-for-bit.
+    */
+  private def temperatureMixtureQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.temperatureMixture(t(s, dir, "documents"), "lang",
+        md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id"),
+        budgetPerMille = 200L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** SemDeDup over the embedding corpus. ORACLE-BACKED since round 10
     * via the same contract pattern as the approximate-ANN entries: the
     * k-means cluster assignment has no SQL equivalent, so the entry
@@ -2423,6 +2439,7 @@ object Queries {
     "chunk_dedup" -> (chunkDedup _),
     "global_shuffle" -> (globalShuffle _),
     "mixture_sample" -> (mixtureSample _),
+    "temperature_mixture" -> (temperatureMixtureQuery _),
     "domain_cap" -> (domainCapQuery _),
     "semdedup" -> (semDedupQuery _),
     "unigram_lm_quality" -> (unigramLmQuality _),
@@ -3489,6 +3506,35 @@ object Queries {
                        ('zh', 50)) AS w(lang, pm), n),
         r AS (
           SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+        WHERE r.rn <= q.quota ORDER BY r.doc_id""",
+    // Round 9: temperature mixture — the integer weight basis
+    // (floor(sqrt(n*1e6)) + largest-remainder per-mille, ties by lang)
+    // makes the derived policy engine-stable, so DuckDB recomputes
+    // policy AND selection closed-form.
+    "temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n,
+            CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS wt FROM c),
+        tot AS (SELECT CAST(sum(wt) AS BIGINT) AS ws,
+            CAST(sum(n) AS BIGINT) AS total FROM w),
+        b AS (SELECT lang, n, wt, ws, total,
+            (wt * 1000) // ws AS base, (wt * 1000) % ws AS rem
+          FROM w, tot),
+        lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+        rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM b),
+        pm AS (SELECT lang, n, total,
+            base + (CASE WHEN rk <= (SELECT leftover FROM lo)
+                         THEN 1 ELSE 0 END) AS pm
+          FROM rk),
+        q AS (SELECT lang,
+            least(n, ((total * 200) // 1000) * pm // 1000) AS quota
+          FROM pm),
+        r AS (SELECT doc_id, lang,
             row_number() OVER (PARTITION BY lang
               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
           FROM documents)

@@ -80,6 +80,38 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("en" -> 139L, "zh" -> 10L))
   }
 
+  test("temperatureMixture: sqrt-rebalanced quotas match the integer reference; tail upsampled") {
+    // head domain 900 rows, tail 100 — natural shares 90% / 10%;
+    // sqrt rebalancing must pull the tail share up
+    val df = ((1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "zh")))
+      .toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    val got = Curation.temperatureMixture(df, "dom", h, col("id"),
+        budgetPerMille = 500L)
+      .groupBy(col("dom")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer reference, computed independently:
+    // w_en = floor(sqrt(900e6)) = 30000, w_zh = floor(sqrt(100e6)) = 10000
+    // base pm: en 30000*1000/40000 = 750, zh 10000*1000/40000 = 250 (no remainder)
+    // budget = 1000*500/1000 = 500; quotas en 500*750/1000 = 375,
+    // zh 500*250/1000 = 125 -> clamped to 100
+    assert(got == Map("en" -> 375L, "zh" -> 100L))
+    // tail share rose from 10% natural to 100/475 ~ 21%
+    assert(got("zh").toDouble / got.values.sum > 0.15)
+    // selection is the same lowest-hash rule as the plain mixture:
+    // spot-check equality against the naive per-domain rank at quota
+    val naive = df.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dom")).orderBy(col("__h"), col("id"))))
+      .filter((col("dom") === "en" && col("rn") <= 375) ||
+        (col("dom") === "zh" && col("rn") <= 100))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val ids = Curation.temperatureMixture(df, "dom", h, col("id"),
+        budgetPerMille = 500L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == naive)
+  }
+
   test("perDomainCap: equals the naive per-domain rank at high cardinality and under a mega-domain") {
     // 600 distinct hosts (the shape the driver histogram rejects) plus
     // one mega-host holding half the rows
