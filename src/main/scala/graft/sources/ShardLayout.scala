@@ -49,13 +49,24 @@ object ShardLayout {
   def write(df: DataFrame, order: Seq[Column], weight: Column,
       targetWeight: Long, path: String): DataFrame = {
     val assigned = GlobalRank.shardAssign(df, order, weight, targetWeight)
-    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    // A zero-row partitionBy write emits no files at all, leaving a
+    // directory [[read]] cannot infer a schema from; write the empty
+    // frame flat instead (schema-bearing parquet, no partition dirs).
+    // The emptiness probe is one take(1) job — trivial next to the
+    // full write that follows either way.
+    if (assigned.take(1).isEmpty)
+      assigned.write.mode("overwrite").parquet(path)
+    else
+      assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
     assigned
   }
 
   /** Read a shard layout back. `shard_id` returns as a partition
     * column; filters on it prune to shard directories (the loader's
-    * "give me shard K" path reads exactly one directory).
+    * "give me shard K" path reads exactly one directory). Its type
+    * follows parquet partition inference (int until shard ids exceed
+    * int range, then long); an empty layout reads back with the
+    * written long column.
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

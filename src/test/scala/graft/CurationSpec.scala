@@ -110,6 +110,10 @@ class CurationSpec extends SparkSpec {
         budgetPerMille = 500L)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(ids == naive)
+    // an empty corpus fails fast with a named error, not a 0-division
+    val e = intercept[IllegalArgumentException](
+      Curation.temperatureMixture(df.filter(col("id") < 0L), "dom", h, col("id")))
+    assert(e.getMessage.contains("empty corpus"))
   }
 
   test("perDomainCap: equals the naive per-domain rank at high cardinality and under a mega-domain") {

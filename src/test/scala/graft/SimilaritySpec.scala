@@ -59,6 +59,11 @@ class SimilaritySpec extends SparkSpec {
     val survivors = Similarity.exactCosineCandidates(prep, 0.35, blocks = 8).count()
     assert(survivors < n * (n - 1) / 2 / 5,
       s"prescreen kept $survivors of ${n * (n - 1) / 2} pairs — not pruning")
+    // degenerate inputs: zero and one vector yield zero pairs, no crash
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.exactCosinePairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+    val single = emb.filter(col("vec_id") === 0L)
+    assert(Similarity.exactCosinePairs(single, "vec_id", "embedding", 0.5).count() == 0)
   }
 
   test("multi-probe LSH ANN: full k rows, recall@10 >= 0.9 vs brute force") {

@@ -116,6 +116,16 @@ class SinksAndSqlSpec extends SparkSpec {
       s"shard filter not pushed to partition pruning:\n$scanned")
   }
 
+  test("shard writer degenerate input: an empty corpus writes a readable empty layout") {
+    import graft.sources.ShardLayout
+    val out = Files.createTempDirectory("shards0").toString + "/out"
+    val empty = spark.range(0).select(col("id"), lit(1L).as("w"))
+    ShardLayout.write(empty, Seq(col("id")), col("w"), 10L, out)
+    val back = ShardLayout.read(spark, out)
+    assert(back.count() == 0)
+    assert(back.columns.contains("shard_id"))
+  }
+
   test("catalog-of-views: registerAll exposes the corpus to plain SQL") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
