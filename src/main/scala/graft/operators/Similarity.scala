@@ -407,8 +407,12 @@ object Similarity {
     *     (kp, kq) key covers every unordered pair exactly once across
     *     blocks*(blocks+1)/2 independent, uniformly-sized tasks
     *     (hash-assigned blocks, so no skew), each holding 2n/blocks
-    *     rows. `blocks` scales with sqrt(corpus) to bound per-task
-    *     work; replication is (blocks+1)x of the SMALL side only.
+    *     rows. `blocks = 0` (the default) derives the count from a
+    *     cheap corpus count as ~n/sqrt(targetPairsPerTask) (see
+    *     [[autoBlocks]]) so each block-pair task carries a BOUNDED
+    *     ~4M candidate pairs at any corpus size — the fixed-8 sizing
+    *     this replaced grew per-task work 100x for every 10x corpus
+    *     growth. Replication is (blocks+1)x of the SMALL side only.
     *   - Cost: the joined rows are the int8-quantized twin (~8x
     *     smaller than the double vectors) plus four scalars; the
     *     prescreen keeps a pair only when a provable UPPER BOUND on
@@ -428,17 +432,35 @@ object Similarity {
     * (SimilaritySpec pins equality with the unscreened brute force).
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, blocks: Int = 8): DataFrame = {
+      threshold: Double = 0.95, blocks: Int = 0): DataFrame = {
+    require(blocks >= 0,
+      s"blocks must be >= 1, or 0 to derive it from the corpus size; got $blocks")
     // a zero vector has no direction: its cosine is 0/0 = NaN, which
     // Spark's SQL ordering ranks ABOVE every threshold — exclude
     // zero-norm rows up front rather than leak NaN "pairs"
     val prep = prepared(df, idCol, vecCol)
       .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
-    exactCosineCandidates(prep, threshold, blocks)
+    val b = if (blocks > 0) blocks else autoBlocks(prep.count())
+    exactCosineCandidates(prep, threshold, b)
       .join(prep.select(col("id").as("a"), col("v").as("va")), "a")
       .join(prep.select(col("id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Triangle block count for an n-vector exact pair mine: each of the
+    * blocks*(blocks+1)/2 block-pair tasks sees ~(n/blocks)^2 candidate
+    * pairs, so blocks ~ n/sqrt(targetPairsPerTask) holds per-task work
+    * at ~`targetPairsPerTask` int8 prescreen evaluations regardless of
+    * corpus size. Floored at 8 (36 tasks) so small corpora — where the
+    * formula asks for 1 block — still parallelize; at the floor the
+    * whole mine is cheap anyway.
+    */
+  private[graft] def autoBlocks(n: Long,
+      targetPairsPerTask: Long = 4L * 1000 * 1000): Int = {
+    require(targetPairsPerTask >= 1, s"targetPairsPerTask must be >= 1")
+    math.max(8L, math.ceil(n / math.sqrt(targetPairsPerTask.toDouble)).toLong)
+      .min(Int.MaxValue).toInt
   }
 
   /** The prescreen-survivor (a, b) pairs [[exactCosinePairs]] sends to
@@ -447,6 +469,7 @@ object Similarity {
     */
   private[graft] def exactCosineCandidates(prep: DataFrame,
       threshold: Double, blocks: Int): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     val s = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)) / 127.0
     val qm = prep
       .select(col("id"), col("v"), s.as("scale"),
@@ -487,7 +510,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 10,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // zero-norm exclusion: 0/0 cosine is NaN, which Spark ranks above
+    // every threshold — same contract as exactCosinePairs, mirrored in
+    // the DuckDB oracle
     val prep = prepared(df, idCol, vecCol)
+      .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
     val withB = prep.join(lshBuckets(prep, bits), "id")
       .select(col("id"), col("v").as("p"), lit(0).as("band"), col("bucket").as("key"))
     Dedup.cappedPairs(withB, maxBucket)
@@ -518,7 +545,10 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, refineIters: Int = 4, threshold: Double = 0.99,
       maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // zero-norm exclusion, same contract as exactCosinePairs: a zero
+    // vector duplicates nothing (cosine undefined), never NaN-passes
     val prep = prepared(df, idCol, vecCol)
+      .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
     val (assign, _) = ivfIndex(prep, nlist, refineIters)
     val clustered = prep.join(assign, "id")
       .select(col("id"), col("v").as("p"), lit(0).as("band"), col("cid").as("key"))

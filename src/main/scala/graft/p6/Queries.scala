@@ -2489,7 +2489,9 @@ object Queries {
     val planes = (0 until 6).map(k => s"($k, ${lshSignRow(k, 64)}::DOUBLE[])")
       .mkString(",\n        ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings),
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0),
       planes(k, w) AS (VALUES
         $planes),
       proj AS (SELECT vec_id, k, list_dot_product(v, w) AS p
@@ -2654,7 +2656,9 @@ object Queries {
     */
   private val SemDedupOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings),
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0),
       p AS (SELECT x.vec_id AS a, y.vec_id AS b,
           round(list_dot_product(x.v, y.v) /
             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
@@ -3378,8 +3382,13 @@ object Queries {
     // all-pairs filter, so the gate proves the Spark side's int8
     // prescreen + triangle block join lossless on this corpus.
     "exact_cosine_pairs" ->
+      // zero-norm exclusion mirrors the operator's contract explicitly:
+      // a zero vector has no direction, and 0/0 cosine is NaN with
+      // engine-divergent threshold semantics — both sides drop it
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
+          FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
         p AS (SELECT x.vec_id AS a, y.vec_id AS b,
             round(list_dot_product(x.v, y.v) /
               (sqrt(list_dot_product(x.v, x.v)) *

@@ -62,11 +62,13 @@ case class DotProduct(left: Expression, right: Expression)
 /** Integer dot product over two int8-quantized vectors (array<byte>),
   * the prescreen kernel for lossless filter-and-refine over quantized
   * embeddings (Similarity.exactCosinePairs). All arithmetic is exact:
-  * |acc| <= d * 127^2, so an Int holds the result without overflow for
-  * every dimension up to ~133k — far past any embedding width. The
-  * per-pair work is d byte loads + integer multiply-adds against rows
-  * ~8x smaller than the double vectors, which is the whole point: the
-  * all-pairs prescreen pass is memory-bandwidth-bound.
+  * the accumulator is a Long (|acc| <= d * 127^2 < 2^63 for every
+  * physically representable array length), so the result — and with
+  * it the prescreen's "provable upper bound" contract — never
+  * silently overflows at any dimension. The per-pair work is d byte
+  * loads + integer multiply-adds against rows ~8x smaller than the
+  * double vectors, which is the whole point: the all-pairs prescreen
+  * pass is memory-bandwidth-bound.
   */
 case class ByteDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -74,14 +76,14 @@ case class ByteDot(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.ByteType),
       ArrayType(org.apache.spark.sql.types.ByteType))
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "byte_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    var acc = 0
+    var acc = 0L
     var i = 0
     while (i < n) {
       acc += x.getByte(i) * y.getByte(i)
@@ -97,7 +99,7 @@ case class ByteDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $acc = 0;
+         |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getByte($i) * $b.getByte($i);
          |}

@@ -41,6 +41,24 @@ class ScalePatternSpec extends SparkSpec {
     assert(got == Map(0 -> 2L, 1 -> 3L, 2 -> 1L, 3 -> 1L), s"got $got")
   }
 
+  test("exact-pair triangle blocks stay balanced at 10x the bench corpus") {
+    // at 10x the sf0.1 embedding corpus the auto sizing moves past the
+    // floor (10 blocks, 55 block-pair tasks); hash assignment must keep
+    // the per-block row counts — and so the per-task join inputs —
+    // near-uniform, or one straggler task dominates the quadratic pass
+    val n = 20000L
+    val b = graft.operators.Similarity.autoBlocks(n)
+    assert(b == 10)
+    val counts = spark.range(n)
+      .select(pmod(hash(col("id")), lit(b)).as("blk"))
+      .groupBy("blk").count()
+      .collect().map(r => r.getLong(1))
+    assert(counts.length == b, s"expected $b non-empty blocks, got ${counts.length}")
+    val (mx, mn) = (counts.max, counts.min)
+    assert(mx <= mn * 1.2,
+      s"block skew ${mx.toDouble / mn} over $b blocks — tasks unbalanced")
+  }
+
   test("salted join equals plain join") {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))

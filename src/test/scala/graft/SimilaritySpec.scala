@@ -66,6 +66,58 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.exactCosinePairs(single, "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("exact cosine pairs: block count auto-scales with the corpus and validates its input") {
+    // the sizing contract: blocks ~ n/sqrt(targetPairsPerTask), so each
+    // block-pair task sees a BOUNDED ~4M candidate pairs at any corpus
+    // size (fixed blocks would grow per-task work quadratically)
+    assert(Similarity.autoBlocks(0L) == 8)
+    assert(Similarity.autoBlocks(2000L) == 8)     // bench corpus: same plan as fixed 8
+    assert(Similarity.autoBlocks(20000L) == 10)   // 10x corpus: 10 blocks, 55 tasks
+    assert(Similarity.autoBlocks(200000L) == 100)
+    for (n <- Seq(2e4, 2e5, 2e6, 2e7, 2e8).map(_.toLong)) {
+      val b = Similarity.autoBlocks(n)
+      val perTask = (n.toDouble / b) * (n.toDouble / b)
+      assert(perTask <= 4.1e6, s"n=$n blocks=$b -> $perTask pairs/task, unbounded")
+    }
+    // blocks = 0 is the auto sentinel; anything negative fails fast,
+    // and the candidate stage itself refuses blocks < 1 (pmod(_, 0) is
+    // null -> explode drops every row -> silent empty result)
+    val emb = Tables(spark, sfDir, "embeddings")
+    intercept[IllegalArgumentException] {
+      Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.5, blocks = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.exactCosineCandidates(
+        Similarity.prepared(emb, "vec_id", "embedding"), 0.5, blocks = 0)
+    }
+    // the auto path (default) returns the same pair set as explicit blocks
+    val auto = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.35, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("zero-norm embeddings are excluded from every cosine-pair surface") {
+    // 0/0 cosine is NaN and Spark ranks NaN above every threshold; the
+    // operators and their DuckDB oracles share an explicit zero-norm
+    // exclusion so a future corpus with a zero vector cannot flip the
+    // hash gates (ADVICE r9)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val zid = 99999L
+    val zero = emb.filter(col("vec_id") === 0L)
+      .select(lit(zid).as("vec_id"),
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding"), col("label"))
+    val withZero = emb.unionByName(zero)
+    val exact = Similarity.exactCosinePairs(withZero, "vec_id", "embedding", 0.35)
+    assert(exact.filter(col("a") === zid || col("b") === zid).count() == 0)
+    val lsh = Similarity.cosineNearDupPairs(withZero, "vec_id", "embedding",
+      threshold = 0.5, bits = 6)
+    assert(lsh.filter(col("a") === zid || col("b") === zid).count() == 0)
+    val sem = Similarity.semDedup(withZero, "vec_id", "embedding", threshold = 0.45)
+    assert(sem.filter(col("id") === zid || col("kept") === zid).count() == 0)
+  }
+
   test("multi-probe LSH ANN: full k rows, recall@10 >= 0.9 vs brute force") {
     val emb = Tables(spark, sfDir, "embeddings")
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L,
