@@ -315,4 +315,27 @@ class CliSpec extends SparkSpec {
     sys.props(s"graft.env.$k") = v
     try body finally sys.props -= s"graft.env.$k"
   }
+
+  test("CLI session carries GraftExtensions: kernel functions reachable from SQL") {
+    // the CLI builds its own session; without .withExtensions a SQL
+    // user of the CLI silently loses every registered kernel function
+    // and optimizer rule the Scala API path gets (VERDICT r9 #4).
+    // Fresh-session dance as in VectorExprSpec: builder extensions are
+    // ignored when an active session already exists.
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = graft.cli.Main.session()
+      assert(s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0) == 11.0)
+      assert(s2.sql(
+        "SELECT byte_dot(array(CAST(3 AS TINYINT)), array(CAST(5 AS TINYINT))) AS d")
+        .collect()(0).getLong(0) == 15L)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }
