@@ -175,11 +175,45 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decoded-size ceilings for untrusted payloads: a few-hundred-byte
+    * header can DECLARE a raster (or PCM stream) of arbitrary size, so
+    * the allocation bound must come from the header fields, checked
+    * BEFORE the decoder materializes anything. 64M pixels (a 8k x 8k
+    * frame) / 64 MiB of PCM are far above any real corpus payload;
+    * anything larger degrades to the pseudo path like every other
+    * undecodable payload — the operator stays total and an adversarial
+    * input cannot OOM an executor.
+    */
+  private[graft] val MaxDecodePixels: Long = 64L * 1024 * 1024
+  private[graft] val MaxDecodedAudioBytes: Long = 64L * 1024 * 1024
+
+  /** `ImageIO.read` behind a header-first size gate: pick the reader,
+    * read width/height from the metadata (no raster allocation), and
+    * only then decode. Null for undecodable OR oversized payloads.
+    */
+  private[graft] def safeImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
   private def decodeOne(id: Long, bytes: Array[Byte],
       fallback: PseudoCodec): DecodedMedia = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = safeImageRead(bytes)
     if (img == null) {
       val (ch, mean) = fallback.decode(bytes)
       DecodedMedia(id, bytes.length, -1, -1, ch, mean, "pseudo")
@@ -260,7 +294,16 @@ object Multimodal {
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (in == null) {
+    // header-declared stream size gate, mirror of [[safeImageRead]]:
+    // frame count x frame size bounds the readAllBytes allocation
+    // BEFORE it happens; unknown (-1) frame counts are unboundable and
+    // degrade the same way
+    def declaredBytes(s: javax.sound.sampled.AudioInputStream): Long = {
+      val frames = s.getFrameLength
+      if (frames < 0) Long.MaxValue
+      else frames * math.max(1, s.getFormat.getFrameSize).toLong
+    }
+    if (in == null || declaredBytes(in) > MaxDecodedAudioBytes) {
       val (ch, mean) = fallback.decode(bytes)
       DecodedAudio(id, bytes.length, -1, -1L, ch, mean, "pseudo")
     } else {
@@ -289,9 +332,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val fallback = new PseudoCodec
         rows.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeImageRead(bytes)
           if (img == null) {
             val out = fallback.resize(bytes, width, height)
             ResizedMedia(id, out,

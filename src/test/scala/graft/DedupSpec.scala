@@ -446,6 +446,63 @@ class DedupSpec extends SparkSpec {
     assert(opaque.codec == "pseudo" && opaque.sample_rate == -1)
   }
 
+  test("decode bombs: header-declared huge rasters/streams degrade to pseudo, never allocate") {
+    // a ~200-byte payload whose HEADER declares a 50000x50000 raster
+    // (2.5G pixels — ~10 GiB as ARGB) must be rejected from the header
+    // fields alone; the guard is the difference between a pseudo-path
+    // row and an executor OOM on a real ingest of untrusted bytes
+
+    // PNG: patch IHDR width/height (offsets 16/20, big-endian) and
+    // recompute the chunk CRC so the reader accepts the header
+    val png = Multimodal.pngPayload(1L)
+    def patchBE(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+      b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    patchBE(png, 16, 50000L) // width
+    patchBE(png, 20, 50000L) // height
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 4 + 13) // chunk type + IHDR data
+    patchBE(png, 29, crc.getValue)
+    // the patched header must be READABLE (CRC fixed) — otherwise this
+    // would pin a parse failure, not the size gate
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    val rdr = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rdr.setInput(iis, true, true)
+    assert(rdr.getWidth(0) == 50000 && rdr.getHeight(0) == 50000)
+    rdr.dispose(); iis.close()
+    val img = Multimodal.decode(Seq((7L, png)).toDF("doc_id", "media")).collect().head
+    assert(img.codec == "pseudo" && img.width == -1,
+      s"PNG bomb decoded as ${img.codec} ${img.width}x${img.height}")
+    val rz = Multimodal.resizeTo(Seq((7L, png)).toDF("doc_id", "media"), 4, 4)
+      .collect().head
+    assert(rz.media_meta.mime == "application/octet-stream",
+      s"PNG bomb resized via ${rz.media_meta.mime}")
+    // an untouched payload still takes the real path (guard not over-broad)
+    val ok = Multimodal.decode(
+      Seq((1L, Multimodal.pngPayload(1L))).toDF("doc_id", "media")).collect().head
+    assert(ok.codec == "imageio")
+
+    // WAV: patch the data-chunk size (little-endian after the "data"
+    // marker) to ~2 GiB of declared 8-bit mono PCM
+    val wav = Multimodal.wavPayload(1L)
+    val di = (0 until wav.length - 4).find(i => wav(i) == 'd' && wav(i + 1) == 'a'
+      && wav(i + 2) == 't' && wav(i + 3) == 'a').get
+    val big = 0x7fffff00L
+    wav(di + 4) = (big & 0xff).toByte; wav(di + 5) = ((big >> 8) & 0xff).toByte
+    wav(di + 6) = ((big >> 16) & 0xff).toByte; wav(di + 7) = ((big >> 24) & 0xff).toByte
+    // again prove the header PARSES with the huge declared length, so
+    // the pseudo result below comes from the size gate
+    val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ain.getFrameLength == big, s"declared frames ${ain.getFrameLength}")
+    val aud = Multimodal.decodeAudio(Seq((7L, wav)).toDF("doc_id", "media"))
+      .collect().head
+    assert(aud.codec == "pseudo" && aud.n_frames == -1L,
+      s"WAV bomb decoded as ${aud.codec} frames=${aud.n_frames}")
+  }
+
   test("frameNearDupPairs: shared frames pair; ubiquitous frames are dropped") {
     // 600-byte payloads = 3 frames of 256/256/88 bytes. Docs 1 and 2
     // share ALL three frames (identical payload); doc 3 shares only
