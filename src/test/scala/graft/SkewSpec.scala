@@ -17,6 +17,7 @@ import graft.operators.Skew
   * dumps both plans side by side in PLANS.md.
   */
 class SkewSpec extends SparkSpec {
+  import spark.implicits._
 
   /** 50k-row fact frame, 50% on one hot key, plus a 100-key dim. */
   private def hotFact = spark.range(50000L).select(
@@ -87,5 +88,70 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedSum(hotFact, col("k"), col("v"), salts = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted == plain)
+  }
+
+  test("range join: a domain-spanning interval takes the two-level path — same rows, bounded fan-out") {
+    import graft.operators.RangeJoin
+    // 50 narrow promo-like windows plus ONE interval covering the whole
+    // domain: single-level binning would explode that row to every bin
+    // (the straggler task that dominates wall-time at scale); the
+    // two-level path must return the identical match set while the
+    // widest interval registers only edge fine bins + full coarse bins
+    val w = 100L
+    val cap = 16
+    val span = 100000L // 1000 fine bins — 62x over the cap
+    val pts = spark.range(0L, span, 7L)
+      .select(col("id").as("t"), (col("id") % 5).cast("double").as("v"))
+    val narrow = spark.range(50L).select(col("id").as("iid"),
+      (col("id") * 1000L).as("s"), (col("id") * 1000L + 300L).as("e"))
+    val ivs = narrow.unionByName(
+      Seq((999L, 0L, span)).toDF("iid", "s", "e"))
+    val got = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", w,
+        maxBinsPerInterval = cap)
+      .select(col("t"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select(col("t"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && brute.size > 14000,
+      s"two-level range join diverged: got ${got.size}, brute ${brute.size}")
+
+    // the fan-out bound IS the defense — pin it: <= 2*cap edge fine
+    // bins + span/(w*cap) full coarse bins (+1 rounding), vs the 1000
+    // rows the single-level explode would emit for the wide interval
+    val maxEntries = ivs
+      .withColumn("__s", col("s")).withColumn("__e", col("e"))
+      .select(size(RangeJoin.intervalEntries(w, cap)).as("n"))
+      .agg(max(col("n"))).head().getInt(0)
+    val bound = 2 * cap + (span / (w * cap)).toInt + 1
+    assert(maxEntries <= bound,
+      s"widest interval registered $maxEntries entries, bound $bound")
+
+    // negative positions: floor-div keying must stay exact below zero
+    val npts = spark.range(-500L, 500L, 3L).select(col("id").as("t"),
+      lit(1.0).as("v"))
+    val nivs = Seq((1L, -401L, 457L), (2L, -30L, -29L), (3L, 5L, 5L))
+      .toDF("iid", "s", "e")
+    val ngot = RangeJoin.pointInInterval(npts, "t", nivs, "s", "e", 30L,
+        maxBinsPerInterval = 4)
+      .select(col("t"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrute = npts.join(nivs, col("t") >= col("s") && col("t") < col("e"))
+      .select(col("t"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngot == nbrute, s"negative-domain divergence: ${ngot.size} vs ${nbrute.size}")
+
+    // the aligned aggregate-pushdown twin under the same wide interval:
+    // rolled-up coarse partials must sum to exactly the brute answer
+    val agg = RangeJoin.pointPartialsPerInterval(pts, "t", "v", ivs,
+        "s", "e", w, maxBinsPerInterval = cap)
+      .groupBy(col("iid"))
+      .agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val aggBrute = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .groupBy(col("iid"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(agg == aggBrute)
   }
 }
