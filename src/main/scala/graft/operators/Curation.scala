@@ -182,7 +182,23 @@ object Curation {
     selectByQuota(keyed, domainCol, tieCol, hist, quotas)
   }
 
-  /** Temperature-rebalanced mixture (T=2, i.e. weight ~ count^(1/2)):
+  /** Exact integer q-th root: the greatest r with r^q <= x. Seeded
+    * from the double estimate, corrected by exact BigInt comparisons,
+    * so the result is bit-stable on any JVM regardless of libm — the
+    * property the temperature-mixture policy derivation rests on.
+    */
+  private[graft] def iroot(x: BigInt, q: Int): BigInt = {
+    require(q >= 1 && x >= 0, s"iroot($x, $q)")
+    if (x == 0) BigInt(0)
+    else {
+      var r = BigInt(math.max(1L, math.pow(x.doubleValue, 1.0 / q).toLong))
+      while (r.pow(q) > x) r -= 1
+      while ((r + 1).pow(q) <= x) r += 1
+      r
+    }
+  }
+
+  /** Temperature-rebalanced mixture (default T=2, i.e. weight ~ count^(1/2)):
     * the policy weights are DERIVED from the observed per-domain
     * counts instead of hand-set — the standard multilingual /
     * data-source rebalancing that upsamples tail domains and
@@ -192,24 +208,39 @@ object Curation {
     * histogram pass with [[exactQuotaSample]] and the same
     * histogram-pruned selection — no extra corpus scan.
     *
+    * The temperature is a RATIONAL T = tNumer/tDenom >= 1 (T=2 is
+    * (2,1); T=1.5 is (3,2); T=3 is (3,1); T=1 keeps natural
+    * proportions), so the weight has an exact integer closed form:
+    * w_d = floor(n_d^(1/T) * 10^3)
+    *     = iroot_q(n_d^p * 10^(3q))   with 1/T = p/q
+    * computed with exact BigInt arithmetic ([[iroot]]).
+    *
     * Reproducibility discipline, same reason the plain mixture takes
     * integer per-mille: the whole weight derivation is INTEGER
-    * arithmetic so no engine's float libm can drift the policy.
-    * w_d = floor(sqrt(n_d * 10^6)) — IEEE sqrt is correctly rounded
-    * and n_d * 10^6 is an exact double for any n_d below ~9e9, so the
-    * floor is bit-stable across JVMs and SQL engines (a DuckDB oracle
-    * recomputes it); per-mille shares then come from integer division
-    * with LARGEST-REMAINDER rounding (ties broken by domain name asc),
+    * arithmetic so no engine's float libm can drift the policy. A SQL
+    * oracle recomputes iroot as float sqrt/cbrt plus a +-2 integer
+    * correction window (float roots of an exactly-representable
+    * operand are within 1 of the true root, so the window is
+    * generous); for T=2 this degenerates to the historical
+    * floor(sqrt(n*10^6)) bit-for-bit, since floor of the correctly
+    * rounded IEEE sqrt equals the integer root for operands below
+    * ~2^52. Per-mille shares then come from integer division with
+    * LARGEST-REMAINDER rounding (ties broken by domain name asc),
     * summing to exactly 1000.
     */
   def temperatureMixture(df: DataFrame, domainCol: String, hashCol: Column,
       tieCol: Column, budgetPerMille: Long = 1000L,
-      maxDomains: Int = 10000): DataFrame = {
+      maxDomains: Int = 10000, tNumer: Int = 2, tDenom: Int = 1): DataFrame = {
+    require(tDenom >= 1 && tNumer >= tDenom,
+      s"temperature must be rational T = tNumer/tDenom >= 1, got $tNumer/$tDenom")
     val (keyed, hist) = bucketHistogram(df, domainCol, hashCol, maxDomains)
     val totals: Map[String, Long] =
       hist.groupBy(_._1).map { case (d, rows) => d -> rows.map(_._3).sum }
-    val w: Map[String, Long] =
-      totals.map { case (d, n) => d -> math.sqrt(n.toDouble * 1e6).toLong }
+    // 1/T = tDenom/tNumer: p = tDenom, q = tNumer
+    val w: Map[String, Long] = totals.map { case (d, n) =>
+      d -> iroot(BigInt(n).pow(tDenom) * BigInt(10).pow(3 * tNumer),
+        tNumer).toLong
+    }
     val wSum = w.values.sum
     require(wSum > 0, "temperature mixture over an empty corpus")
     val base = w.map { case (d, x) => d -> x * 1000L / wSum }

@@ -654,6 +654,21 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Same policy at the NON-DEFAULT temperature T = 1.5 (= 3/2, so
+    * 1/T = 2/3 and the weight basis is the exact integer CUBE root of
+    * n^2 * 10^9 — the most general rational-exponent path: p > 1 AND
+    * q > 2). The DuckDB oracle recomputes the cube root as float
+    * cbrt plus a +-2 exact-integer correction window over HUGEINT
+    * cubes, so the policy AND the selection stay engine-recomputable
+    * at a temperature the historical sqrt form cannot express.
+    */
+  private def temperatureMixtureT32Query(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.temperatureMixture(t(s, dir, "documents"), "lang",
+        md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id"),
+        budgetPerMille = 200L, tNumer = 3, tDenom = 2)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** SemDeDup over the embedding corpus. ORACLE-BACKED since round 10
     * via the same contract pattern as the approximate-ANN entries: the
     * k-means cluster assignment has no SQL equivalent, so the entry
@@ -2440,6 +2455,7 @@ object Queries {
     "global_shuffle" -> (globalShuffle _),
     "mixture_sample" -> (mixtureSample _),
     "temperature_mixture" -> (temperatureMixtureQuery _),
+    "temperature_mixture_t32" -> (temperatureMixtureT32Query _),
     "domain_cap" -> (domainCapQuery _),
     "semdedup" -> (semDedupQuery _),
     "unigram_lm_quality" -> (unigramLmQuality _),
@@ -3528,6 +3544,48 @@ object Queries {
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         w AS (SELECT lang, n,
             CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS wt FROM c),
+        tot AS (SELECT CAST(sum(wt) AS BIGINT) AS ws,
+            CAST(sum(n) AS BIGINT) AS total FROM w),
+        b AS (SELECT lang, n, wt, ws, total,
+            (wt * 1000) // ws AS base, (wt * 1000) % ws AS rem
+          FROM w, tot),
+        lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+        rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM b),
+        pm AS (SELECT lang, n, total,
+            base + (CASE WHEN rk <= (SELECT leftover FROM lo)
+                         THEN 1 ELSE 0 END) AS pm
+          FROM rk),
+        q AS (SELECT lang,
+            least(n, ((total * 200) // 1000) * pm // 1000) AS quota
+          FROM pm),
+        r AS (SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+        WHERE r.rn <= q.quota ORDER BY r.doc_id""",
+    // Round 10: non-default temperature T = 3/2 — weight basis is the
+    // exact integer cube root of n^2 * 10^9, recomputed here as float
+    // cbrt + a +-2 exact correction window over HUGEINT cubes (the
+    // float root of these operands is within 1 of the true root, so
+    // the window is generous); everything downstream is the same
+    // integer largest-remainder policy as temperature_mixture.
+    "temperature_mixture_t32" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        wx AS (SELECT lang, n,
+            CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * 1000000000 AS x,
+            CAST(floor(cbrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e9))
+              AS BIGINT) AS c0
+          FROM c),
+        w AS (SELECT lang, n,
+            c0 + (CASE
+              WHEN CAST(c0 + 2 AS HUGEINT) * (c0 + 2) * (c0 + 2) <= x THEN 2
+              WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) * (c0 + 1) <= x THEN 1
+              WHEN CAST(c0 AS HUGEINT) * c0 * c0 <= x THEN 0
+              WHEN CAST(c0 - 1 AS HUGEINT) * (c0 - 1) * (c0 - 1) <= x THEN -1
+              ELSE -2 END) AS wt
+          FROM wx),
         tot AS (SELECT CAST(sum(wt) AS BIGINT) AS ws,
             CAST(sum(n) AS BIGINT) AS total FROM w),
         b AS (SELECT lang, n, wt, ws, total,

@@ -116,6 +116,52 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("temperatureMixture: rational T in {1, 1.5, 2, 3} — integer reference per T, tail upsampling monotone in T") {
+    // head 1000 / mid 100 / tail 10; expected counts recomputed
+    // independently with exact integer arithmetic (iroot_q(n^p*10^3q)
+    // weights + largest-remainder per-mille + integer quota):
+    //   T=1   (1,1): a 200, b 19, c 1   (natural proportions)
+    //   T=1.5 (3,2): a 175, b 37, c 8
+    //   T=2   (2,1): a 156, b 49, c 10  (clamped: quota 15 > n_c)
+    //   T=3   (3,1): a 132, b 61, c 10  (clamped: quota 28 > n_c)
+    val df = ((1L to 1000L).map(i => (i, "a")) ++
+      (1001L to 1100L).map(i => (i, "b")) ++
+      (1101L to 1110L).map(i => (i, "c"))).toDF("id", "dom")
+    val h = md5(col("id").cast("string"))
+    def counts(tn: Int, td: Int): Map[String, Long] =
+      Curation.temperatureMixture(df, "dom", h, col("id"),
+          budgetPerMille = 200L, tNumer = tn, tDenom = td)
+        .groupBy(col("dom")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byT = Seq((1, 1), (3, 2), (2, 1), (3, 1)).map { case (tn, td) =>
+      (tn, td) -> counts(tn, td) }.toMap
+    assert(byT((1, 1)) == Map("a" -> 200L, "b" -> 19L, "c" -> 1L))
+    assert(byT((3, 2)) == Map("a" -> 175L, "b" -> 37L, "c" -> 8L))
+    assert(byT((2, 1)) == Map("a" -> 156L, "b" -> 49L, "c" -> 10L))
+    assert(byT((3, 1)) == Map("a" -> 132L, "b" -> 61L, "c" -> 10L))
+    // monotone in T: the head cools, the tail (and mid) heat up
+    val order = Seq((1, 1), (3, 2), (2, 1), (3, 1)).map(byT)
+    assert(order.map(_("a")) == order.map(_("a")).sorted.reverse)
+    assert(order.map(_("c")) == order.map(_("c")).sorted)
+    assert(order.map(_("b")) == order.map(_("b")).sorted)
+    // a temperature below 1 (head-amplifying) is rejected by name
+    val e = intercept[IllegalArgumentException](
+      Curation.temperatureMixture(df, "dom", h, col("id"), tNumer = 1, tDenom = 2))
+    assert(e.getMessage.contains("tNumer"))
+  }
+
+  test("iroot: exact integer q-th roots at the boundaries the float seed gets wrong") {
+    import Curation.iroot
+    for (q <- 1 to 5; r <- Seq(BigInt(1), BigInt(7), BigInt(100000),
+        BigInt("4294967296"), BigInt("1000000000000"))) {
+      val x = r.pow(q)
+      assert(iroot(x, q) == r, s"iroot($x, $q)")
+      assert(iroot(x - 1, q) == r - 1, s"iroot($x - 1, $q)")
+      assert(iroot(x + 1, q) == (if (q == 1) r + 1 else r), s"iroot($x + 1, $q)")
+    }
+    assert(iroot(BigInt(0), 3) == BigInt(0))
+  }
+
   test("perDomainCap: equals the naive per-domain rank at high cardinality and under a mega-domain") {
     // 600 distinct hosts (the shape the driver histogram rejects) plus
     // one mega-host holding half the rows
