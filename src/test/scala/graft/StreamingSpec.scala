@@ -315,6 +315,98 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: stop + restart from checkpoint carries the MG state and reproduces the batch answer") {
+    // The restart-compat proof for the transformWithState path: the
+    // corpus arrives in two halves with a FULL QUERY RESTART between
+    // them — stop(), new writeStream.start() against the same
+    // checkpoint — and the final sketch must still reproduce the
+    // oracle-green batch heavy_hitters_topk answer. The first half is
+    // only ever seen by the pre-restart query, so any count the final
+    // sketch credits beyond the second half's occurrences PROVES the
+    // RocksDB state (current MgState schema, incl. the round-8
+    // `updates` field) was restored from the checkpoint, not rebuilt.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hh_ckpt").toFile
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      val out = new java.io.File(root, "out").getAbsolutePath
+      val toks = Tables(spark, sf, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        .collect().map(_.getString(0)).toSeq
+      val (half1, half2) = toks.splitAt(toks.size / 2)
+      val stream = MemoryStream[String]
+      // foreachBatch (not the memory sink: it refuses checkpoint
+      // recovery in update mode) appends every update-mode emission
+      // to one parquet dir, tagged with which run emitted it
+      def start(runTag: Int) =
+        EventStreams.streamingHeavyHitters(stream.toDS(), k = 64, shards = 8)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.ShardCandidates],
+              _: Long) =>
+            df.withColumn("run", lit(runTag))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+      val q1 = start(1)
+      stream.addData(half1: _*)
+      q1.processAllAvailable(); q1.stop()
+      // second half lands while the query is DOWN; the restarted query
+      // must fold it into the RESTORED sketches
+      stream.addData(half2: _*)
+      val q2 = start(2)
+      q2.processAllAvailable(); q2.stop()
+      // per-shard final state = max `updates` across BOTH runs' rows
+      // (a shard silent in the post-restart batch keeps its run-1 row);
+      // the monotonic version counter must not reset across restart
+      val all = spark.read.parquet(out).collect().map { r =>
+        (r.getAs[Int]("shard"),
+          r.getAs[scala.collection.Seq[String]]("candidates").toSeq,
+          r.getAs[scala.collection.Seq[Long]]("retained").toSeq,
+          r.getAs[Long]("updates"), r.getAs[Int]("run"))
+      }
+      val rows = all.map { case (s, c, ret, u, _) =>
+        EventStreams.ShardCandidates(s, c, ret, u) }
+      val finals = rows.groupBy(_.shard).map { case (_, rs) => rs.maxBy(_.updates) }
+      val run2 = all.filter(_._5 == 2)
+      assert(run2.nonEmpty, "restarted query emitted nothing")
+      val run1MaxByShard = all.filter(_._5 == 1)
+        .groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      run2.foreach { r =>
+        assert(r._4 > run1MaxByShard.getOrElse(r._1, 0L),
+          s"shard ${r._1} state-version counter reset across restart")
+      }
+      val finalCands = finals.flatMap(_.candidates).toSet
+      val batchTop = graft.p6.Queries.all("heavy_hitters_topk")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val missed = batchTop.map(_._1).filterNot(finalCands.contains)
+      assert(missed.isEmpty, s"restarted MG sketch lost top-10 tokens: $missed")
+      val streamTop = toks.filter(finalCands.contains)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(10)
+      assert(streamTop == batchTop,
+        s"restart-derived top-10 $streamTop != batch $batchTop")
+      // direct state-carry witness: some retained count in the final
+      // sketches exceeds that token's post-restart occurrences alone
+      val half2Counts = half2.groupBy(identity).view.mapValues(_.size.toLong)
+      val carried = finals.flatMap(r => r.candidates.zip(r.retained))
+        .filter { case (t, c) => c > half2Counts.getOrElse(t, 0L) }
+      assert(carried.nonEmpty,
+        "no retained count exceeds its second-half occurrences — state did not carry")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming near-dup pairs == batch simhash banding, planted cross-batch dups included") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
