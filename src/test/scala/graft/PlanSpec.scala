@@ -46,6 +46,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("plan hygiene, whole registry: fixed dimensions never on the shuffled side of a join") {
+    // region/nation have FIXED cardinality (5/25 rows at every SF):
+    // a plan that sort-merge- or shuffled-hash-joins them pays a full
+    // shuffle of the fact side for a table that will always fit in a
+    // broadcast. Structural sweep like the no-cartesian property:
+    // any shuffle-join whose one input subtree reads ONLY fixed dims
+    // is a lost broadcast. supplier/customer/part scale with SF, so
+    // they are legitimately shuffle-joined and excluded here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val fixedDims = Seq("region.parquet", "nation.parquet")
+    def fixedDimOnly(p: SparkPlan): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case s: FileSourceScanExec =>
+          val files = s.relation.location.inputFiles
+          files.nonEmpty && files.forall(f => fixedDims.exists(f.contains))
+        case _ => false
+      }
+    }
+    Queries.all.foreach { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.sparkPlan
+      val lost = p.collect {
+        case j: SortMergeJoinExec if fixedDimOnly(j.left) || fixedDimOnly(j.right) => j
+        case j: ShuffledHashJoinExec if fixedDimOnly(j.left) || fixedDimOnly(j.right) => j
+      }
+      assert(lost.isEmpty,
+        s"$name: shuffle join against a fixed dimension (should broadcast):\n" +
+          lost.map(_.nodeName).mkString(", "))
+    }
+  }
+
   test("q38 bloom probe is a scan-level filter, not a join condition") {
     val s = plan("q38_bloom_join")
     assert(s.contains("bloom_might_contain(bloom_blob("))
