@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   *  - `region`/`nation` stay verbatim: TPC-H dimensions do not grow
   *    with SF, and scaling them would turn broadcast joins into a
   *    different experiment.
-  *  - `documents.text` gets a per-replica suffix token (`zrepN`) on
-  *    replicas > 0: exact/near-dup GROUP structure replicates
-  *    within-replica (K× groups of the original sizes) instead of
-  *    collapsing all replicas into K-wide cross-replica dup groups,
-  *    which would scale the pair workload quadratically and measure
-  *    the wrong thing. `n_chars = n_chars + len(suffix)` keeps the
-  *    generator invariant `n_chars == length(text)`.
+  *  - `documents.text` on replicas > 0 gets EVERY token prefixed with
+  *    a per-replica tag (`zNq<token>`): a bijective token renaming, so
+  *    within-replica shingle sets map 1:1 and every Jaccard / SimHash
+  *    / winnowing relation between two docs of the same replica is
+  *    EXACTLY what it was at 1×, while cross-replica token sets are
+  *    disjoint (Jaccard 0, uncorrelated fingerprints). Exact AND
+  *    near-dup group structure therefore replicates within-replica
+  *    (K× groups of the original sizes) instead of collapsing into
+  *    K-wide cross-replica groups. A trailing suffix token would NOT
+  *    achieve this — one extra token out of ~n leaves cross-replica
+  *    Jaccard at (n-2)/(n+2) ≈ 1, reconnecting every near-dup group
+  *    across replicas and scaling pair workloads quadratically.
+  *    `n_chars` is recomputed to keep the generator invariant
+  *    `n_chars == length(text)`.
   *  - `embeddings.embedding` on replicas > 0 is regenerated as a
   *    deterministic pseudo-Gaussian (Box–Muller over murmur3 hashes
   *    of (vec_id, dim index)): independent noise keeps cross-replica
@@ -93,8 +100,13 @@ object ScaleUp {
     val docs = repl(in("documents"), Seq("doc_id"))
       .withColumn("text",
         when(col("__r") === 0L, col("text"))
-          .otherwise(concat(col("text"), lit(" zrep"),
-            col("__r").cast("string")))) // distinct token per replica
+          // Bijective per-replica token renaming (see scaladoc): the
+          // tag is lowercase-alnum so lower()/\s+ tokenizers see one
+          // token where the original had one.
+          .otherwise(array_join(
+            transform(split(col("text"), "\\s+"),
+              t => concat(lit("z"), col("__r").cast("string"), lit("q"), t)),
+            " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r")
     out(docs, "documents", 4)
