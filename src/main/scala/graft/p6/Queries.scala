@@ -1106,7 +1106,11 @@ object Queries {
     * (exact J >= 0.5 vs any base doc) and the intra-increment min-id
     * component resolution are recomputed closed-form by DuckDB from
     * exact Jaccard; LSH recall is pinned by DedupSpec (planted copies
-    * are exact dups — J = 1 collides in every band).
+    * are exact dups — J = 1 collides in every band). The planted-id
+    * band is defined WITHIN the ScaleUp key stride (`doc_id % 1e9 >=
+    * 1e7`, not `doc_id >= 1e7`) so replica-shifted 10x corpora
+    * classify planted docs correctly — at the driver SFs the two are
+    * identical (all ids < 1e7).
     */
   private def dedupIncrementQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -1121,7 +1125,8 @@ object Queries {
     increment.agg(count(lit(1)).as("n_increment"))
       .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
       .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
-        sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
+        sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
+          .otherwise(0L)).as("n_planted_alive")))
   }
 
   /** WARM-path incremental dedup (oracle-backed since the round-8
@@ -1163,7 +1168,8 @@ object Queries {
     increment.agg(count(lit(1)).as("n_increment"))
       .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
       .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
-        sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_planted_alive")))
+        sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
+          .otherwise(0L)).as("n_planted_alive")))
   }
 
   /** SimHash bucket histogram. ORACLE-BACKED since round 9: the
@@ -2724,7 +2730,7 @@ object Queries {
       SELECT (SELECT count(*) FROM inc) AS n_increment,
         (SELECT count(*) FROM planted) AS n_planted,
         (SELECT count(*) FROM surv) AS n_survivors,
-        (SELECT count(*) FROM surv WHERE doc_id >= 10000000)
+        (SELECT count(*) FROM surv WHERE doc_id % 1000000000 >= 10000000)
           AS n_planted_alive"""
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Replica-structure gates for sf1 (10x ScaleUp) runs, for entries whose
+DuckDB oracle is all-pairs and infeasible at 10x. ScaleUp's construction
+guarantees exact invariants, so these are equality gates, not smoke
+checks:
+
+ - keys shift by replica * 1e9 with zero cross-replica fan-out;
+ - documents.text is a bijective per-token renaming per replica, so
+   every shingle/minhash/winnow relation within a replica is EXACTLY
+   the 1x one and cross-replica Jaccard is 0;
+ - replica>0 embeddings are fresh noise, so replica-0 cosine structure
+   is EXACTLY the 1x one.
+
+Gates (per query, chosen by flag):
+  counts10x  — single-row count outputs must be exactly 10x the sf0.1
+               row, column by column (booleans must stay true).
+  shiftunion — pair/row outputs keyed by id columns must equal the
+               union over replicas r of the sf0.1 output with key
+               columns shifted by r*1e9 (works because near-dup
+               relations are replica-local by construction).
+  replica0   — the sf1 output restricted to all-key-columns < 1e9 must
+               equal the sf0.1 output exactly (for outputs where
+               replicas>0 may legitimately add rows, e.g. noise-level
+               cosine pairs in exact mining).
+
+Usage: sf1_invariant.py <sf01_outdir> <sf1_outdir> <gate> <query> [keycols...]
+"""
+import sys
+import duckdb
+
+STRIDE = 1_000_000_000
+REPLICAS = 10
+
+def fail(msg):
+    print(f"FAIL {msg}")
+    sys.exit(1)
+
+def main():
+    base_dir, sf1_dir, gate, query = sys.argv[1:5]
+    keycols = sys.argv[5:]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW b AS SELECT * FROM read_parquet('{base_dir}/{query}/*.parquet')")
+    con.execute(f"CREATE VIEW s AS SELECT * FROM read_parquet('{sf1_dir}/{query}/*.parquet')")
+    cols = [r[0] for r in con.execute("DESCRIBE b").fetchall()]
+
+    if gate == "counts10x":
+        brow = con.execute("SELECT * FROM b").fetchone()
+        srow = con.execute("SELECT * FROM s").fetchone()
+        if brow is None or srow is None:
+            fail(f"{query}: empty result (base={brow}, sf1={srow})")
+        for c, bv, sv in zip(cols, brow, srow):
+            if isinstance(bv, bool):
+                ok = bv is True and sv is True
+            elif isinstance(bv, (int,)):
+                ok = sv == bv * REPLICAS
+            else:
+                fail(f"{query}: column {c} is {type(bv).__name__}, counts10x needs int/bool")
+            if not ok:
+                fail(f"{query}: {c} sf0.1={bv} sf1={sv} (expected {'true' if isinstance(bv, bool) else bv * REPLICAS})")
+        print(f"pass {query}: counts10x ({', '.join(f'{c}={v}' for c, v in zip(cols, srow))})")
+
+    elif gate == "shiftunion":
+        if not keycols:
+            fail(f"{query}: shiftunion needs key columns")
+        shifted_cols = ", ".join(
+            f"{c} + r.r * {STRIDE} AS {c}" if c in keycols else c for c in cols)
+        con.execute(f"""CREATE VIEW expect AS
+            SELECT {shifted_cols} FROM b
+            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r""")
+        col_list = ", ".join(cols)
+        extra = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM s EXCEPT ALL SELECT {col_list} FROM expect)").fetchone()[0]
+        missing = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM expect EXCEPT ALL SELECT {col_list} FROM s)").fetchone()[0]
+        n = con.execute("SELECT count(*) FROM s").fetchone()[0]
+        if extra or missing:
+            fail(f"{query}: shiftunion mismatch: {extra} unexpected rows, {missing} missing rows (sf1 has {n})")
+        print(f"pass {query}: shiftunion ({n} rows == 10 shifted replicas of sf0.1)")
+
+    elif gate == "replica0":
+        if not keycols:
+            fail(f"{query}: replica0 needs key columns")
+        pred = " AND ".join(f"{c} < {STRIDE}" for c in keycols)
+        col_list = ", ".join(cols)
+        extra = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM s WHERE {pred} EXCEPT ALL SELECT {col_list} FROM b)").fetchone()[0]
+        missing = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM b EXCEPT ALL SELECT {col_list} FROM s WHERE {pred})").fetchone()[0]
+        n0 = con.execute(f"SELECT count(*) FROM s WHERE {pred}").fetchone()[0]
+        n = con.execute("SELECT count(*) FROM s").fetchone()[0]
+        if extra or missing:
+            fail(f"{query}: replica0 mismatch: {extra} unexpected rows, {missing} missing (replica0 has {n0})")
+        print(f"pass {query}: replica0 ({n0} replica-0 rows == sf0.1; {n} total at sf1)")
+
+    else:
+        fail(f"unknown gate {gate}")
+
+if __name__ == "__main__":
+    main()
