@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.ScaleUp
+
+/** Pins the invariants `ScaleUp` (the 10x scale-run corpus generator)
+  * promises in its scaladoc — the sf1 correctness gates in
+  * `tools/sf1_invariant.py` are only as strong as these constructions,
+  * and both were violated by earlier drafts (a trailing suffix token
+  * left cross-replica Jaccard at ~1; see BASELINE.md round 10):
+  *
+  *  - keys shift by replica * KeyStride with referential integrity
+  *    (every replicated lineitem still matches exactly one order);
+  *  - fixed dims (region/nation) are verbatim, not replicated;
+  *  - the text perturbation is a BIJECTIVE per-token renaming:
+  *    within-replica shingle Jaccard between any two docs is exactly
+  *    the replica-0 value, cross-replica token sets are disjoint;
+  *  - `n_chars == length(text)` survives the rewrite;
+  *  - replica-0 embeddings are verbatim; replica>0 are redrawn with
+  *    nonzero norms.
+  *
+  * Runs at sf0.001 with K=3 into a scratch dir (never /root/testdata).
+  */
+class ScaleUpSpec extends SparkSpec {
+
+  private val K = 3
+  private val out = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_scaleup_spec").toString
+
+  private lazy val generated: Unit =
+    ScaleUp.scaleAll(spark, "/root/testdata/sf0.001", out, K)
+
+  private def t(name: String) = { generated; spark.read.parquet(s"$out/$name.parquet") }
+  private def src(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+
+  test("row counts are K x and fixed dims verbatim") {
+    assert(t("lineitem").count() === src("lineitem").count() * K)
+    assert(t("documents").count() === src("documents").count() * K)
+    assert(t("region").count() === src("region").count())
+    assert(t("nation").exceptAll(src("nation")).isEmpty &&
+      src("nation").exceptAll(t("nation")).isEmpty)
+  }
+
+  test("key shifting preserves referential integrity across replicas") {
+    val orphans = t("lineitem").join(t("orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(orphans === 0L)
+    // and the per-replica join cardinality equals the 1x one: zero
+    // cross-replica fan-out by construction
+    val perReplica = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_orderkey") / ScaleUp.KeyStride).cast("long").as("r"))
+      .count().collect().map(_.getLong(1)).toSeq
+    assert(perReplica.size === K && perReplica.distinct.size === 1)
+  }
+
+  test("text rewrite is bijective per replica: within-replica Jaccard exact, cross-replica zero") {
+    val toks = t("documents").select(col("doc_id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+    def jacc(a: String, b: String) = {
+      val inter = size(array_intersect(col(s"$a.tk"), col(s"$b.tk"))).cast("double")
+      inter / (size(col(s"$a.tk")) + size(col(s"$b.tk")) - inter)
+    }
+    // cross-replica: the SAME source doc in different replicas shares
+    // zero tokens — the construction that keeps near-dup groups
+    // replica-local
+    val cross = toks.as("x").join(toks.as("y"),
+        col("x.doc_id") % ScaleUp.KeyStride === col("y.doc_id") % ScaleUp.KeyStride &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(jacc("x", "y").as("j"))
+      .agg(max(col("j"))).head().getDouble(0)
+    assert(cross === 0.0)
+    // within-replica: every pairwise Jaccard among the first 40 docs of
+    // replica K-1 equals the replica-0 value exactly (bijection)
+    def pairs(rep: Long) = toks
+      .filter(col("doc_id") >= rep * ScaleUp.KeyStride &&
+        col("doc_id") < rep * ScaleUp.KeyStride + 40)
+      .as("x").join(toks.as("y"),
+        col("x.doc_id") % ScaleUp.KeyStride < col("y.doc_id") % ScaleUp.KeyStride &&
+        col("y.doc_id") >= rep * ScaleUp.KeyStride &&
+        col("y.doc_id") < rep * ScaleUp.KeyStride + 40)
+      .select((col("x.doc_id") % ScaleUp.KeyStride).as("a"),
+        (col("y.doc_id") % ScaleUp.KeyStride).as("b"),
+        round(jacc("x", "y"), 6).as("j"))
+    assert(pairs(K - 1L).exceptAll(pairs(0L)).isEmpty &&
+      pairs(0L).exceptAll(pairs(K - 1L)).isEmpty)
+  }
+
+  test("n_chars invariant and embedding norms survive the rewrite") {
+    assert(t("documents")
+      .filter(col("n_chars") =!= length(col("text"))).count() === 0L)
+    val e = t("embeddings")
+    assert(e.count() === src("embeddings").count() * K)
+    // replica 0 verbatim
+    assert(e.filter(col("vec_id") < ScaleUp.KeyStride)
+      .exceptAll(src("embeddings")).isEmpty)
+    // replicas > 0: redrawn, nonzero norm (cosine stays defined)
+    val minNorm = e.filter(col("vec_id") >= ScaleUp.KeyStride)
+      .select(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x).as("n2"))
+      .agg(min(col("n2"))).head().getDouble(0)
+    assert(minNorm > 0.0)
+  }
+}
