@@ -4,9 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions must scale with the DATA, not the cores: at
+    // sf0.1, cores-many partitions are right (driver contract), but a
+    // 100x corpus at 32 partitions puts ~2M rows in every join/agg
+    // task and exhausts the heap. Scale runs pass SPARK_GRAFT_SHUFFLE
+    // (e.g. 256 at sf10) — the local stand-in for the per-job sizing a
+    // real cluster does; AQE coalesces small post-shuffle partitions
+    // back down, so oversizing is cheap.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,6 +34,14 @@ object Bench {
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (mode == "count") { df.count(); () }
       else df.write.format("noop").mode("overwrite").save()
+      // Entries are self-contained plans; anything still persisted
+      // after the sink (fixpoint pins, localCheckpoint blocks) is
+      // debris that a per-job cluster application would never carry.
+      // In this one-JVM marathon it accumulates until the context
+      // cleaner OOMs (seen at sf10, ~90 entries in), so drop it the
+      // way job teardown would.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // Deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order shifts as entries are added).

@@ -23,13 +23,16 @@ Gates (per query, chosen by flag):
                replicas>0 may legitimately add rows, e.g. noise-level
                cosine pairs in exact mining).
 
-Usage: sf1_invariant.py <sf01_outdir> <sf1_outdir> <gate> <query> [keycols...]
+Usage: sf1_invariant.py <sf01_outdir> <sfN_outdir> <gate> <query> [keycols...]
+Set GRAFT_REPLICAS for corpora other than the default 10x (e.g. 100
+for an sf10 run).
 """
+import os
 import sys
 import duckdb
 
 STRIDE = 1_000_000_000
-REPLICAS = 10
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "10"))
 
 def fail(msg):
     print(f"FAIL {msg}")
