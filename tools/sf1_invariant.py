@@ -18,6 +18,15 @@ Gates (per query, chosen by flag):
                union over replicas r of the sf0.1 output with key
                columns shifted by r*1e9 (works because near-dup
                relations are replica-local by construction).
+  shiftsubset— probabilistic variant for LSH-recall operators: ZERO
+               rows outside the shifted-union expectation (precision
+               exactly 1), and missing rows bounded by
+               GRAFT_RECALL_FLOOR (default 0.999) — per-replica token
+               renaming re-rolls the shingle hashes, so band
+               collisions are independent draws per replica and
+               borderline-Jaccard pairs miss occasionally (measured:
+               3 of 25,600 at 100 replicas, all three the corpus-
+               minimum J=0.80 pair).
   replica0   — the sf1 output restricted to all-key-columns < 1e9 must
                equal the sf0.1 output exactly (for outputs where
                replicas>0 may legitimately add rows, e.g. noise-level
@@ -77,6 +86,26 @@ def main():
         if extra or missing:
             fail(f"{query}: shiftunion mismatch: {extra} unexpected rows, {missing} missing rows (sf1 has {n})")
         print(f"pass {query}: shiftunion ({n} rows == 10 shifted replicas of sf0.1)")
+
+    elif gate == "shiftsubset":
+        if not keycols:
+            fail(f"{query}: shiftsubset needs key columns")
+        floor = float(os.environ.get("GRAFT_RECALL_FLOOR", "0.999"))
+        shifted_cols = ", ".join(
+            f"{c} + r.r * {STRIDE} AS {c}" if c in keycols else c for c in cols)
+        con.execute(f"""CREATE VIEW expect AS
+            SELECT {shifted_cols} FROM b
+            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r""")
+        col_list = ", ".join(cols)
+        extra = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM s EXCEPT ALL SELECT {col_list} FROM expect)").fetchone()[0]
+        missing = con.execute(f"SELECT count(*) FROM (SELECT {col_list} FROM expect EXCEPT ALL SELECT {col_list} FROM s)").fetchone()[0]
+        total = con.execute("SELECT count(*) FROM expect").fetchone()[0]
+        recall = (total - missing) / total if total else 1.0
+        if extra:
+            fail(f"{query}: shiftsubset PRECISION break: {extra} rows outside the expected set")
+        if recall < floor:
+            fail(f"{query}: shiftsubset recall {recall:.6f} < floor {floor}")
+        print(f"pass {query}: shiftsubset (precision exact; recall {recall:.6f} = {total - missing}/{total}, floor {floor})")
 
     elif gate == "replica0":
         if not keycols:
