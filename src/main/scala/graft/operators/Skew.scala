@@ -51,6 +51,12 @@ object Skew {
   /** Salted broadcast-side replication for a skewed join: explode the
     * small side over the salt domain so the big side can salt its key
     * and still hash-join. Exact join semantics for equi-joins.
+    *
+    * SCALE CAVEAT: this replicates the ENTIRE small side `salts`×. At
+    * 100 TB a 15M-row dimension becomes salts×15M shuffle rows — the
+    * measured sf10 offender (22× wall, SMJ spill). Unless the whole
+    * dimension really is hot, use [[hotKeySaltedJoin]], which
+    * replicates only |hot keys| rows.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int): DataFrame = {
@@ -62,5 +68,49 @@ object Skew {
       saltedBig(bigKey) === replicatedSmall(smallKey) &&
         saltedBig("__salt") === replicatedSmall("__salt"))
       .drop("__salt")
+  }
+
+  /** Misra-Gries heavy-key candidates of `big(bigKey)`: every key with
+    * frequency > N/(maxHot+1) is guaranteed present (superset — a few
+    * non-hot stragglers may ride along, which only costs their rows a
+    * harmless salt). One scan, map-side-combining, at most `maxHot`
+    * strings returned to the driver — bounded regardless of data size.
+    */
+  def hotKeys(big: DataFrame, bigKey: String, maxHot: Int): Seq[String] = {
+    import org.apache.spark.sql.graft.FreqSketchApi
+    big.select(FreqSketchApi.misra_gries(col(bigKey).cast("string"), maxHot)
+        .as("__hot"))
+      .head().getSeq[String](0)
+  }
+
+  /** Hot-key-only salted join: salt ONLY the keys a one-pass
+    * Misra-Gries sketch flags as heavy; everything else takes the
+    * plain equi-join (where AQE remains free to act). Exact inner
+    * equi-join semantics — the hot/cold split partitions the big
+    * side's key space, each branch joins exactly its keys, and the
+    * union is the full match set (null big keys fall to the cold
+    * branch and match nothing, as in the plain join).
+    *
+    * Versus [[saltedJoin]]: small-side replication drops from
+    * |small|×salts to |small rows on hot keys|×salts ≤ maxHot×salts
+    * per distinct key — at sf10 that is ~512 rows instead of 120M.
+    * The price is re-scanning the big side per branch (a pruned
+    * parquet scan, cheap next to the avoided replicated shuffle);
+    * callers holding `big` in memory can persist it first.
+    */
+  def hotKeySaltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int, maxHot: Int = 64): DataFrame = {
+    val hot = hotKeys(big, bigKey, maxHot)
+    if (hot.isEmpty) {
+      big.join(small, big(bigKey) === small(smallKey))
+    } else {
+      val isHotBig = col(bigKey).cast("string").isin(hot: _*)
+      val isHotSmall = col(smallKey).cast("string").isin(hot: _*)
+      val hotSide = saltedJoin(big.filter(isHotBig), small.filter(isHotSmall),
+        bigKey, smallKey, salts)
+      val bigCold = big.filter(!coalesce(isHotBig, lit(false)))
+      val coldSide = bigCold.join(small, bigCold(bigKey) === small(smallKey))
+      coldSide.unionByName(hotSide)
+    }
   }
 }

@@ -495,16 +495,19 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Salt-replicated join (the hot-key shape AQE can't always split):
-    * big side salts its key, small side replicates over the salt
-    * domain — exact equi-join semantics, so the oracle is the plain
-    * join.
+  /** Hot-key-only salted join (the skew shape AQE can't always
+    * split): a Misra-Gries pass flags heavy l_orderkeys, ONLY those
+    * rows salt (and only the matching orders replicate, |hot|×salts
+    * rows instead of |orders|×salts — the full-replication plan cost
+    * 22× wall at sf10 from dim-replication spill); the uniform tail
+    * takes the plain join. Exact equi-join semantics, so the oracle
+    * is the plain join.
     */
   private def q44SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Skew
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-    Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+    Skew.hotKeySaltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("o_orderpriority"))

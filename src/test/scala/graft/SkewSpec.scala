@@ -77,6 +77,44 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("hotKeySaltedJoin: equals the full-salt join, flags the hot key, bounds dim replication") {
+    // the Misra-Gries pass must surface the 50%-hot key 7
+    val hot = Skew.hotKeys(hotFact, "k", maxHot = 16)
+    assert(hot.contains("7"), s"hot-key sketch missed key 7: $hot")
+    assert(hot.size <= 16)
+
+    // exact: identical row set to the full-replication salted join
+    val full = Skew.saltedJoin(hotFact, dim, "k", "dk", salts = 8)
+      .select(col("k"), col("v"), col("pad"), col("dname"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+      .toSet
+    val hotOnly = Skew.hotKeySaltedJoin(hotFact, dim, "k", "dk", salts = 8,
+        maxHot = 16)
+      .select(col("k"), col("v"), col("pad"), col("dname"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(hotOnly == full && full.size == 50000)
+
+    // null big keys fall to the cold branch and match nothing — same
+    // as the plain inner join
+    val withNull = hotFact.unionByName(spark.range(5L).select(
+      lit(null).cast("long").as("k"), lit(0.0).as("v"), lit("x").as("pad")))
+    val gotNull = Skew.hotKeySaltedJoin(withNull, dim, "k", "dk", salts = 4,
+        maxHot = 16)
+      .count()
+    assert(gotNull == 50000L)
+
+    // the design term the full salt pays: dim replication. Hot-key
+    // salting replicates |hot-key dim rows|*salts, not |dim|*salts.
+    val replicatedFull = dim.count() * 8
+    val replicatedHot = dim.filter(col("dk").cast("string").isin(hot: _*))
+      .count() * 8
+    assert(replicatedHot <= 16L * 8 && replicatedHot < replicatedFull,
+      s"hot replication $replicatedHot vs full $replicatedFull")
+  }
+
   test("skewed aggregation: AQE does not split groupBy keys — saltedSum is exact") {
     // OptimizeSkewedJoin rewrites only join partitions; a 50%-hot
     // groupBy key still serializes on one reducer no matter what AQE
