@@ -108,19 +108,32 @@ object Main {
     val stats = result.stats
     println(s"Wrote ${stats("patients")} phenopacket files to $outDir")
 
-    val allIssues = result.issues
-      .orderBy("sheet", "step", "message")
-      .collect().map(r => (r.getAs[String]("level"), r.getAs[String]("message")))
-    val errors = allIssues.collect { case ("error", msg) => msg }
-    val warnings = allIssues.collect { case ("warning", msg) => msg }
-    if (errors.nonEmpty) {
-      println("Errors found in mapping:")
-      errors.foreach(e => println(s"- $e"))
+    // Bounded issues render: a pathological corpus (every row bad)
+    // yields an issues DF the size of the input — never pull that onto
+    // the driver. Exact per-level counts come from a distributed
+    // aggregate (tiny result); only the first `cap` messages per level
+    // are fetched, with an "and N more" line carrying the exact
+    // remainder — same discipline as writeNumberedJson's
+    // graft.maxNumberedFiles fail-fast.
+    val issueCap = sys.props.get("graft.maxRenderedIssues").map(_.toInt)
+      .getOrElse(50)
+    val issueCounts = result.issues.groupBy("level").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def renderIssues(level: String, header: String, plural: String): Unit = {
+      val n = issueCounts.getOrElse(level, 0L)
+      if (n > 0) {
+        println(header)
+        result.issues.filter(col("level") === level)
+          .orderBy("sheet", "step", "message")
+          .limit(issueCap)
+          .collect().foreach(r => println(s"- ${r.getAs[String]("message")}"))
+        if (n > issueCap)
+          println(s"- … and ${n - issueCap} more $plural " +
+            s"(cap graft.maxRenderedIssues=$issueCap)")
+      }
     }
-    if (warnings.nonEmpty) {
-      println("Warnings found in mapping:")
-      warnings.foreach(w => println(s"- $w"))
-    }
+    renderIssues("error", "Errors found in mapping:", "errors")
+    renderIssues("warning", "Warnings found in mapping:", "warnings")
 
     println(s"Created ${stats("genotypes")} Genotype objects")
     println(s"Created ${stats("phenotypes")} Phenotype objects")

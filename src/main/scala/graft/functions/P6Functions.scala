@@ -32,6 +32,17 @@ object P6Functions {
   /** Robust boolean parse with Python-truthiness fallback
     * (ref: src/P6/mapper.py:218-235). Truthy {1,true,t,yes,y}; falsy
     * {0,false,f,no,n,"",null}; anything else -> non-empty => true.
+    *
+    * CONTRACT: the engine's input model is STRING-CELL semantics
+    * (every workbook cell arrives as a string; the reference's pandas
+    * path reads the same sheets as object/str columns). A TYPED
+    * numeric fed directly — e.g. `lit(0.0)` — casts to the string
+    * "0.0", which is not in the falsy set and is non-empty, so it
+    * parses TRUE, whereas Python `bool(0.0)` is False. That input is
+    * unreachable through workbook ingest on either engine; a future
+    * typed ingest that wants Python numeric truthiness must cast
+    * numerics to boolean BEFORE calling this (PropertySpec pins the
+    * divergence so it can't land silently).
     */
   def toBoolLike(c: Column): Column = {
     val s = lower(trim(c.cast("string")))

@@ -160,6 +160,30 @@ class CliSpec extends SparkSpec {
     assert(body == golden)
   }
 
+  test("parse-excel: issues render is capped, remainder reported with exact count") {
+    // 10 NAD rows -> 10 warning issues; with graft.maxRenderedIssues=3
+    // the render must print exactly 3 messages plus an "and 7 more"
+    // line — never collect the full issues DF onto the driver
+    val dir = Files.createTempDirectory("clicap")
+    val wb = dir.resolve("wb.xlsx")
+    val hpo = dir.resolve("hp.json")
+    val manyNad = Seq(Seq("Patient ID", "HPO: Term", "Timestamp", "Status")) ++
+      (1 to 10).map(_ => Seq("P100", "NAD", "T1", "1"))
+    writeXlsx(wb, Seq("Variants" -> genotypeRows, "HPO" -> manyNad))
+    writeHpoJson(hpo)
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    sys.props("graft.maxRenderedIssues") = "3"
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--excel-path" -> wb.toString, "--custom-hpo" -> hpo.toString))
+    } finally { sys.props -= "graft.cwd"; sys.props -= "graft.maxRenderedIssues" }
+    assert(out.contains("Warnings found in mapping:"))
+    val nadLines = out.linesIterator.count(_.contains("'NAD' encountered"))
+    assert(nadLines == 3, s"expected 3 rendered NAD warnings, got $nadLines:\n$out")
+    assert(out.contains("and 7 more warnings"), out)
+  }
+
   test("parse-excel --legacy-names: files named by patient id, not 1.json..N.json") {
     val dir = Files.createTempDirectory("clilegacy")
     val wb = dir.resolve("wb.xlsx")

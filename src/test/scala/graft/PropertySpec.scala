@@ -72,6 +72,21 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("F2 contract pin: typed numeric 0.0 diverges from Python bool(0.0) by design") {
+    // string-cell semantics (the engine's input model): "0" is falsy,
+    // but a TYPED double 0.0 casts to the string "0.0" — outside the
+    // falsy set, non-empty, so TRUE — where Python bool(0.0) is False.
+    // Unreachable through workbook ingest (all-string cells on both
+    // engines); pinned here so a future typed ingest can't trip it
+    // silently (see the scaladoc on P6Functions.toBoolLike).
+    val out = Seq((0.0, "0"), (1.5, "1.5")).toDF("typed", "strcell")
+      .select(toBoolLike(col("typed")).as("bt"), toBoolLike(col("strcell")).as("bs"))
+      .collect()
+    assert(out(0).getBoolean(0) === true)   // typed 0.0 -> "0.0" -> true
+    assert(out(0).getBoolean(1) === false)  // string cell "0" -> false
+    assert(out(1).getBoolean(0) === true && out(1).getBoolean(1) === true)
+  }
+
   test("G1 explode cardinality = min(zygosity tokens, inheritance tokens)") {
     val zygTok = Gen.oneOf("het", "hom", "comphet", "hemi", "mosaic")
     val inhTok = Gen.oneOf("unknown", "inherited", "denovo")
