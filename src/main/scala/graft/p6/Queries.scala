@@ -2355,6 +2355,53 @@ object Queries {
     annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 6)
   }
 
+  /** Distributed multi-workbook ingest gate (S1 scale path): 8 xlsx
+    * workbooks synthesized deterministically from the `customer`
+    * parquet (bucket = c_custkey % 8), read back executor-side via
+    * `WorkbookSource.readWorkbooks` (binaryFile scan + per-file
+    * zip/XML parse), then aggregated per source file — so DuckDB can
+    * oracle the whole round trip from the same parquet. The fixture
+    * collect is bounded by the custkey filter (≤ 12001 rows at any
+    * SF); WorkbookFuzzSpec separately pins distributed == per-file
+    * loop and the corrupt-file degradation.
+    */
+  private def p6WorkbooksDistributed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{WorkbookFixtures, WorkbookSource}
+    import scala.jdk.CollectionConverters._
+    val buckets = 8
+    val rows = t(s, dir, "customer")
+      .filter(col("c_custkey") <= 12000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_wb_" + Integer.toHexString(dir.hashCode))
+    if (java.nio.file.Files.isDirectory(out)) {
+      val ls = java.nio.file.Files.list(out)
+      try ls.iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally ls.close()
+    }
+    java.nio.file.Files.createDirectories(out)
+    (0 until buckets).foreach { b =>
+      val grid = Seq(Seq("Customer ID", "Name", "Segment")) ++
+        rows.filter(_._1 % buckets == b)
+          .map(r => Seq(r._1.toString, r._2, r._3))
+      WorkbookFixtures.writeXlsx(out.resolve(s"wb$b.xlsx"),
+        Seq("Customers" -> grid))
+    }
+    val corpus = WorkbookSource.readWorkbooks(s, out.toString)
+    corpus.sheets("customers")
+      .groupBy(regexp_extract(col("source_file"), "wb(\\d+)\\.xlsx", 1)
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("customer_id").cast("bigint")).as("sum_key"),
+        min(col("name")).as("min_name"),
+        max(col("segment")).as("max_segment"))
+      .orderBy(col("bucket"))
+  }
+
   // ================================================================
   // Registry
   // ================================================================
@@ -2474,7 +2521,8 @@ object Queries {
     "duplicate_spans" -> (duplicateSpansQuery _),
     "media_dedup" -> (mediaDedup _),
     "quality_cutoff" -> (qualityCutoff _),
-    "funnel_depth" -> (funnelDepth _))
+    "funnel_depth" -> (funnelDepth _),
+    "p6_workbooks_distributed" -> (p6WorkbooksDistributed _))
 
   /** Shared closed-form for the cold and warm incremental-dedup
     * entries (identical outputs by construction — DedupSpec pins warm
@@ -4019,5 +4067,13 @@ object Queries {
           count(*) AS n_users
         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                LEFT JOIN p USING (user_id)
+        GROUP BY 1 ORDER BY 1""",
+    "p6_workbooks_distributed" ->
+      """SELECT CAST(c_custkey % 8 AS INT) AS bucket,
+        count(*) AS n,
+        CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        min(c_name) AS min_name,
+        max(c_mktsegment) AS max_segment
+        FROM customer WHERE c_custkey <= 12000
         GROUP BY 1 ORDER BY 1""")
 }

@@ -56,9 +56,45 @@ object WorkbookSource {
           throw new IllegalArgumentException(
             s"$path: not a readable xlsx (zip open failed: ${e.getMessage})")
       }
+    try parseWorkbook(path,
+      name => Option(zip.getEntry(name)).map(zip.getInputStream))
+    finally zip.close()
+  }
+
+  /** Bytes variant of [[readRaw]] for executor-side ingest (the
+    * binaryFile rows of [[readWorkbooks]] carry content, not a local
+    * path). Same malformed-input contract, `label` names the source in
+    * errors. Entries load eagerly into a map — a workbook's parts are
+    * materialized as grids immediately after anyway, so the peak is
+    * the same order as the streaming read.
+    */
+  def readRawBytes(label: String, bytes: Array[Byte]): Map[String, Seq[Seq[String]]] = {
+    val entries = mutable.Map.empty[String, Array[Byte]]
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
     try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) entries(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } catch {
+      case ex: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"$label: not a readable xlsx (zip read failed: ${ex.getMessage})")
+    } finally zin.close()
+    if (entries.isEmpty)
+      throw new IllegalArgumentException(s"$label: not a readable xlsx (empty zip)")
+    parseWorkbook(label,
+      name => entries.get(name).map(new java.io.ByteArrayInputStream(_)))
+  }
+
+  /** Shared workbook-parsing core over an entry-stream lookup. */
+  private def parseWorkbook(path: String,
+      open: String => Option[java.io.InputStream]): Map[String, Seq[Seq[String]]] = {
+    {
       def parse(entryName: String): Option[Element] =
-        Option(zip.getEntry(entryName)).map { e =>
+        open(entryName).map { in =>
           // Workbooks are untrusted input: disallow DTDs and external
           // entities outright (XXE / billion-laughs hardening) — OOXML
           // sheet parts never legitimately carry either.
@@ -69,14 +105,14 @@ object WorkbookSource {
           dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
           dbf.setXIncludeAware(false)
           dbf.setExpandEntityReferences(false)
-          try dbf.newDocumentBuilder().parse(zip.getInputStream(e)).getDocumentElement
+          try dbf.newDocumentBuilder().parse(in).getDocumentElement
           catch {
             case ex @ (_: org.xml.sax.SAXException | _: java.io.IOException) =>
               // a part that EXISTS but does not parse is broken data a
               // clinician needs told about, not silently dropped rows
               throw new IllegalArgumentException(
                 s"$path!$entryName: malformed XML (${ex.getMessage})")
-          }
+          } finally in.close()
         }
 
       val shared: IndexedSeq[String] = parse("xl/sharedStrings.xml") match {
@@ -108,7 +144,7 @@ object WorkbookSource {
         val grid = parse(entry).map(readSheet(_, shared)).getOrElse(Seq.empty)
         name -> grid
       }.toMap
-    } finally zip.close()
+    }
   }
 
   private def elems(root: Element, tag: String): Seq[Element] = {
@@ -196,21 +232,145 @@ object WorkbookSource {
   /** Grid -> all-string DataFrame with normalized headers (P1+P2). */
   def toDataFrame(spark: SparkSession, grid: Seq[Seq[String]]): DataFrame = {
     if (grid.isEmpty) return spark.emptyDataFrame
+    val (names, dataRows) = normalizedGrid(grid)
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val rows = dataRows.map(r => Row.fromSeq(r.map(v => if (v.isEmpty) null else v)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Shared header pipeline for the driver and executor ingest paths:
+    * pad to max width, blank headers -> `_cN`, positional raw-name
+    * dedup (Spark rejects dup cols), then P1 normalize + P2 alias
+    * rename, then a second positional dedup so post-normalize
+    * collisions ("A b" vs "A_b") stay unique. Returns (final column
+    * names, data rows padded to width).
+    */
+  private[graft] def normalizedGrid(grid: Seq[Seq[String]]): (Seq[String], Seq[Seq[String]]) = {
+    import graft.functions.P6Functions
     val width = grid.map(_.length).max
     val pad = grid.map(r => r.padTo(width, ""))
     val header = pad.head.zipWithIndex.map { case (h, i) =>
       if (h.trim.isEmpty) s"_c$i" else h
     }
-    // de-duplicate normalized names positionally (Spark rejects dup cols)
-    val seen = mutable.Map.empty[String, Int]
-    val names = header.map { h =>
-      val n = seen.getOrElse(h, 0)
-      seen(h) = n + 1
-      if (n == 0) h else s"${h}_$n"
+    def dedup(xs: Seq[String]): Seq[String] = {
+      val seen = mutable.Map.empty[String, Int]
+      xs.map { h =>
+        val n = seen.getOrElse(h, 0)
+        seen(h) = n + 1
+        if (n == 0) h else s"${h}_$n"
+      }
     }
-    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
-    val rows = pad.tail.map(r => Row.fromSeq(r.map(v => if (v.isEmpty) null else v)))
-    val df = spark.createDataFrame(rows.asJava, schema)
-    Normalize.normalizeHeaders(df)
+    val normalized = dedup(header)
+      .map(P6Functions.normalizeHeaderName)
+      .map(c => P6Functions.renameMap.getOrElse(c, c))
+    (dedup(normalized), pad.tail)
+  }
+
+  /** Sheet-name -> logical kind via the P4 alias table; unmatched
+    * names keep their (trimmed, lowercased) own name so no sheet is
+    * silently dropped from the distributed scan.
+    */
+  private[graft] def sheetKind(name: String): String = {
+    val n = name.trim.toLowerCase
+    Normalize.sheetAliases.collectFirst {
+      case (k, aliases) if aliases.contains(n) => k
+    }.getOrElse(n)
+  }
+
+  /** Distributed multi-workbook ingest: the 100 TB path S1's
+    * driver-side single-workbook read cannot cover. A real clinical
+    * corpus is millions of small workbooks — `binaryFile` distributes
+    * the FILES across executors, each partition runs the same zip/XML
+    * parser per file ([[readRawBytes]] + [[normalizedGrid]], identical
+    * semantics to the per-file loop — WorkbookFuzzSpec pins equality),
+    * and the result is one union'd DataFrame per logical sheet kind
+    * with `source_file` + `row_idx` appended after the sheet's own
+    * columns (so the "column 0 = patient-ID index" convention
+    * survives for the mappers).
+    *
+    * Column union across heterogeneous files: the widest header
+    * variant (ties broken lexicographically) fixes the base order;
+    * columns only other variants carry append sorted. Rows missing a
+    * column read null, like a per-file union with allowMissingColumns.
+    *
+    * A file that fails to parse degrades to ONE issues row naming the
+    * file (source_file, step, level, message) — never a job abort; the
+    * per-row damage contract inside a parseable file is [[readRaw]]'s.
+    *
+    * The parsed scan is persisted MEMORY_AND_DISK (the per-kind frames
+    * and issues all derive from it — without the persist each action
+    * would re-read and re-parse every workbook); callers owning the
+    * lifecycle unpersist via [[WorkbookCorpus.raw]].
+    */
+  def readWorkbooks(spark: SparkSession, dir: String): WorkbookCorpus = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val parsed = bin.mapPartitions { it =>
+      it.flatMap { case (path, content) =>
+        try {
+          readRawBytes(path, content).toSeq.sortBy(_._1).iterator.flatMap {
+            case (sheetName, grid) if grid.nonEmpty =>
+              val (names, dataRows) = normalizedGrid(grid)
+              val kind = sheetKind(sheetName)
+              dataRows.iterator.zipWithIndex.map { case (cells, i) =>
+                // empty cells are OMITTED from the map — getItem on a
+                // missing key reads null, matching toDataFrame's
+                // empty->null convention
+                WorkbookScanRow(path, kind, sheetName, i.toLong, names,
+                  names.zip(cells).collect {
+                    case (n, v) if v.nonEmpty => n -> v
+                  }.toMap, null)
+              }
+            case _ => Iterator.empty
+          }
+        } catch {
+          case e: IllegalArgumentException =>
+            Iterator.single(WorkbookScanRow(path, null, null, -1L, Nil,
+              Map.empty, e.getMessage))
+        }
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val issues = parsed.filter(col("error").isNotNull)
+      .select(col("source_file"), lit("ingest-workbook").as("step"),
+        lit("error").as("level"), col("error").as("message"))
+
+    // distinct header VARIANTS per kind — bounded by schema diversity
+    // (a handful of layouts), not by file count
+    val headerVariants = parsed.filter(col("error").isNull)
+      .select(col("kind"), col("header")).distinct()
+      .as[(String, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    val sheets = headerVariants.map { case (kind, variants) =>
+      val ordered = variants.sortBy(v => (-v.length, v.mkString(" ")))
+      val base = ordered.head
+      val extras = ordered.flatten.distinct.filterNot(base.contains).sorted
+      val cols = base ++ extras
+      kind -> parsed.filter(col("error").isNull && col("kind") === kind)
+        .select(cols.map(c => col("cells").getItem(c).as(c)) ++
+          Seq(col("source_file"), col("row_idx")): _*)
+    }
+    WorkbookCorpus(sheets.toMap, issues, parsed.toDF())
   }
 }
+
+/** One parsed data row (or one file-level failure, `error` non-null)
+  * from [[WorkbookSource.readWorkbooks]]'s executor-side scan.
+  */
+final case class WorkbookScanRow(source_file: String, kind: String,
+    sheet: String, row_idx: Long, header: Seq[String],
+    cells: Map[String, String], error: String)
+
+/** Result of the distributed multi-workbook scan: one DataFrame per
+  * logical sheet kind, the corrupt-file issues channel, and the
+  * persisted raw scan (unpersist when done).
+  */
+final case class WorkbookCorpus(sheets: Map[String, DataFrame],
+    issues: DataFrame, raw: DataFrame)

@@ -321,6 +321,57 @@ class WorkbookFuzzSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(p)
   }
 
+  test("readWorkbooks: distributed scan == per-file loop; corrupt file -> issues row, not abort") {
+    import graft.sources.WorkbookFixtures
+    val dir = java.nio.file.Files.createTempDirectory("wbcorpus")
+    val g1 = Seq(Seq("Patient ID", "Contact Email"),
+      Seq("P1", "a@x.org"), Seq("P2", ""))
+    val g2 = Seq(Seq("Patient ID", "Contact Email"), Seq("P3", "b@x.org"))
+    // heterogeneous layout: third file carries an extra column
+    val g3 = Seq(Seq("Patient ID", "Contact Email", "Phasing"),
+      Seq("P4", "c@x.org", "1"))
+    WorkbookFixtures.writeXlsx(dir.resolve("a.xlsx"), Seq("Variants" -> g1))
+    WorkbookFixtures.writeXlsx(dir.resolve("b.xlsx"),
+      Seq("Variants" -> g2, "Notes" -> Seq(Seq("id"), Seq("n1"))))
+    WorkbookFixtures.writeXlsx(dir.resolve("c.xlsx"), Seq("Variants" -> g3))
+    java.nio.file.Files.write(dir.resolve("bad.xlsx"),
+      "not a zip at all".getBytes("UTF-8"))
+
+    val corpus = WorkbookSource.readWorkbooks(spark, dir.toString)
+    try {
+      // the corrupt file degrades to exactly one issues row naming it;
+      // the scan itself completes
+      val iss = corpus.issues.collect()
+      assert(iss.length == 1 && iss(0).getAs[String]("source_file").endsWith("bad.xlsx"),
+        iss.mkString(";"))
+      assert(iss(0).getAs[String]("level") == "error")
+
+      // sheet-kind binding: Variants -> genotype alias, Notes keeps its name
+      assert(corpus.sheets.keySet == Set("genotype", "notes"))
+
+      // column union: widest header fixes base order, source_file +
+      // row_idx appended after the sheet's own columns
+      val geno = corpus.sheets("genotype")
+      assert(geno.columns.toSeq ==
+        Seq("patient_id", "contact_email", "phasing", "source_file", "row_idx"))
+
+      // distributed scan row-set == the driver-side per-file loop
+      val got = geno.collect().map(r => (
+        r.getAs[String]("source_file").split('/').last,
+        r.getAs[String]("patient_id"), r.getAs[String]("contact_email"),
+        r.getAs[String]("phasing"))).toSet
+      val want = Seq("a.xlsx", "b.xlsx", "c.xlsx").flatMap { f =>
+        val df = WorkbookSource.readWorkbook(spark, dir.resolve(f).toString)("Variants")
+        val hasPhasing = df.columns.contains("phasing")
+        df.collect().map { r =>
+          (f, r.getAs[String]("patient_id"), r.getAs[String]("contact_email"),
+            if (hasPhasing) r.getAs[String]("phasing") else null)
+        }
+      }.toSet
+      assert(got == want, s"distributed $got\nloop $want")
+    } finally corpus.raw.unpersist()
+  }
+
   test("fuzzed workbooks load as DataFrames: header row consumed, data rows preserved") {
     check(Prop.forAll(bookGen) { book =>
       val path = write(book)
