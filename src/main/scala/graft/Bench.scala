@@ -43,6 +43,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // CODE-FROZEN calibration probe: a pinned shuffle-agg over
+    // generated data — byte-identical work every round, every SF, no
+    // input dependence — timed FIRST and LAST in each batch. Cross-
+    // round comparisons divide per-query ratios by the calibration
+    // ratio (tools/round_compare.py) to cancel the ±16-25% box/session
+    // variance that has dominated round-over-round deltas since round
+    // 2. DO NOT change these constants — that resets the baseline.
+    def calibration(): Double = {
+      import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 100000 AS k", "(id % 97) * 1.0 AS v")
+        .groupBy("k")
+        .agg(fsum("v"), fcount("*"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order shifts as entries are added).
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration).
@@ -51,6 +68,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.take(1).foreach(run)
+    val calPre = calibration()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       def timed(): Double = {
@@ -67,13 +85,14 @@ object Bench {
       val first = timed()
       name -> (if (mode == "steady" && !errors.contains(name)) timed() else first)
     }
+    val calPost = calibration()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"post":$calPost},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver artifact keeps only the tail of stdout, which truncates
     // per-query timings once the registry is large; persist the full line
