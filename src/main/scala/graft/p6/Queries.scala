@@ -694,8 +694,12 @@ object Queries {
   private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val thr = 0.45
+    // localCheckpoint: the drops frame (≤ |dups| rows) feeds BOTH the
+    // validity recompute and the planted-recall join below — without
+    // the pin each consumer re-runs the k-means clustering upstream.
     val drops = Similarity.semDedup(t(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 8, refineIters = 2, threshold = thr)
+      .localCheckpoint()
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
     // round-then-filter like emb_neardup: the hashed boundary sits on a
     // 1e-4 grid, so engine ULP noise cannot flip membership. Norms are
@@ -729,10 +733,35 @@ object Queries {
             round(Similarity.cosine(col("kv"), col("dv")), 4) >= thr,
             1L).otherwise(0L)), lit(0L))
           .as("__n_verified"))
+    // Planted semantic dups (ScaleUp replicas > 0 plant (a, a+1) pairs
+    // with local a % 50 == 0 at cosine ≈ 0.989, intra-cluster by
+    // construction): recall over exactly this enumerable set is the
+    // scale-meaningful recall — the global ≥10% floor drowns in dim-64
+    // noise pairs at 10×+ (BASELINE.md round 10). Zero planted pairs
+    // at driver SFs ⇒ vacuous-true on both engine and oracle;
+    // tools/sf1_invariant.py asserts n_planted_pairs > 0 AND
+    // planted_recall_ok at scale, so the floor binds at every SF.
+    val stride = 1000000000L
+    val embIds = t(s, dir, "embeddings").select(col("vec_id"))
+    val plantedA = embIds.select(col("vec_id").as("a"))
+      .filter(col("a") >= stride && pmod(pmod(col("a"), lit(stride)), lit(50)) === 0)
+    val planted = plantedA.join(embIds.select(col("vec_id").as("b")),
+      col("b") === col("a") + lit(1L))
+    val dropped = drops.select(col("id")).distinct()
+    val plantedStats = planted
+      .join(dropped.select(col("id").as("a"), lit(1).as("__ca")), Seq("a"), "left")
+      .join(dropped.select(col("id").as("b"), lit(1).as("__cb")), Seq("b"), "left")
+      .agg(count(lit(1)).as("__n_planted"),
+        coalesce(sum(when(col("__ca").isNotNull || col("__cb").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("__n_caught"))
     globalStats.crossJoin(broadcast(dropStats))
+      .crossJoin(broadcast(plantedStats))
       .select(col("n_global_pairs"), col("n_global_dups"), col("max_global_cos"),
         (col("__n_verified") === col("__n_dropped")).as("drops_valid_ok"),
-        (col("__n_dropped") * 10 >= col("n_global_dups")).as("recall_ok"))
+        (col("__n_dropped") * 10 >= col("n_global_dups")).as("recall_ok"),
+        col("__n_planted").as("n_planted_pairs"),
+        (col("__n_planted") === 0 ||
+          col("__n_caught") * 10L >= col("__n_planted") * 7L).as("planted_recall_ok"))
   }
 
   /** Rollup (hierarchical super-aggregates). */
@@ -2741,7 +2770,12 @@ object Queries {
       SELECT CAST(count(*) AS BIGINT) AS n_global_pairs,
         CAST(count(DISTINCT b) AS BIGINT) AS n_global_dups,
         round(coalesce(max(cos), 0.0), 4) AS max_global_cos,
-        TRUE AS drops_valid_ok, TRUE AS recall_ok
+        TRUE AS drops_valid_ok, TRUE AS recall_ok,
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings x
+          JOIN embeddings y ON y.vec_id = x.vec_id + 1
+          WHERE x.vec_id >= 1000000000
+            AND (x.vec_id % 1000000000) % 50 = 0) AS n_planted_pairs,
+        TRUE AS planted_recall_ok
       FROM f"""
 
   private val IncrementOracleSql: String =

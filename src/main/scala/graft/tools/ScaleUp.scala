@@ -72,6 +72,22 @@ object ScaleUp {
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
 
+    // Replica-0 text is kept VERBATIM, so an original token that
+    // already matches the replica tag shape (z<digits>q...) would
+    // equal a renamed token of that replica and reconnect near-dup
+    // relations across replicas (renamed-vs-renamed is unambiguous —
+    // the first 'q' delimits the digit run — only replica 0 is
+    // exposed). Fail fast at generation time rather than corrupt the
+    // disjointness invariant silently.
+    if (replicas > 1) {
+      val bad = in("documents")
+        .filter(col("text").rlike("(^|\\s)z[0-9]+q")).count()
+      require(bad == 0L,
+        s"$bad base documents carry a token matching ^z\\d+q — replica-0 " +
+          "verbatim text would collide with renamed replica tokens and " +
+          "reconnect near-dup groups across replicas")
+    }
+
     // Fixed dimensions: verbatim copy.
     out(in("region"), "region", 1)
     out(in("nation"), "nation", 1)
@@ -102,9 +118,14 @@ object ScaleUp {
         when(col("__r") === 0L, col("text"))
           // Bijective per-replica token renaming (see scaladoc): the
           // tag is lowercase-alnum so lower()/\s+ tokenizers see one
-          // token where the original had one.
+          // token where the original had one. trim + empty-filter
+          // first: regex split keeps empty leading/trailing elements,
+          // and tagging those would mint bare "zNq" tokens that break
+          // the within-replica Jaccard bijection for edge-whitespace
+          // docs.
           .otherwise(array_join(
-            transform(split(col("text"), "\\s+"),
+            transform(
+              filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
               t => concat(lit("z"), col("__r").cast("string"), lit("q"), t)),
             " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -115,19 +136,40 @@ object ScaleUp {
     // structure); later replicas drawn fresh via Box–Muller over
     // murmur3 of (vec_id, replica, dim) — deterministic, norm > 0
     // almost surely, cosine to any other vector at noise level.
+    //
+    // PLANTED SEMANTIC DUPS (round 11): within each replica > 0,
+    // every vector whose local id ≡ 1 (mod 50) becomes a PERTURBED
+    // COPY of its neighbor (local id - 1, same replica): partner noise
+    // + 0.15 × independent noise, cosine ≈ 0.989 ≫ any dedup
+    // threshold. This makes semantic-dedup recall MEASURABLE at
+    // scale: the planted pair set is exact and enumerable ((a, a+1)
+    // with a ≥ KeyStride, local a % 50 = 0), intra-cluster by
+    // construction (near-identical vectors share a nearest centroid),
+    // and grows linearly — unlike the dim-64 noise pairs at 3.6σ that
+    // drowned the global recall floor at sf1 (BASELINE.md round 10).
+    // The semdedup entry reports planted_recall over exactly this set
+    // and tools/sf1_invariant.py gates it at scale.
     val emb0 = in("embeddings")
     val dim = emb0.selectExpr("size(embedding) AS d").head().getInt(0)
+    // pmod (not abs): abs(Int.MinValue) stays negative and would feed
+    // ln a negative argument once per ~2^32 draws.
+    def gauss(id: String, s1: Int, s2: Int): String =
+      s"""sqrt(-2.0D * ln((CAST(pmod(hash($id, j, $s1), 2147483648L) AS DOUBLE) + 0.5D)
+                          / 2147483648.0D))
+          * cos(2.0D * pi() * (CAST(pmod(hash($id, j, $s2), 2147483648L) AS DOUBLE) + 0.5D)
+                          / 2147483648.0D)"""
     val embs = repl(emb0, Seq("vec_id"))
       .withColumn("embedding",
         when(col("__r") === 0L, col("embedding"))
+          .when(pmod(pmod(col("vec_id"), lit(KeyStride)), lit(50)) === 1,
+            expr(
+              s"""transform(sequence(0, $dim - 1), j -> CAST(
+                 ${gauss("vec_id - 1L", 7, 13)}
+                 + 0.15D * ${gauss("vec_id", 23, 31)}
+                 AS FLOAT))"""))
           .otherwise(expr(
-            // pmod (not abs): abs(Int.MinValue) stays negative and
-            // would feed ln a negative argument once per ~2^32 draws.
             s"""transform(sequence(0, $dim - 1), j -> CAST(
-               sqrt(-2.0D * ln((CAST(pmod(hash(vec_id, j, 7), 2147483648L) AS DOUBLE) + 0.5D)
-                               / 2147483648.0D))
-               * cos(2.0D * pi() * (CAST(pmod(hash(vec_id, j, 13), 2147483648L) AS DOUBLE) + 0.5D)
-                               / 2147483648.0D)
+               ${gauss("vec_id", 7, 13)}
                AS FLOAT))""")))
       .drop("__r")
     out(embs, "embeddings", 2)

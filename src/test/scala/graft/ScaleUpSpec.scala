@@ -88,6 +88,45 @@ class ScaleUpSpec extends SparkSpec {
       pairs(0L).exceptAll(pairs(K - 1L)).isEmpty)
   }
 
+  test("no bare replica tags and no replica-0 tag collisions") {
+    // bare "zNq" tokens would mean an empty token got tagged (edge
+    // whitespace through regex split — the trim+filter guard)
+    assert(t("documents")
+      .filter(col("text").rlike("(^|\\s)z[0-9]+q(\\s|$)")).count() === 0L)
+    // replica-0 text is verbatim: generation requires no base token
+    // matches the tag shape (else cross-replica disjointness breaks)
+    assert(t("documents").filter(col("doc_id") < ScaleUp.KeyStride)
+      .filter(col("text").rlike("(^|\\s)z[0-9]+q")).count() === 0L)
+  }
+
+  test("planted semantic dups: (a, a+1) pairs in replicas > 0 at cosine ~0.99, others at noise") {
+    val e = t("embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def cos = {
+      val dot = aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
+        lit(0.0d), (acc, z) => acc + z)
+      val nx = sqrt(aggregate(col("x.v"), lit(0.0d), (acc, z) => acc + z * z))
+      val ny = sqrt(aggregate(col("y.v"), lit(0.0d), (acc, z) => acc + z * z))
+      dot / (nx * ny)
+    }
+    // every planted pair: local a % 50 == 0, b = a + 1, replica > 0
+    val plantedCos = e.as("x").filter(col("x.vec_id") >= ScaleUp.KeyStride &&
+        pmod(pmod(col("x.vec_id"), lit(ScaleUp.KeyStride)), lit(50)) === 0)
+      .join(e.as("y"), col("y.vec_id") === col("x.vec_id") + 1)
+      .select(cos.as("c"))
+    val n = plantedCos.count()
+    assert(n >= 2 * (K - 1).toLong, s"expected planted pairs in each replica > 0, got $n")
+    val minPlanted = plantedCos.agg(min(col("c"))).head().getDouble(0)
+    assert(minPlanted > 0.9, s"planted pair cosine fell to $minPlanted")
+    // adjacent NON-planted pairs of the same replicas stay at noise
+    // level — the planting is surgical, not a corpus-wide shift
+    val noiseMax = e.as("x").filter(col("x.vec_id") >= ScaleUp.KeyStride &&
+        pmod(pmod(col("x.vec_id"), lit(ScaleUp.KeyStride)), lit(50)) === 5)
+      .join(e.as("y"), col("y.vec_id") === col("x.vec_id") + 1)
+      .select(cos.as("c")).agg(max(col("c"))).head().getDouble(0)
+    assert(noiseMax < 0.8, s"non-planted adjacent cosine at $noiseMax")
+  }
+
   test("n_chars invariant and embedding norms survive the rewrite") {
     assert(t("documents")
       .filter(col("n_chars") =!= length(col("text"))).count() === 0L)

@@ -9,7 +9,10 @@ checks:
    every shingle/minhash/winnow relation within a replica is EXACTLY
    the 1x one and cross-replica Jaccard is 0;
  - replica>0 embeddings are fresh noise, so replica-0 cosine structure
-   is EXACTLY the 1x one.
+   is EXACTLY the 1x one — EXCEPT the planted semantic dups: in each
+   replica > 0, local id a % 50 == 0 has (a, a+1) planted at cosine
+   ~0.989 (ScaleUp round 11), making semantic-dedup recall measurable
+   at scale.
 
 Gates (per query, chosen by flag):
   counts10x  — single-row count outputs must be exactly 10x the sf0.1
@@ -31,6 +34,15 @@ Gates (per query, chosen by flag):
                equal the sf0.1 output exactly (for outputs where
                replicas>0 may legitimately add rows, e.g. noise-level
                cosine pairs in exact mining).
+  semdedup   — the scale recall gate for the semdedup entry: its 1-row
+               summary must carry drops_valid_ok AND planted_recall_ok
+               true with n_planted_pairs > 0 and divisible by
+               (REPLICAS - 1) — i.e. the operator actually caught ≥70%
+               of the planted intra-cluster semantic dups at this SF,
+               no threshold games. (The global ≥10% recall_ok floor
+               legitimately drowns in dim-64 noise pairs at 10x+;
+               this gate is the one that binds.) Set
+               GRAFT_EXPECTED_PLANTED to also pin the exact count.
 
 Usage: sf1_invariant.py <sf01_outdir> <sfN_outdir> <gate> <query> [keycols...]
 Set GRAFT_REPLICAS for corpora other than the default 10x (e.g. 100
@@ -56,10 +68,14 @@ def main():
     cols = [r[0] for r in con.execute("DESCRIBE b").fetchall()]
 
     if gate == "counts10x":
-        brow = con.execute("SELECT * FROM b").fetchone()
-        srow = con.execute("SELECT * FROM s").fetchone()
-        if brow is None or srow is None:
-            fail(f"{query}: empty result (base={brow}, sf1={srow})")
+        brows = con.execute("SELECT * FROM b").fetchall()
+        srows = con.execute("SELECT * FROM s").fetchall()
+        # exactly one row per side — extra rows silently ignored by a
+        # fetchone() would let the gate pass on the wrong data
+        if len(brows) != 1 or len(srows) != 1:
+            fail(f"{query}: counts10x needs exactly one row per side "
+                 f"(base={len(brows)}, sf1={len(srows)})")
+        brow, srow = brows[0], srows[0]
         for c, bv, sv in zip(cols, brow, srow):
             if isinstance(bv, bool):
                 ok = bv is True and sv is True
@@ -85,7 +101,7 @@ def main():
         n = con.execute("SELECT count(*) FROM s").fetchone()[0]
         if extra or missing:
             fail(f"{query}: shiftunion mismatch: {extra} unexpected rows, {missing} missing rows (sf1 has {n})")
-        print(f"pass {query}: shiftunion ({n} rows == 10 shifted replicas of sf0.1)")
+        print(f"pass {query}: shiftunion ({n} rows == {REPLICAS} shifted replicas of sf0.1)")
 
     elif gate == "shiftsubset":
         if not keycols:
@@ -119,6 +135,32 @@ def main():
         if extra or missing:
             fail(f"{query}: replica0 mismatch: {extra} unexpected rows, {missing} missing (replica0 has {n0})")
         print(f"pass {query}: replica0 ({n0} replica-0 rows == sf0.1; {n} total at sf1)")
+
+    elif gate == "semdedup":
+        rows = con.execute("SELECT * FROM s").fetchall()
+        if len(rows) != 1:
+            fail(f"{query}: semdedup gate needs exactly one row, got {len(rows)}")
+        row = dict(zip(cols, rows[0]))
+        for c in ("drops_valid_ok", "planted_recall_ok", "n_planted_pairs"):
+            if c not in row:
+                fail(f"{query}: column {c} missing from the summary")
+        if row["drops_valid_ok"] is not True:
+            fail(f"{query}: drops_valid_ok={row['drops_valid_ok']}")
+        n_planted = row["n_planted_pairs"]
+        if n_planted <= 0:
+            fail(f"{query}: n_planted_pairs={n_planted} — the scaled corpus "
+                 "must carry planted dups (regenerate with round-11 ScaleUp)")
+        if REPLICAS > 1 and n_planted % (REPLICAS - 1) != 0:
+            fail(f"{query}: n_planted_pairs={n_planted} not divisible by "
+                 f"{REPLICAS - 1} replicas")
+        expected = os.environ.get("GRAFT_EXPECTED_PLANTED")
+        if expected is not None and n_planted != int(expected):
+            fail(f"{query}: n_planted_pairs={n_planted}, expected {expected}")
+        if row["planted_recall_ok"] is not True:
+            fail(f"{query}: planted_recall_ok=false — semdedup caught <70% "
+                 f"of the {n_planted} planted semantic dups")
+        print(f"pass {query}: semdedup (planted_recall_ok over "
+              f"{n_planted} planted pairs; drops_valid_ok)")
 
     else:
         fail(f"unknown gate {gate}")
