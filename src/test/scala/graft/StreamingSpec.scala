@@ -407,6 +407,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupEvents: stop + restart from checkpoint keeps the seen-id state — cross-gap duplicate still dropped") {
+    // The dropDuplicatesWithinWatermark state must survive a FULL
+    // query restart: the duplicate arrives while the query is DOWN and
+    // is processed only by the restarted query, so it can only be
+    // dropped if the seen-id store was restored from the checkpoint.
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def bts(m: Long) = new Timestamp(base + m * 60000L)
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toFile
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val stream = MemoryStream[Event]
+    def start() = EventStreams.dedupEvents(stream.toDF(), Seq("user_id"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    stream.addData(Event(1L, bts(0), "click", 1.0), Event(2L, bts(1), "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // duplicate user 1 + new user 3 land while the query is down
+    stream.addData(Event(1L, bts(5), "click", 9.0), Event(3L, bts(6), "view", 3.0))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"cross-restart dedup diverged: $got")
+    // batch twin across the same gap: plain dropDuplicates over the
+    // full input keeps one row per user with the first value
+    val batchUsers = EventStreams.dedupEvents(Seq(
+      Event(1L, bts(0), "click", 1.0), Event(2L, bts(1), "view", 2.0),
+      Event(1L, bts(5), "click", 9.0), Event(3L, bts(6), "view", 3.0)).toDF(),
+      Seq("user_id")).select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1) == batchUsers)
+  }
+
+  test("sessionWindows: stop + restart from checkpoint carries the open session — merged across the gap, matches batch") {
+    // The session_window aggregation state must survive a restart: the
+    // first two events of user 1's session are seen ONLY pre-restart,
+    // the in-gap third event ONLY post-restart. The emitted session
+    // has n_events=3 and the pre-restart start bound iff the open
+    // session was restored and extended, and must equal the batch twin
+    // over the full input.
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def bts(m: Long) = new Timestamp(base + m * 60000L)
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toFile
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val stream = MemoryStream[Event]
+    def start() = EventStreams.sessionWindows(stream.toDF())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val events = Seq(
+      Event(1L, bts(0), "click", 1.0), Event(1L, bts(10), "click", 1.0),
+      // post-restart: in-gap extension + a watermark pusher far past
+      // the session close (2h delay: watermark 400-120=280 > end 50)
+      Event(1L, bts(20), "click", 1.0), Event(9L, bts(400), "click", 1.0))
+    val q1 = start()
+    stream.addData(events(0), events(1))
+    q1.processAllAvailable(); q1.stop()
+    stream.addData(events(2), events(3))
+    val q2 = start()
+    q2.processAllAvailable()
+    // one more watermark nudge so the no-data batch that finalizes
+    // emission deterministically runs post-restart
+    stream.addData(Event(9L, bts(500), "click", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val user1 = got.filter(_._1 == 1L)
+    assert(user1 == Set((1L, bts(0), bts(50), 3L)),
+      s"restored session diverged: $got")
+    // batch twin on the full event set: the same user-1 session
+    val batch = EventStreams.sessionWindows(events.toDF())
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 == 1L).toSet
+    assert(batch == user1, s"batch twin $batch != streamed $user1")
+  }
+
   test("streaming near-dup pairs == batch simhash banding, planted cross-batch dups included") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
