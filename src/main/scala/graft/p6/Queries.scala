@@ -385,9 +385,17 @@ object Queries {
     val b = Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier")))
     val canon = Assemble.groupByPatient(g.records, p.records, d.records,
       m.records, b.records, canonical = true)
-    Assemble.phenopackets(canon)
+    // Sort the BUNDLES, then project: a global orderBy runs a range-
+    // partitioning sampling job that re-executes everything above the
+    // last exchange — with the sort placed after the Janino-heavy
+    // packet projection that doubled the whole projection (measured
+    // 111.6 s vs 51.0 s unsorted at 100x, BASELINE.md round 11).
+    // Sorting the bundle frame instead samples above the bundle agg's
+    // own exchange (reused, cheap) and the deterministic projection
+    // preserves the ordering, so rows come out identically ordered
+    // with the projection executed ONCE.
+    Assemble.phenopackets(canon.orderBy(col("patient_id")))
       .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
-      .orderBy(col("patient_id"))
   }
 
   /** Synthetic ontology over the part keys: term HP:%07d per key,
@@ -694,11 +702,23 @@ object Queries {
   private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val thr = 0.45
+    val emb = t(s, dir, "embeddings")
+    // SemDeDup operating point: ~sqrt(N) clusters of ~sqrt(N) members
+    // (verify cost ~N^1.5, distributed per-cluster). A FIXED nlist
+    // degrades at scale — at 20k vectors nlist=8 makes ~2.5k-member
+    // clusters that blow the pair cap, and cappedPairs star-degrades,
+    // silently missing the planted dups (caught by the round-11
+    // sf1_invariant semdedup gate). maxCluster scales with the
+    // intended cluster size (8x slack for k-means imbalance) so the
+    // star defense only fires on genuinely degenerate clusters.
+    val nVec = emb.count()
+    val rootN = math.max(8, math.ceil(math.sqrt(nVec.toDouble)).toInt)
     // localCheckpoint: the drops frame (≤ |dups| rows) feeds BOTH the
     // validity recompute and the planted-recall join below — without
     // the pin each consumer re-runs the k-means clustering upstream.
-    val drops = Similarity.semDedup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", nlist = 8, refineIters = 2, threshold = thr)
+    val drops = Similarity.semDedup(emb,
+      "vec_id", "embedding", nlist = rootN, refineIters = 2, threshold = thr,
+      maxCluster = math.max(graft.operators.Dedup.DefaultMaxBucket, 8 * rootN))
       .localCheckpoint()
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
     // round-then-filter like emb_neardup: the hashed boundary sits on a
