@@ -136,6 +136,18 @@ object PlanDump {
       sb ++= "spreads the hot key over 8 partial groups, the dim side\n"
       sb ++= "replicates over the salt domain:\n\n"
       sb ++= s"```\n${saltedPlan.trim}\n```\n"
+      val hotKey = graft.operators.Skew
+        .hotKeySaltedJoin(fact, dim, "k", "dk", salts = 8, maxHot = 16)
+        .select(col("k"), col("v"), col("pad"), col("dname"))
+      val hotKeyPlan =
+        hotKey.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb ++= "\nHot-key-only salting (round 11, the 100 TB default over the\n"
+      sb ++= "full salt): a one-pass Misra-Gries sketch flags heavy keys, ONLY\n"
+      sb ++= "those rows salt and only the matching dim rows replicate\n"
+      sb ++= "(|hot|x8, not |dim|x8 — the r10 sf10 spill term); the cold tail\n"
+      sb ++= "takes the plain join in the union's other branch, where AQE\n"
+      sb ++= "remains free to act:\n\n"
+      sb ++= s"```\n${hotKeyPlan.trim}\n```\n"
       sb.toString
     } finally prev.foreach {
       case (key, Some(v)) => spark.conf.set(key, v)
