@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.util.zip.ZipFile
 import javax.xml.parsers.DocumentBuilderFactory
 import org.w3c.dom.Element
@@ -88,6 +89,24 @@ object WorkbookSource {
     parseWorkbook(label,
       name => entries.get(name).map(new java.io.ByteArrayInputStream(_)))
   }
+
+  /** Extension dispatch for the distributed scan: xlsx → zip/XML
+    * parse (possibly many sheets); csv/tsv → one sheet named by the
+    * file's basename, parsed line-by-line with the same RFC-4180
+    * rules as [[readSheetDir]] (readAllLines splits on \n or \r\n,
+    * empty lines dropped).
+    */
+  private[graft] def parseAnyBytes(path: String,
+      content: Array[Byte]): Map[String, Seq[Seq[String]]] =
+    if (path.endsWith(".csv") || path.endsWith(".tsv")) {
+      val base = path.substring(path.lastIndexOf('/') + 1)
+      val name = base.replaceAll("\\.(csv|tsv)$", "")
+      val sep = if (path.endsWith(".tsv")) '\t' else ','
+      val grid = new String(content, StandardCharsets.UTF_8)
+        .split("\r\n|\n|\r", -1).toSeq
+        .filter(_.nonEmpty).map(l => parseDelimited(l, sep))
+      Map(name -> grid)
+    } else readRawBytes(path, content)
 
   /** Shared workbook-parsing core over an entry-stream lookup. */
   private def parseWorkbook(path: String,
@@ -306,15 +325,23 @@ object WorkbookSource {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
-      .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    // xlsx workbooks AND bare .csv/.tsv sheet files (the distributed
+    // counterpart of readSheetDir — a csv file is one sheet named by
+    // its basename, same RFC-4180 parse); per-glob scans prune at
+    // listing time, so junk files in the corpus dir are never read
+    val bin = Seq("*.xlsx", "*.csv", "*.tsv")
+      .map { glob =>
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", glob)
+          .load(dir)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+      }
+      .reduce(_ union _)
     val parsed = bin.mapPartitions { it =>
       it.flatMap { case (path, content) =>
         try {
-          readRawBytes(path, content).toSeq.sortBy(_._1).iterator.flatMap {
+          parseAnyBytes(path, content).toSeq.sortBy(_._1).iterator.flatMap {
             case (sheetName, grid) if grid.nonEmpty =>
               val (names, dataRows) = normalizedGrid(grid)
               val kind = sheetKind(sheetName)

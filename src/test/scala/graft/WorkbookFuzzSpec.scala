@@ -336,6 +336,16 @@ class WorkbookFuzzSpec extends SparkSpec {
     WorkbookFixtures.writeXlsx(dir.resolve("c.xlsx"), Seq("Variants" -> g3))
     java.nio.file.Files.write(dir.resolve("bad.xlsx"),
       "not a zip at all".getBytes("UTF-8"))
+    // bare delimited sheet files join the same corpus: a csv Variants
+    // sheet (RFC-4180 quoting) and a tsv one — basename = sheet name,
+    // so both land in the genotype kind
+    java.nio.file.Files.write(dir.resolve("variants.csv"),
+      "Patient ID,Contact Email\nP5,\"d,quoted@x.org\"\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("variants.tsv"),
+      "Patient ID\tContact Email\nP6\te@x.org\n".getBytes("UTF-8"))
+    // a file the globs must never read
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "ignore me".getBytes("UTF-8"))
 
     val corpus = WorkbookSource.readWorkbooks(spark, dir.toString)
     try {
@@ -355,7 +365,8 @@ class WorkbookFuzzSpec extends SparkSpec {
       assert(geno.columns.toSeq ==
         Seq("patient_id", "contact_email", "phasing", "source_file", "row_idx"))
 
-      // distributed scan row-set == the driver-side per-file loop
+      // distributed scan row-set == the driver-side per-file loop,
+      // csv/tsv rows included (RFC-4180 quoting preserved)
       val got = geno.collect().map(r => (
         r.getAs[String]("source_file").split('/').last,
         r.getAs[String]("patient_id"), r.getAs[String]("contact_email"),
@@ -367,7 +378,9 @@ class WorkbookFuzzSpec extends SparkSpec {
           (f, r.getAs[String]("patient_id"), r.getAs[String]("contact_email"),
             if (hasPhasing) r.getAs[String]("phasing") else null)
         }
-      }.toSet
+      }.toSet ++ Set(
+        ("variants.csv", "P5", "d,quoted@x.org", null),
+        ("variants.tsv", "P6", "e@x.org", null))
       assert(got == want, s"distributed $got\nloop $want")
     } finally corpus.raw.unpersist()
   }
