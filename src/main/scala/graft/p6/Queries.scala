@@ -2451,6 +2451,43 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Scaffold-free semantic-dedup gate: the [[semDedupQuery]] twin
+    * WITHOUT the exact all-pairs oracle scaffold, so the OPERATOR is
+    * runnable and gated at 100x where the scaffold's quadratic pair
+    * space excludes the full entry. Every output column is linear to
+    * compute: vector count, the enumerable planted-pair set (ScaleUp
+    * replicas > 0), and the ≥70% planted-recall contract — DuckDB
+    * recomputes the counts exactly and the contract boolean is
+    * asserted TRUE (vacuous at driver SFs with no planted ids, same
+    * convention as the recall contracts).
+    */
+  private def semDedupPlanted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    val nVec = emb.count()
+    val rootN = math.max(8, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    val drops = Similarity.semDedup(emb,
+      "vec_id", "embedding", nlist = rootN, refineIters = 2, threshold = 0.45,
+      maxCluster = math.max(graft.operators.Dedup.DefaultMaxBucket, 8 * rootN))
+      .localCheckpoint()
+    val stride = 1000000000L
+    val embIds = emb.select(col("vec_id"))
+    val planted = embIds.select(col("vec_id").as("a"))
+      .filter(col("a") >= stride && pmod(pmod(col("a"), lit(stride)), lit(50)) === 0)
+      .join(embIds.select(col("vec_id").as("b")), col("b") === col("a") + lit(1L))
+    val dropped = drops.select(col("id")).distinct()
+    planted
+      .join(dropped.select(col("id").as("a"), lit(1).as("__ca")), Seq("a"), "left")
+      .join(dropped.select(col("id").as("b"), lit(1).as("__cb")), Seq("b"), "left")
+      .agg(count(lit(1)).as("__n_planted"),
+        coalesce(sum(when(col("__ca").isNotNull || col("__cb").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("__n_caught"))
+      .select(lit(nVec).as("n_vectors"),
+        col("__n_planted").as("n_planted_pairs"),
+        (col("__n_planted") === 0 ||
+          col("__n_caught") * 10L >= col("__n_planted") * 7L).as("planted_recall_ok"))
+  }
+
   // ================================================================
   // Registry
   // ================================================================
@@ -2571,7 +2608,8 @@ object Queries {
     "media_dedup" -> (mediaDedup _),
     "quality_cutoff" -> (qualityCutoff _),
     "funnel_depth" -> (funnelDepth _),
-    "p6_workbooks_distributed" -> (p6WorkbooksDistributed _))
+    "p6_workbooks_distributed" -> (p6WorkbooksDistributed _),
+    "semdedup_planted" -> (semDedupPlanted _))
 
   /** Shared closed-form for the cold and warm incremental-dedup
     * entries (identical outputs by construction — DedupSpec pins warm
@@ -4129,5 +4167,13 @@ object Queries {
         min(c_name) AS min_name,
         max(c_mktsegment) AS max_segment
         FROM customer WHERE c_custkey <= 12000
-        GROUP BY 1 ORDER BY 1""")
+        GROUP BY 1 ORDER BY 1""",
+    "semdedup_planted" ->
+      """SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings x
+          JOIN embeddings y ON y.vec_id = x.vec_id + 1
+          WHERE x.vec_id >= 1000000000
+            AND (x.vec_id % 1000000000) % 50 = 0) AS n_planted_pairs,
+        TRUE AS planted_recall_ok""")
 }

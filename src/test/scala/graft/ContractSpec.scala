@@ -49,7 +49,8 @@ class ContractSpec extends AnyFunSuite {
       "dedup_corpus", "dedup_increment", "dedup_increment_warm",
       "approx_distinct", "approx_percentiles",
       "ann_lsh_topk", "ann_ivf_topk",
-      "emb_neardup", "simhash_neardup_pairs", "semdedup")
+      "emb_neardup", "simhash_neardup_pairs", "semdedup",
+      "semdedup_planted")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name

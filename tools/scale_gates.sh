@@ -21,7 +21,7 @@ gen() { # dir replicas
 }
 
 if [ ! -d "$SF01_OUT/semdedup" ]; then
-  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,p6_workbooks_distributed \
+  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
     sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $SF01_OUT"
 fi
 
@@ -29,7 +29,7 @@ if [ "$MODE" = "sf1" ]; then
   gen /root/repo/target/scale/sf1 10
   S=target/scale/verify_sf1_r11
   SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,p6_workbooks_distributed \
+    SPARK_GRAFT_ONLY=q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
     sbt -batch -mem 40960 "runMain graft.Verify target/scale/sf1 $S"
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -38,24 +38,28 @@ if [ "$MODE" = "sf1" ]; then
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" replica0 exact_cosine_pairs a b
   GRAFT_EXPECTED_PLANTED=360 \
     python3 tools/sf1_invariant.py "$SF01_OUT" "$S" semdedup semdedup
+  GRAFT_EXPECTED_PLANTED=360 \
+    python3 tools/sf1_invariant.py "$SF01_OUT" "$S" semdedup semdedup_planted
   # linear DuckDB oracles only — the all-pairs ones are gated above
   python3 tools/check.py target/scale/sf1 "$S" \
     q44_salted_join p6_issue_channel bpe_token_stats winnow_fingerprint \
     duplicate_spans ann_ivf_batch_topk ann_lsh_batch_topk ann_ivf_append \
-    p6_workbooks_distributed p6_phenopacket_json
+    p6_workbooks_distributed p6_phenopacket_json semdedup_planted
 else
   gen /root/repo/target/scale/sf10 100
   S=target/scale/verify_sf10_r11
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,corpus_funnel \
+    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,corpus_funnel,semdedup_planted \
     sbt -batch -mem 49152 "runMain graft.Verify target/scale/sf10 $S"
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment_warm
   GRAFT_RECALL_FLOOR=0.999 GRAFT_REPLICAS=100 \
     python3 tools/sf1_invariant.py "$SF01_OUT" "$S" shiftsubset minhash_neardup a b
+  GRAFT_REPLICAS=100 GRAFT_EXPECTED_PLANTED=3960 \
+    python3 tools/sf1_invariant.py "$SF01_OUT" "$S" semdedup semdedup_planted
   python3 tools/check.py target/scale/sf10 "$S" \
     p6_workbooks_distributed p6_issue_channel chunk_dedup corpus_funnel \
-    bpe_token_stats winnow_fingerprint duplicate_spans
+    bpe_token_stats winnow_fingerprint duplicate_spans semdedup_planted
 fi
 echo "ALL $MODE GATES GREEN"

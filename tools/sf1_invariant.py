@@ -141,10 +141,12 @@ def main():
         if len(rows) != 1:
             fail(f"{query}: semdedup gate needs exactly one row, got {len(rows)}")
         row = dict(zip(cols, rows[0]))
-        for c in ("drops_valid_ok", "planted_recall_ok", "n_planted_pairs"):
+        for c in ("planted_recall_ok", "n_planted_pairs"):
             if c not in row:
                 fail(f"{query}: column {c} missing from the summary")
-        if row["drops_valid_ok"] is not True:
+        # the scaffold-free twin (semdedup_planted) has no exact-oracle
+        # drops verification; require it only when the column exists
+        if "drops_valid_ok" in row and row["drops_valid_ok"] is not True:
             fail(f"{query}: drops_valid_ok={row['drops_valid_ok']}")
         n_planted = row["n_planted_pairs"]
         if n_planted <= 0:
@@ -159,8 +161,9 @@ def main():
         if row["planted_recall_ok"] is not True:
             fail(f"{query}: planted_recall_ok=false — semdedup caught <70% "
                  f"of the {n_planted} planted semantic dups")
+        extra = "; drops_valid_ok" if "drops_valid_ok" in row else ""
         print(f"pass {query}: semdedup (planted_recall_ok over "
-              f"{n_planted} planted pairs; drops_valid_ok)")
+              f"{n_planted} planted pairs{extra})")
 
     else:
         fail(f"unknown gate {gate}")
