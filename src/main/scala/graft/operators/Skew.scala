@@ -100,6 +100,18 @@ object Skew {
     */
   def hotKeySaltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int, maxHot: Int = 64): DataFrame = {
+    // The hot/cold partition is computed on STRING renderings of the
+    // keys while the joins compare native values. Those two notions of
+    // equality only coincide when the key types are identical (long 7
+    // vs double 7.0 render "7" vs "7.0" but join-match after implicit
+    // cast — the string filter would silently drop those pairs). Fail
+    // fast rather than be approximately exact.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"hotKeySaltedJoin requires identical key types for exactness: " +
+        s"$bigKey is $bigType but $smallKey is $smallType — cast one side " +
+        "to the other's type before calling")
     val hot = hotKeys(big, bigKey, maxHot)
     if (hot.isEmpty) {
       big.join(small, big(bigKey) === small(smallKey))

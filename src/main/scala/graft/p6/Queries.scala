@@ -2413,6 +2413,16 @@ object Queries {
     * collect is bounded by the custkey filter (≤ 12001 rows at any
     * SF); WorkbookFuzzSpec separately pins distributed == per-file
     * loop and the corrupt-file degradation.
+    *
+    * FIXTURE LOCALITY: the fixtures are written to driver-local
+    * tmpdir, so this ENTRY (not the operator) requires a filesystem
+    * shared between driver and executors — true for local[N] and
+    * local-cluster[...] (same box), NOT for a multi-node cluster.
+    * There, point `readWorkbooks` at a shared path (HDFS/S3/NFS); the
+    * operator itself is location-agnostic (any Hadoop-FS URI). The
+    * fixture dir is keyed on a full SHA-256 of the data dir so two
+    * concurrent gates over different dirs can never collide and
+    * delete each other's files mid-write.
     */
   private def p6WorkbooksDistributed(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{WorkbookFixtures, WorkbookSource}
@@ -2424,9 +2434,10 @@ object Queries {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_wb_" + Integer.toHexString(dir.hashCode))
+      System.getProperty("java.io.tmpdir"), "graft_wb_" + sha)
     if (java.nio.file.Files.isDirectory(out)) {
       val ls = java.nio.file.Files.list(out)
       try ls.iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -58,8 +58,43 @@ object WorkbookSource {
             s"$path: not a readable xlsx (zip open failed: ${e.getMessage})")
       }
     try parseWorkbook(path,
-      name => Option(zip.getEntry(name)).map(zip.getInputStream))
+      name => Option(zip.getEntry(name)).map { e =>
+        // Same decompression bound as the bytes path: this is the
+        // driver-side read of an untrusted user file.
+        new java.io.ByteArrayInputStream(
+          readBounded(zip.getInputStream(e), MaxInflatedEntryBytes, path,
+            s"zip entry $name"))
+      })
     finally zip.close()
+  }
+
+  /** Decompression-bomb bounds for untrusted workbook bytes: a crafted
+    * (or pathologically corrupt) zip that inflates to gigabytes must
+    * degrade to the same IllegalArgumentException → issues-row path as
+    * any other malformed file, not OOM an executor and abort the job.
+    * 64 MiB per part / 256 MiB per workbook dwarf any real xlsx part
+    * while staying far under executor task memory.
+    */
+  private[sources] val MaxInflatedEntryBytes: Long = 64L * 1024 * 1024
+  private[sources] val MaxInflatedTotalBytes: Long = 256L * 1024 * 1024
+
+  /** Read `in` fully, failing once `cap` inflated bytes are exceeded
+    * (bounded loop — never trusts the zip header's claimed size).
+    */
+  private def readBounded(in: java.io.InputStream, cap: Long, label: String,
+      what: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap)
+        throw new IllegalArgumentException(
+          s"$label: $what inflates past $cap bytes — refusing oversized " +
+            "(possible decompression bomb) workbook")
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Bytes variant of [[readRaw]] for executor-side ingest (the
@@ -67,16 +102,27 @@ object WorkbookSource {
     * path). Same malformed-input contract, `label` names the source in
     * errors. Entries load eagerly into a map — a workbook's parts are
     * materialized as grids immediately after anyway, so the peak is
-    * the same order as the streaming read.
+    * the same order as the streaming read — bounded by the
+    * decompression caps above.
     */
   def readRawBytes(label: String, bytes: Array[Byte]): Map[String, Seq[Seq[String]]] = {
     val entries = mutable.Map.empty[String, Array[Byte]]
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
+      var total = 0L
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) entries(e.getName) = zin.readAllBytes()
+        if (!e.isDirectory) {
+          val part = readBounded(zin, MaxInflatedEntryBytes, label,
+            s"zip entry ${e.getName}")
+          total += part.length
+          if (total > MaxInflatedTotalBytes)
+            throw new IllegalArgumentException(
+              s"$label: workbook inflates past $MaxInflatedTotalBytes bytes " +
+                "total — refusing oversized (possible decompression bomb) workbook")
+          entries(e.getName) = part
+        }
         e = zin.getNextEntry
       }
     } catch {
@@ -376,7 +422,7 @@ object WorkbookSource {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
     val sheets = headerVariants.map { case (kind, variants) =>
-      val ordered = variants.sortBy(v => (-v.length, v.mkString(" ")))
+      val ordered = variants.sortBy(v => (-v.length, v.mkString("\u0000")))
       val base = ordered.head
       val extras = ordered.flatten.distinct.filterNot(base.contains).sorted
       val cols = base ++ extras

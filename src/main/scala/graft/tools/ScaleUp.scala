@@ -77,11 +77,13 @@ object ScaleUp {
     // equal a renamed token of that replica and reconnect near-dup
     // relations across replicas (renamed-vs-renamed is unambiguous —
     // the first 'q' delimits the digit run — only replica 0 is
-    // exposed). Fail fast at generation time rather than corrupt the
+    // exposed). (?i): downstream tokenizers lower() the text, so an
+    // uppercase "Z1qfoo" collides just the same after lowercasing.
+    // Fail fast at generation time rather than corrupt the
     // disjointness invariant silently.
     if (replicas > 1) {
       val bad = in("documents")
-        .filter(col("text").rlike("(^|\\s)z[0-9]+q")).count()
+        .filter(col("text").rlike("(?i)(^|\\s)z[0-9]+q")).count()
       require(bad == 0L,
         s"$bad base documents carry a token matching ^z\\d+q — replica-0 " +
           "verbatim text would collide with renamed replica tokens and " +

@@ -288,6 +288,74 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("ExistingRDD") && !s.contains("Window"), s.take(1200))
   }
 
+  test("plan hygiene, whole registry: no unbounded BroadcastNestedLoopJoin outside documented scaffolds") {
+    // The cartesian sweep above misses BNLJ, and BNLJ is how Spark
+    // physically plans BOTH the benign scalar crossJoins (1-row
+    // aggregate broadcast — linear, ubiquitous here) AND the
+    // quadratic all-pairs non-equi oracle scaffolds. Split them
+    // structurally: a BNLJ whose BUILD side subtree provably yields
+    // bounded rows (grouping-free aggregate, or a global limit) costs
+    // O(stream); a data-sized build side is O(n·m) and must be one of
+    // the explicitly quadratic-by-contract scaffold entries below.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val quadraticByContract: Set[String] = Set(
+      // ANN recall contracts: the brute-force EXACT side nested-loops
+      // a literal-filter-bounded query set against the corpus —
+      // O(|queries|·N), linear in the corpus by design, but the bound
+      // lives in a predicate the structural check can't prove:
+      "ann_batch_topk", "ann_cosine_topk", "ann_ivf_topk",
+      "ann_ivf_append", "ann_ivf_warm", "ann_lsh_topk",
+      "ann_quantized_topk", "knn_classify",
+      // exact all-pairs scaffolds, quadratic by contract over a
+      // literal-capped doc set (ngram: doc_id < 200) or the cluster-
+      // bounded semdedup oracle (subquadratic twin: semdedup_planted):
+      "ngram_jaccard_hist", "semdedup")
+    def boundedRows(p: SparkPlan): Boolean = p.exists {
+      case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+      case _: GlobalLimitExec         => true
+      case _: LocalLimitExec          => true
+      case _                          => false
+    }
+    val offenders = Queries.all.keys.toSeq.sorted.filter { name =>
+      val p = Queries.all(name)(spark, sfDir).queryExecution.sparkPlan
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          j.buildSide match {
+            case BuildLeft  => j.left
+            case BuildRight => j.right
+          }
+      }.exists(build => !boundedRows(build))
+    }.toSet
+    // Exact set equality both ways: a NEW unbounded BNLJ fails loudly,
+    // and a stale allowlist entry (scaffold refactored away) fails too.
+    assert(offenders == quadraticByContract,
+      s"unbounded-BNLJ entries changed.\n" +
+        s"new (add to QUERIES.md + allowlist ONLY if quadratic-by-contract): " +
+        s"${(offenders -- quadraticByContract).toSeq.sorted.mkString(", ")}\n" +
+        s"stale (remove from allowlist): " +
+        s"${(quadraticByContract -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("p6_phenopacket_json: output rows arrive globally sorted by patient_id") {
+    // The entry sorts the BUNDLE frame and relies on the packet
+    // projection preserving order — an implementation property of the
+    // current narrow plan, not a Spark contract. If a future change
+    // re-introduces a shuffle inside Assemble.phenopackets, the ORDER
+    // BY oracle comparison would silently break; this pins it loudly.
+    val ids = Queries.all("p6_phenopacket_json")(spark, sfDir)
+      .select("patient_id").collect().map(_.getString(0))
+    assert(ids.nonEmpty)
+    assert(ids.sameElements(ids.sorted),
+      "p6_phenopacket_json output is no longer sorted by patient_id — " +
+        "the projection stopped preserving the bundle-frame sort")
+  }
+
   test("media_decode: per-partition codec batch is a MapPartitions sandwich over a doc_id-only scan") {
     val s = plan("media_decode")
     assert(s.contains("MapPartitions"), s.take(1200))
