@@ -12,8 +12,9 @@ object Bench {
     // real cluster does; AQE coalesces small post-shuffle partitions
     // back down, so oversizing is cheap.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[...] benches over real multi-JVM
+    // executors (see ExecMode); default stays local[cpus].
+    val spark = ExecMode.builder()
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,8 +11,10 @@ object Verify {
     // verifying against 10x/100x corpora (default stays cores-many
     // for the driver contract at sf0.01).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,2048] runs the same gate
+    // over real multi-JVM executors (see ExecMode) — the serialization
+    // coverage local[N] cannot give.
+    val spark = ExecMode.builder()
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

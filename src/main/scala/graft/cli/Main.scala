@@ -12,6 +12,11 @@ import graft.sources.WorkbookSource
   *
   *   parse-excel -e <xlsx> [-hpo <hp.json>] [--strict-variants] [--verbose]
   *               [--legacy-names]
+  *   parse-excel --dir <corpusDir> [same flags] — distributed ingest of a
+  *               DIRECTORY of workbooks (xlsx/csv/tsv) via
+  *               WorkbookSource.readWorkbooks; a corrupt file degrades to
+  *               an error issue naming it (exit stays 0); an ingest that
+  *               yields NO readable workbook exits 1
   *   audit-excel -e <xlsx> [-r|--report-json]
   *   download [-d <dir>] [-v <tag>]
   *
@@ -63,10 +68,23 @@ object Main {
     s
   }
 
+  /** Nonzero-exit that stays testable: the in-process test drive
+    * (graft.keep-session) throws instead of killing the suite JVM; the
+    * real CLI exits with `code`.
+    */
+  private def exitOrThrow(code: Int, msg: String): Nothing = {
+    System.err.println(msg)
+    if (sys.props.contains("graft.keep-session"))
+      throw new IllegalStateException(msg)
+    sys.exit(code)
+  }
+
   // ---------------------------------------------------------------- 3.1
   def parseExcel(o: Map[String, String]): Unit = {
-    val excel = o.getOrElse("--excel-path",
-      { System.err.println("parse-excel: -e/--excel-path is required"); sys.exit(2) })
+    if (o.contains("--excel-path") == o.contains("--dir"))
+      exitOrThrow(2, "parse-excel: exactly one of -e/--excel-path (single " +
+        "workbook) or --dir (workbook corpus) is required")
+    val excel = o.getOrElse("--excel-path", o("--dir"))
     val strict = o.contains("--strict-variants")
     // Resolve against graft.cwd exactly like the output dir below: the
     // default tests/data/hp.json must not silently depend on the process
@@ -76,7 +94,22 @@ object Main {
       .resolve(o.getOrElse("--custom-hpo", "tests/data/hp.json"))
 
     val spark = session()
-    val tables = readInput(spark, excel).toSeq.sortBy(_._1)
+    // --dir: distributed corpus ingest (S1 scale path) through the SAME
+    // mapper/issues/stats pipeline as the single-workbook read. Corrupt
+    // files arrive as ingest issues (rendered below under "Errors");
+    // only an ingest with NOTHING readable refuses.
+    val corpus = if (o.contains("--dir"))
+      Some(WorkbookSource.readWorkbooks(spark, excel)) else None
+    corpus.foreach { c =>
+      if (c.sheets.isEmpty) {
+        val nBad = c.issues.count()
+        exitOrThrow(1, if (nBad > 0)
+          s"parse-excel --dir: all $nBad workbook files in $excel failed to parse"
+        else s"parse-excel --dir: no workbook files (*.xlsx/*.csv/*.tsv) in $excel")
+      }
+    }
+    val tables = corpus.map(_.sheets.toSeq.sortBy(_._1))
+      .getOrElse(readInput(spark, excel).toSeq.sortBy(_._1))
 
     if (o.contains("--verbose"))
       Audit.preprocess(tables).foreach { e =>
@@ -92,7 +125,15 @@ object Main {
       } else None
 
     val mapper: TableMapper = new DefaultMapper(ontology, strict)
-    val result = mapper.applyMapping(spark, tables.toMap)
+    val mapped = mapper.applyMapping(spark, tables.toMap)
+    // Corrupt-file ingest issues join the mapping issues channel (the
+    // file path takes the `sheet` slot) so one render covers both.
+    val result = corpus match {
+      case Some(c) => mapped.copy(issues = mapped.issues.unionByName(
+        c.issues.withColumnRenamed("source_file", "sheet")
+          .select(col("sheet"), col("step"), col("level"), col("message"))))
+      case None => mapped
+    }
     val bundles = result.bundles
     val packets = Assemble.phenopackets(bundles)
 
@@ -139,6 +180,7 @@ object Main {
     println(s"Created ${stats("phenotypes")} Phenotype objects")
     require(nWritten == stats("patients"),
       s"wrote $nWritten packets but counted ${stats("patients")} patients")
+    corpus.foreach(_.raw.unpersist(false))
     maybeStop(spark)
   }
 

@@ -248,6 +248,54 @@ class CliSpec extends SparkSpec {
     assert(out.contains("Created 1 Genotype objects"))
   }
 
+  test("parse-excel --dir: multi-workbook corpus through the same pipeline; corrupt file -> error issue, not abort") {
+    val dir = Files.createTempDirectory("cliCorpus")
+    val corpus = Files.createDirectory(dir.resolve("corpus"))
+    def patientRows(id: String) = (
+      genotypeRows.head +: genotypeRows.tail.map(r => id +: r.tail),
+      phenotypeRows.head +: phenotypeRows.tail.map(r => id +: r.tail))
+    val (g1, p1) = patientRows("P100")
+    val (g2, p2) = patientRows("P200")
+    writeXlsx(corpus.resolve("a.xlsx"), Seq("Variants" -> g1, "HPO" -> p1))
+    writeXlsx(corpus.resolve("b.xlsx"), Seq("Variants" -> g2, "HPO" -> p2))
+    Files.write(corpus.resolve("broken.xlsx"),
+      "definitely not a zip".getBytes(StandardCharsets.UTF_8))
+    val hpo = dir.resolve("hp.json")
+    writeHpoJson(hpo)
+    sys.props("graft.keep-session") = "1"
+    sys.props("graft.cwd") = dir.toString
+    val out = try stdoutOf {
+      graft.cli.Main.parseExcel(Map(
+        "--dir" -> corpus.toString, "--custom-hpo" -> hpo.toString))
+    } finally { sys.props -= "graft.cwd" }
+    // both parseable workbooks mapped; the corrupt one degrades to a
+    // rendered error NAMING the file, and the command still completes
+    // (exit-0 policy: partial corruption never kills a corpus ingest)
+    assert(out.contains("Wrote 2 phenopacket files to "))
+    assert(out.contains("Created 2 Genotype objects"))
+    assert(out.contains("Errors found in mapping:"))
+    assert(out.contains("broken.xlsx"))
+    assert(out.contains("not a readable xlsx"))
+
+    // NOTHING readable -> nonzero exit (IllegalStateException stands in
+    // for exit(1) under the in-process test drive)
+    val allBad = Files.createDirectory(dir.resolve("allbad"))
+    Files.write(allBad.resolve("junk.xlsx"),
+      "also not a zip".getBytes(StandardCharsets.UTF_8))
+    sys.props("graft.cwd") = dir.toString
+    val e = try intercept[IllegalStateException] {
+      graft.cli.Main.parseExcel(Map(
+        "--dir" -> allBad.toString, "--custom-hpo" -> hpo.toString))
+    } finally { sys.props -= "graft.cwd" }
+    assert(e.getMessage.contains("all 1 workbook files"))
+
+    // and -e XOR --dir is enforced
+    val e2 = intercept[IllegalStateException] {
+      graft.cli.Main.parseExcel(Map.empty)
+    }
+    assert(e2.getMessage.contains("exactly one of"))
+  }
+
   test("fromObographs: deprecated flag + IAO:0100001 replacement ids (J2 alt_term_ids)") {
     val dir = Files.createTempDirectory("obo")
     val hpo = dir.resolve("hp.json")

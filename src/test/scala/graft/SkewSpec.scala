@@ -115,6 +115,16 @@ class SkewSpec extends SparkSpec {
       s"hot replication $replicatedHot vs full $replicatedFull")
   }
 
+  test("hotKeySaltedJoin: mismatched key types are refused (string-cast hot filter vs native join equality)") {
+    // long 7 and double 7.0 join-match after implicit cast but render
+    // "7" vs "7.0" — the hot filter would silently drop those pairs,
+    // so the API fails fast instead.
+    val doubleDim = dim.select(col("dk").cast("double").as("dk"), col("dname"))
+    val e = intercept[IllegalArgumentException](
+      Skew.hotKeySaltedJoin(hotFact, doubleDim, "k", "dk", salts = 4))
+    assert(e.getMessage.contains("identical key types"))
+  }
+
   test("skewed aggregation: AQE does not split groupBy keys — saltedSum is exact") {
     // OptimizeSkewedJoin rewrites only join partitions; a 50%-hot
     // groupBy key still serializes on one reducer no matter what AQE

@@ -321,6 +321,27 @@ class WorkbookFuzzSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(p)
   }
 
+  test("decompression bomb: oversized inflation degrades to the named-refusal path, never OOM") {
+    // one zip entry of 65 MiB of zeros deflates to ~64 KiB; the
+    // bounded read must abort at the 64 MiB per-entry cap with the
+    // same IllegalArgumentException contract as any malformed file
+    // (which readWorkbooks maps to an issues row).
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      val chunk = new Array[Byte](1024 * 1024)
+      (0 until 65).foreach(_ => zos.write(chunk))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    assert(bytes.length < 1024 * 1024, "bomb fixture unexpectedly incompressible")
+    val e = intercept[IllegalArgumentException](
+      WorkbookSource.readRawBytes("bomb.xlsx", bytes))
+    assert(e.getMessage.contains("bomb.xlsx"))
+    assert(e.getMessage.contains("inflates past"))
+  }
+
   test("readWorkbooks: distributed scan == per-file loop; corrupt file -> issues row, not abort") {
     import graft.sources.WorkbookFixtures
     val dir = java.nio.file.Files.createTempDirectory("wbcorpus")
