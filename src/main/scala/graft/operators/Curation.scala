@@ -114,6 +114,63 @@ object Curation {
       .drop("__run")
   }
 
+  /** The 100 TB stride knob for [[duplicateSpans]], made SOUND: a
+    * positional stride (windows every s token positions) silently
+    * misses cross-document duplicates whose copies sit at different
+    * offsets mod s — the two docs sample DIFFERENT windows of the
+    * same span and never collide. Content-defined sampling fixes the
+    * alignment problem: keep a window iff a 32-bit prefix of its own
+    * fingerprint is ≡ 0 (mod sampleMod), so identical content always
+    * makes the identical keep decision in every document. A duplicated
+    * region containing W windows survives with 1-(1-1/s)^W
+    * probability (≈ 1 - e^{-W/s}; spans of >= ~3·s windows are
+    * near-certain), and every surviving window is a TRUE duplicate —
+    * sampling loses recall on short spans, never precision.
+    *
+    * Scale shape: the map stage still fingerprints every window (the
+    * hash IS the sampling decision), but the shuffle into the
+    * dup-content aggregate and the semi-join back carry ~1/sampleMod
+    * of the windows — at sf10 the stride-1 exchange is the 12.4×
+    * design term, so this is the knob a 100 TB run turns first.
+    *
+    * Output: kept duplicated windows interval-union-merged per doc
+    * (adjacent kept windows with pos gap <= n abut/overlap, so the
+    * union [first, last+n) is contiguous): (doc_id, span_start,
+    * span_tokens) of COVERED duplicated tokens.
+    */
+  def duplicateSpansSampled(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, sampleMod: Int = 8): DataFrame = {
+    require(n >= 1, s"window length must be >= 1 token, got $n")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Dedup.tokens(col(textCol))
+    val windows = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - lit(n))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("h"))
+      // 8 hex chars = 32 fingerprint bits: plenty for a mod-s decision,
+      // and both sides compute it identically (DuckDB:
+      // CAST('0x' || substr(h,1,8) AS BIGINT) — the oracle's twin)
+      .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+        % sampleMod === 0)
+    val dupContent = windows.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    windows.join(dupContent, Seq("h"), "left_semi")
+      .withColumn("__new_run",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("__run", sum(col("__new_run")).over(w))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).as("span_tokens"))
+      .drop("__run")
+  }
+
   /** Per-domain spec for [[exactQuotaSample]]'s pruned selection:
     * (domain, fullBelow, boundaryBucket, boundaryTake) — buckets
     * strictly below `fullBelow` are taken wholesale; exactly

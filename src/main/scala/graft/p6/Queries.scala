@@ -383,8 +383,26 @@ object Queries {
     val d = Mappers.mapDiseaseTable(diseaseSheet(t(s, dir, "orders")))
     val m = Mappers.mapMeasurementTable(measurementSheet(t(s, dir, "events")))
     val b = Mappers.mapBiosampleTable(biosampleSheet(t(s, dir, "supplier")))
-    val canon = Assemble.groupByPatient(g.records, p.records, d.records,
-      m.records, b.records, canonical = true)
+    // PRUNE each record table to the fields the packet RENDERS plus the
+    // leading canonical-sort key before the bundle shuffle: the packet
+    // fragment is a pure function of the kept fields, so records tying
+    // on them render byte-identically and any tie order is fine — while
+    // records differing on them keep the oracle's exact order because
+    // the kept columns preserve the full-struct sort's deciding
+    // prefix (genotype: contact_email is unique per source row, and the
+    // zip-explode twins tie through hgvsg before zygosity decides —
+    // same ORDER BY email, zyg the oracle uses). This narrows the
+    // collect_list shuffle payload AND the Janino packet projection's
+    // input from 14-field genotype structs to 4 (r11's probe attributed
+    // the sf10 entry's dominant +31 s to that projection).
+    val canon = Assemble.groupByPatient(
+      g.records.select("genotype_patient_ID", "contact_email", "hgvsg",
+        "zygosity", "gene_symbol"),
+      p.records,
+      d.records.select("patient_ID", "disease_term", "disease_label"),
+      m.records.select("patient_ID", "measurement_type"),
+      b.records.select("patient_ID", "biosample_id", "biosample_type"),
+      canonical = true)
     // Sort the BUNDLES, then project: a global orderBy runs a range-
     // partitioning sampling job that re-executes everything above the
     // last exchange — with the sort placed after the Janino-heavy
@@ -2004,6 +2022,24 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** The sampled-stride twin of [[duplicateSpansQuery]] — the
+    * documented 100 TB knob ([[graft.operators.Curation
+    * .duplicateSpansSampled]]), measurable at scale: content-defined
+    * mod-8 window sampling cuts the dup-content exchange ~8x while
+    * every reported span stays a true duplicate (the DuckDB oracle
+    * recomputes the identical keep decision from the same md5 prefix).
+    */
+  private def duplicateSpansSampledQuery(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.Curation.duplicateSpansSampled(
+      t(s, dir, "documents"), "doc_id", "text", n = 10, sampleMod = 8)
+    spans.groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count_distinct(col("doc_id")).as("n_docs_with_dups"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).cast("long").as("max_span_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** Tokenizer vocabulary induction: corpus token frequencies ranked
     * into contiguous 0-based vocab ids (count desc, token asc — the
     * standard "most frequent token gets the smallest id" layout).
@@ -2616,6 +2652,7 @@ object Queries {
     "knn_classify" -> (knnClassify _),
     "vocab_build" -> (vocabBuild _),
     "duplicate_spans" -> (duplicateSpansQuery _),
+    "duplicate_spans_sampled" -> (duplicateSpansSampledQuery _),
     "media_dedup" -> (mediaDedup _),
     "quality_cutoff" -> (qualityCutoff _),
     "funnel_depth" -> (funnelDepth _),
@@ -4102,6 +4139,36 @@ object Queries {
         d AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
         r AS (SELECT doc_id, pos,
             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS nr
+          FROM d),
+        runs AS (SELECT doc_id, pos,
+            sum(nr) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+          FROM r),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+            max(pos) - min(pos) + 10 AS span_tokens
+          FROM runs GROUP BY doc_id, run)
+        SELECT doc_id % 10 AS bucket,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dups,
+          count(*) AS n_spans,
+          CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+          CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+        FROM spans GROUP BY 1 ORDER BY 1""",
+    "duplicate_spans_sampled" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        w0 AS (
+          SELECT doc_id, i AS pos,
+            md5(array_to_string(toks[i+1:i+10], ' ')) AS h
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 9)) AS i
+                FROM tk WHERE len(toks) >= 10)),
+        w AS (
+          SELECT doc_id, pos, h FROM w0
+          WHERE CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 = 0),
+        dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        d AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+        r AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
               THEN 0 ELSE 1 END AS nr
           FROM d),
         runs AS (SELECT doc_id, pos,

@@ -238,4 +238,39 @@ class CurationSpec extends SparkSpec {
       (3L, 1, 12), (4L, 0, 12)),  // three windows merged to one 12-token span
       s"got $spans")
   }
+
+  test("duplicateSpansSampled: precision kept under sampling; alignment-independent; long spans found") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    // a 200-token shared span contains 191 windows: at mod 8 the
+    // expected keep is ~24 and the miss probability (7/8)^191 ~ 1e-11 —
+    // deterministically found. The copies sit at DIFFERENT offsets
+    // (3 vs 0): a positional stride of 8 would sample disjoint window
+    // sets and miss every collision; content-defined sampling must not.
+    val shared = words("s", 200)
+    val docs = Seq(
+      (1L, (words("a", 3) ++ shared ++ words("b", 5)).mkString(" ")),
+      (2L, (shared ++ words("c", 7)).mkString(" ")),
+      (3L, words("u", 220).mkString(" "))) // no cross-doc content
+      .toDF("doc_id", "text")
+    val spans = Curation.duplicateSpansSampled(docs, "doc_id", "text",
+        n = 10, sampleMod = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.nonEmpty, "content-defined sampling missed a 200-token span")
+    // precision: every reported span lies inside the true shared region
+    val bounds = Map(1L -> (3, 3 + 200), 2L -> (0, 200))
+    spans.foreach { case (id, start, len) =>
+      val (lo, hi) = bounds.getOrElse(id,
+        fail(s"span reported for doc $id, which shares nothing"))
+      assert(start >= lo && start + len <= hi,
+        s"span ($id, $start, $len) leaks outside the shared region")
+    }
+    // both copies detected (alignment independence)
+    assert(spans.map(_._1).toSet == Set(1L, 2L))
+    // recall floor under sampling: each copy's covered-token total is a
+    // large fraction of the span (expected gaps at mod 8 are << n)
+    val covered = spans.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    covered.foreach { case (id, tok) =>
+      assert(tok >= 100, s"doc $id: only $tok of 200 shared tokens covered")
+    }
+  }
 }
