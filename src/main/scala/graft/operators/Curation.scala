@@ -139,24 +139,32 @@ object Curation {
     * span_tokens) of COVERED duplicated tokens.
     */
   def duplicateSpansSampled(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 10, sampleMod: Int = 8): DataFrame = {
+      n: Int = 10, sampleMod: Int = 8, useXxhash: Boolean = false): DataFrame = {
     require(n >= 1, s"window length must be >= 1 token, got $n")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = Dedup.tokens(col(textCol))
-    val windows = docs
+    // Fingerprint choice: md5 keeps the DuckDB-oracle twin (the keep
+    // decision is CAST('0x' || substr(h,1,8) AS BIGINT) % s on both
+    // sides); `useXxhash` swaps in xxhash64 for production runs — the
+    // sf10 measurement shows the per-window fingerprint MAP stage, not
+    // the sampled-down shuffle, is the single-box bottleneck, and
+    // xxhash64 is the cheap non-cryptographic twin (same trade as
+    // winnowFingerprint's useXxhash).
+    val fpGrid = docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("toks")) - lit(n))).as("pos"),
         col("toks"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("h"))
-      // 8 hex chars = 32 fingerprint bits: plenty for a mod-s decision,
-      // and both sides compute it identically (DuckDB:
-      // CAST('0x' || substr(h,1,8) AS BIGINT) — the oracle's twin)
-      .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
-        % sampleMod === 0)
+    val winText = concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))
+    val windows = (if (useXxhash)
+        fpGrid.select(col("doc_id"), col("pos"), xxhash64(winText).as("h"))
+          .filter(pmod(col("h"), lit(sampleMod.toLong)) === 0)
+      else
+        fpGrid.select(col("doc_id"), col("pos"), md5(winText).as("h"))
+          .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+            % sampleMod === 0))
     val dupContent = windows.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -38,6 +38,8 @@ object AnnProbe {
     timed("brute")(Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10))
     timed("ivf")(Similarity.ivfTopKBatch(e, "vec_id", "embedding", qids,
       k = 10, nlist = 32, nprobe = 8, refineIters = 2))
+    timed("ivf_refine0")(Similarity.ivfTopKBatch(e, "vec_id", "embedding", qids,
+      k = 10, nlist = 32, nprobe = 8, refineIters = 0))
     timed("full")(graft.SparkEntry.queries("ann_ivf_batch_topk")(spark, sfDir))
     spark.stop()
   }

@@ -272,5 +272,15 @@ class CurationSpec extends SparkSpec {
     covered.foreach { case (id, tok) =>
       assert(tok >= 100, s"doc $id: only $tok of 200 shared tokens covered")
     }
+
+    // the production fingerprint (xxhash64) holds the same contract
+    val xs = Curation.duplicateSpansSampled(docs, "doc_id", "text",
+        n = 10, sampleMod = 8, useXxhash = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(xs.map(_._1).toSet == Set(1L, 2L), s"xxhash variant: $xs")
+    xs.foreach { case (id, start, len) =>
+      val (lo, hi) = bounds(id)
+      assert(start >= lo && start + len <= hi)
+    }
   }
 }
