@@ -2391,6 +2391,46 @@ object Queries {
     annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 7)
   }
 
+  /** WARM-path BATCH IVF ANN — the amortized production shape the r12
+    * AnnProbe measured for: at sf10 the cold batch entry's dominant
+    * term is the 2-iteration k-means refine (~8.8 s of 12.4 s operator
+    * wall; BASELINE.md round 12), work a similarity service pays ONCE
+    * per corpus, not per batch. The TRAINED index (k-means centroids +
+    * assignment, same nlist=32 / refineIters=2 as the cold entry) is a
+    * [[graft.sources.WarmStore]] parquet artifact; each batch pays only
+    * [[graft.operators.Similarity.ivfSearchBatch]] — broadcast centroid
+    * ranking + the semi-join-pruned rerank of ~nprobe/nlist of the
+    * corpus. Same query set, same recall contract, same oracle as the
+    * cold batch entry (Lloyd from deterministic seeds -> identical
+    * index, identical answers).
+    */
+  private def annIvfBatchWarm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.sources.WarmStore
+    val e = t(s, dir, "embeddings")
+    val prep = Similarity.prepared(e, "vec_id", "embedding")
+    val (store, ready) = WarmStore.resolve(dir, "embeddings",
+      "graft_ivf_idx_", extraKey = "nlist32_ri2", successMarker = "_READY")
+    if (!ready) {
+      val (assign, centroids) = Similarity.ivfIndex(prep, nlist = 32,
+        refineIters = 2)
+      centroids.write.mode("overwrite")
+        .parquet(store.resolve("centroids").toString)
+      assign.write.mode("overwrite")
+        .parquet(store.resolve("assign").toString)
+      java.nio.file.Files.writeString(store.resolve("_READY"), "ok")
+    }
+    WarmStore.markSource(store, dir)
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    val ann = Similarity.ivfSearchBatch(prep,
+      s.read.parquet(store.resolve("assign").toString),
+      s.read.parquet(store.resolve("centroids").toString),
+      qids, k = 10, nprobe = 8)
+    annRecallBatchSummary(
+      Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10),
+      ann, k = 10, minHitsPerQuery = 4, minMeanRecall = 0.8)
+  }
+
   /** INCREMENTAL IVF index growth — the frozen-coarse-quantizer append
     * path every production vector service runs (new embeddings arrive
     * daily; retraining the quantizer would invalidate every persisted
@@ -2616,6 +2656,7 @@ object Queries {
     "winnow_fingerprint" -> (winnowFingerprint _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_ivf_warm" -> (annIvfWarm _),
+    "ann_ivf_batch_warm" -> (annIvfBatchWarm _),
     "ann_ivf_append" -> (annIvfAppend _),
     "q38_bloom_join" -> (q38BloomJoin _),
     "bpe_token_stats" -> (bpeTokenStats _),
@@ -3582,6 +3623,7 @@ object Queries {
     "ann_ivf_topk" -> AnnSingleOracleSql,
     // Round 10: warm (persisted-index) IVF — same probe, same contract.
     "ann_ivf_warm" -> AnnSingleOracleSql,
+    "ann_ivf_batch_warm" -> AnnBatchOracleSql,
     // Round 9: incremental append over frozen centroids — same exact-
     // side contract, scored against the FULL grown corpus.
     "ann_ivf_append" -> AnnSingleOracleSql,

@@ -57,7 +57,20 @@ object WarmStore {
     val store = tmpRoot.resolve(prefix +
       java.util.UUID.nameUUIDFromBytes(keyBase.getBytes("UTF-8")).toString)
     val ready = java.nio.file.Files.exists(store.resolve(successMarker))
-    if (!ready) cleanupSuperseded(tmpRoot, store, prefix, sfDir)
+    if (!ready) cleanupSuperseded(tmpRoot, store, prefix, sfDir, extraKey)
+    // Record the PARAMETER key alongside the store (backfilled on
+    // reuse): two differently-parameterized stores of the same
+    // (prefix, source) are SIBLINGS, not supersessions — without this
+    // marker, building ann_ivf's refined-index store would delete the
+    // seed-index store it coexists with. Missing marker (pre-r12
+    // stores) reads as "".
+    try {
+      java.nio.file.Files.createDirectories(store)
+      if (!java.nio.file.Files.exists(store.resolve("_extra_key")))
+        java.nio.file.Files.writeString(store.resolve("_extra_key"), extraKey)
+    } catch {
+      case _: java.io.IOException => () // best-effort, like markSource
+    }
     (store, ready)
   }
 
@@ -69,7 +82,8 @@ object WarmStore {
       java.nio.file.Files.writeString(store.resolve("_source_dir"), sfDir)
 
   private def cleanupSuperseded(tmpRoot: java.nio.file.Path,
-      keep: java.nio.file.Path, prefix: String, sfDir: String): Unit = {
+      keep: java.nio.file.Path, prefix: String, sfDir: String,
+      extraKey: String): Unit = {
     val siblings = java.nio.file.Files.list(tmpRoot)
     try siblings.iterator().asScala
       .filter(_.getFileName.toString.startsWith(prefix))
@@ -77,7 +91,13 @@ object WarmStore {
       .foreach { p =>
         try {
           val marker = p.resolve("_source_dir")
-          if (java.nio.file.Files.exists(marker) &&
+          val keyMarker = p.resolve("_extra_key")
+          val siblingKey =
+            if (java.nio.file.Files.exists(keyMarker))
+              java.nio.file.Files.readString(keyMarker)
+            else ""
+          if (siblingKey == extraKey &&
+              java.nio.file.Files.exists(marker) &&
               java.nio.file.Files.readString(marker) == sfDir) {
             val victims = java.nio.file.Files.walk(p)
             try victims.sorted(java.util.Comparator.reverseOrder())

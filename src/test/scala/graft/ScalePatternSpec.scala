@@ -320,6 +320,39 @@ class ScalePatternSpec extends SparkSpec {
     assert(s3 != s2)
   }
 
+  test("WarmStore: differently-parameterized SIBLING stores coexist — cleanup only supersedes same-key stores") {
+    import graft.sources.WarmStore
+    // the r12 regression: ann_ivf's refined-index store (extraKey ri2)
+    // and seed-index store (ri0) share prefix AND source — building
+    // one must NOT reclaim the other (they are siblings, not
+    // supersessions of each other)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_sib")
+    val src = tmp.resolve("documents.parquet")
+    java.nio.file.Files.writeString(src, "v1")
+    val (a, _) = WarmStore.resolve(tmp.toString, "documents",
+      "graft_ws_sib_", extraKey = "ri0")
+    java.nio.file.Files.writeString(a.resolve("_SUCCESS"), "")
+    WarmStore.markSource(a, tmp.toString)
+    // building the differently-keyed sibling (cold -> cleanup runs)
+    val (b, readyB) = WarmStore.resolve(tmp.toString, "documents",
+      "graft_ws_sib_", extraKey = "ri2")
+    assert(!readyB && b != a)
+    assert(java.nio.file.Files.exists(a.resolve("_SUCCESS")),
+      "sibling store with a different extraKey was wrongly reclaimed")
+    java.nio.file.Files.writeString(b.resolve("_SUCCESS"), "")
+    WarmStore.markSource(b, tmp.toString)
+    // content change: each key's store supersedes only its OWN
+    // predecessor
+    java.nio.file.Files.writeString(src, "v2-with-different-size")
+    val (a2, _) = WarmStore.resolve(tmp.toString, "documents",
+      "graft_ws_sib_", extraKey = "ri0")
+    assert(a2 != a)
+    assert(!java.nio.file.Files.exists(a),
+      "same-key superseded store was not reclaimed")
+    assert(java.nio.file.Files.exists(b.resolve("_SUCCESS")),
+      "other-key sibling was reclaimed by a same-source rebuild")
+  }
+
   test("BucketedLayout.append: the grown twin still joins exchange-free and loses no rows") {
     import graft.sources.BucketedLayout
     // an ISOLATED copy of the source — appending into the shared
