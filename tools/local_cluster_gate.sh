@@ -22,7 +22,10 @@ mkdir -p "$FAKE_HOME"
 [ -e "$FAKE_HOME/jars" ] || ln -s "${SPARK_HOME:-/opt/spark}/jars" "$FAKE_HOME/jars"
 rm -rf "$OUT" "$FAKE_HOME/work"
 
+# SPARK_SCALA_VERSION: the launcher needs it to build the executor
+# classpath when SPARK_HOME is not a full source build tree.
 SPARK_HOME="$FAKE_HOME" \
+SPARK_SCALA_VERSION=2.13 \
 SPARK_GRAFT_MASTER="$MASTER" \
 SPARK_GRAFT_SHUFFLE=${SPARK_GRAFT_SHUFFLE:-32} \
   sbt -batch "runMain graft.Verify $SF $OUT"
