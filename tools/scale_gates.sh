@@ -12,7 +12,7 @@
 set -euo pipefail
 
 MODE="${1:-sf1}"
-SF01_OUT=target/scale/verify_sf01_r11
+SF01_OUT=target/scale/verify_sf01_r12
 
 gen() { # dir replicas
   if [ ! -d "$1/lineitem.parquet" ]; then
@@ -21,15 +21,15 @@ gen() { # dir replicas
 }
 
 if [ ! -d "$SF01_OUT/semdedup" ]; then
-  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
+  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
     sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $SF01_OUT"
 fi
 
 if [ "$MODE" = "sf1" ]; then
   gen /root/repo/target/scale/sf1 10
-  S=target/scale/verify_sf1_r11
+  S=target/scale/verify_sf1_r12
   SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
+    SPARK_GRAFT_ONLY=q44_salted_join,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed \
     sbt -batch -mem 40960 "runMain graft.Verify target/scale/sf1 $S"
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -43,13 +43,14 @@ if [ "$MODE" = "sf1" ]; then
   # linear DuckDB oracles only — the all-pairs ones are gated above
   python3 tools/check.py target/scale/sf1 "$S" \
     q44_salted_join p6_issue_channel bpe_token_stats winnow_fingerprint \
-    duplicate_spans ann_ivf_batch_topk ann_lsh_batch_topk ann_ivf_append \
+    duplicate_spans duplicate_spans_sampled ann_ivf_batch_topk \
+    ann_lsh_batch_topk ann_ivf_append ann_ivf_batch_warm \
     p6_workbooks_distributed p6_phenopacket_json semdedup_planted
 else
   gen /root/repo/target/scale/sf10 100
-  S=target/scale/verify_sf10_r11
+  S=target/scale/verify_sf10_r12
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,corpus_funnel,semdedup_planted \
+    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,duplicate_spans_sampled,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,corpus_funnel,semdedup_planted \
     sbt -batch -mem 49152 "runMain graft.Verify target/scale/sf10 $S"
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -60,6 +61,6 @@ else
     python3 tools/sf1_invariant.py "$SF01_OUT" "$S" semdedup semdedup_planted
   python3 tools/check.py target/scale/sf10 "$S" \
     p6_workbooks_distributed p6_issue_channel chunk_dedup corpus_funnel \
-    bpe_token_stats winnow_fingerprint duplicate_spans semdedup_planted
+    bpe_token_stats winnow_fingerprint duplicate_spans duplicate_spans_sampled semdedup_planted
 fi
 echo "ALL $MODE GATES GREEN"
