@@ -251,11 +251,31 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
       driverMaxPairs: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Materialize the pair set ONCE before the tier decision. The
+    // previous probe — limit(cap+1).collect() straight off the verify
+    // lineage — ran Spark's INCREMENTAL limit: try 1 partition, then
+    // scaleUpFactor× more, re-executing the post-shuffle Jaccard
+    // stage per retry round, with the retry count depending on how
+    // rows happened to distribute — a nondeterministic work
+    // amplifier implicated in the sf10 heavy tail (BASELINE.md round
+    // 12: identical runs 17-46 s). persist + count runs the verify
+    // lineage exactly once; both tiers then read the cached pairs
+    // (the distributed fixpoint re-reads them per direction + round).
+    val cached = pairs.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      connectedComponentsOn(cached, spark, maxIters, driverMaxPairs)
+    } finally { cached.unpersist(false); () }
+  }
+
+  private def connectedComponentsOn(pairs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, maxIters: Int,
+      driverMaxPairs: Long): DataFrame = {
     if (driverMaxPairs > 0) {
       val cap = math.min(driverMaxPairs, Int.MaxValue - 2L).toInt
-      val sample = pairs.select(col("a"), col("b")).limit(cap + 1).collect()
-      if (sample.length <= cap) return driverComponents(spark, sample,
-        pairs.schema.fields.head.dataType)
+      if (pairs.count() <= cap)
+        return driverComponents(spark, pairs.collect(),
+          pairs.schema.fields.head.dataType)
     }
     def pin(df: DataFrame): DataFrame = {
       val out = spark.createDataFrame(df.rdd, df.schema)
