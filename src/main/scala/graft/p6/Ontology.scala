@@ -94,16 +94,28 @@ object Ontology {
   def transitiveClosure(edges: DataFrame, maxIters: Int = 40,
       driverMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
+    // Materialize the distinct edge set ONCE before the tier decision
+    // (same fix as Dedup.connectedComponents, BASELINE.md round 12):
+    // the old limit(cap+1).collect() probe ran Spark's incremental
+    // limit — retry rounds re-reading the distinct's shuffle a
+    // data-dependent number of times — and the fallback path then
+    // recomputed the same distinct AGAIN for its round-0 frame. With
+    // the cache, the edge scan + distinct run exactly once and both
+    // tiers read the cached result.
     val named0 = edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      transitiveClosureOn(named0, spark, maxIters, driverMaxEdges)
+    } finally { named0.unpersist(false); () }
+  }
+
+  private def transitiveClosureOn(named0: DataFrame, spark: SparkSession,
+      maxIters: Int, driverMaxEdges: Long): DataFrame = {
     if (driverMaxEdges > 0) {
-      // One scan decides AND fetches: collect up to max+1 edges — if
-      // they all fit, close on the driver from the already-collected
-      // array (a separate count() probe would scan the edges twice).
       val cap = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
-      val sample = named0.limit(cap + 1).collect()
-      if (sample.length <= cap)
-        return driverClosure(spark, sample, named0.schema)
+      if (named0.count() <= cap)
+        return driverClosure(spark, named0.collect(), named0.schema)
     }
     // Distributed path. Each iteration is "pinned" — rebuilt from its
     // RDD with a clean schema — which truncates the logical plan
@@ -120,8 +132,7 @@ object Ontology {
     // D — each round is one self-join, and every round's driver-side
     // isEmpty barrier is a full Spark job, so halving the round count
     // matters more than the slightly larger joins.
-    var closure = pin(edges.select(col("child").as("descendant"), col("parent").as("ancestor"))
-      .distinct())
+    var closure = pin(named0) // round 0 reads the cached distinct
     var i = 0
     var done = false
     // Frames superseded in round k stay cached until round k+1's
