@@ -150,6 +150,24 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: the pair lineage evaluates EXACTLY once per partition (no incremental-limit retries)") {
+    // The r12 sf10 heavy tail came from limit(cap+1).collect() running
+    // Spark's incremental limit over the expensive verify lineage —
+    // a data-distribution-dependent number of re-executions. Pin the
+    // fix: with persist+count+collect, every input partition's lineage
+    // runs exactly once for the whole call.
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("lineage-evals")
+    val pairs = spark.range(0L, 1000L, 1L, 8)
+      .as[Long]
+      .mapPartitions { it => acc.add(1); it.map(i => (i, i + 1L)) }
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+    assert(comps.count() == 1001L) // one chain: 0..1000
+    assert(acc.value == 8L,
+      s"pair lineage partitions evaluated ${acc.value} times (expected 8 = once each)")
+  }
+
   test("driver union-find and distributed label propagation agree") {
     // ring + chain + star + isolated pair, shuffled edge order
     val edges = Seq((5L, 1L), (1L, 3L), (3L, 5L), (20L, 21L), (21L, 22L),
