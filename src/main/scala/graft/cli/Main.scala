@@ -18,6 +18,10 @@ import graft.sources.WorkbookSource
   *               an error issue naming it (exit stays 0); an ingest that
   *               yields NO readable workbook exits 1
   *   audit-excel -e <xlsx> [-r|--report-json]
+  *   audit-excel --dir <corpusDir> [-r] — corpus audit: per-KIND
+  *               classification over the distributed scan's unioned
+  *               sheets plus bounded ingest-workbook error entries
+  *               naming each unreadable file
   *   download [-d <dir>] [-v <tag>]
   *
   * Stdout contracts ("Wrote N phenopacket files to …", "Created N
@@ -98,8 +102,7 @@ object Main {
     // mapper/issues/stats pipeline as the single-workbook read. Corrupt
     // files arrive as ingest issues (rendered below under "Errors");
     // only an ingest with NOTHING readable refuses.
-    val corpus = if (o.contains("--dir"))
-      Some(WorkbookSource.readWorkbooks(spark, excel)) else None
+    val corpus = readCorpus(spark, o, excel)
     corpus.foreach { c =>
       if (c.sheets.isEmpty) {
         val nBad = c.issues.count()
@@ -191,19 +194,54 @@ object Main {
     if (Files.isDirectory(Paths.get(path))) WorkbookSource.readSheetDir(spark, path)
     else WorkbookSource.readWorkbook(spark, path)
 
+  /** Shared `--dir` corpus ingest for parse-excel / audit-excel: path
+    * must be an existing directory (fail with usage exit code before
+    * Spark turns it into a stack trace), distributed scan via
+    * `readWorkbooks`.
+    */
+  private def readCorpus(spark: SparkSession, o: Map[String, String],
+      path: String): Option[graft.sources.WorkbookCorpus] =
+    if (!o.contains("--dir")) None
+    else if (!Files.isDirectory(Paths.get(path)))
+      exitOrThrow(2, s"--dir: not a directory: $path")
+    else Some(WorkbookSource.readWorkbooks(spark, path))
+
   /** Tests drive the commands in-process against a shared session. */
   private def maybeStop(s: SparkSession): Unit =
     if (!sys.props.contains("graft.keep-session")) s.stop()
 
   // ---------------------------------------------------------------- 3.2
   def auditExcel(o: Map[String, String]): Unit = {
-    val excel = o.getOrElse("--excel-path",
-      { System.err.println("audit-excel: -e/--excel-path is required"); sys.exit(2) })
+    if (o.contains("--excel-path") == o.contains("--dir"))
+      exitOrThrow(2, "audit-excel: exactly one of -e/--excel-path (single " +
+        "workbook) or --dir (workbook corpus) is required")
+    val excel = o.getOrElse("--excel-path", o("--dir"))
     val spark = session()
-    val tables = readInput(spark, excel).toSeq.sortBy(_._1)
-    val entries = Audit.preprocess(tables)
+    val corpus = readCorpus(spark, o, excel)
+    // Corpus audit granularity: sheets of the same logical kind union
+    // across files, so classification entries are per KIND (the
+    // provenance columns the scan appends are stripped from the column
+    // counts); file-level problems surface as bounded ingest-workbook
+    // entries naming each unparseable file.
+    val tables = corpus
+      .map(_.sheets.view.mapValues(_.drop("source_file", "row_idx")).toSeq.sortBy(_._1))
+      .getOrElse(readInput(spark, excel).toSeq.sortBy(_._1))
+    val ingestEntries = corpus.toSeq.flatMap { c =>
+      val cap = sys.props.get("graft.maxRenderedIssues").map(_.toInt).getOrElse(50)
+      val n = c.issues.count()
+      val shown = c.issues.orderBy("source_file").limit(cap).collect()
+        .map(r => AuditEntry("ingest-workbook",
+          r.getAs[String]("source_file"), r.getAs[String]("message"), "error"))
+      if (n > cap)
+        shown :+ AuditEntry("ingest-workbook", "…",
+          s"and ${n - cap} more unreadable files (cap graft.maxRenderedIssues=$cap)",
+          "error")
+      else shown.toSeq
+    }
+    val entries = ingestEntries ++ Audit.preprocess(tables)
     if (o.contains("--report-json")) println(Audit.renderJson(entries))
     else println(Audit.renderTable(entries))
+    corpus.foreach(_.raw.unpersist(false))
     maybeStop(spark)
   }
 

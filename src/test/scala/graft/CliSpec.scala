@@ -294,6 +294,25 @@ class CliSpec extends SparkSpec {
       graft.cli.Main.parseExcel(Map.empty)
     }
     assert(e2.getMessage.contains("exactly one of"))
+
+    // audit-excel --dir over the same corpus: per-kind classification
+    // plus an ingest-workbook error entry naming the corrupt file
+    val audit = stdoutOf {
+      graft.cli.Main.auditExcel(Map("--dir" -> corpus.toString))
+    }
+    assert(audit.contains("ingest-workbook"))
+    assert(audit.contains("broken.xlsx"))
+    assert(audit.contains("classify-sheet"))
+    assert(audit.contains("genotype (raw+hgvs)"))
+    // provenance columns stripped from the header count: the Variants
+    // sheets carry 13 data cols + index, like the single-file audit
+    assert(audit.contains("13 cols"))
+
+    // a --dir that is not a directory refuses with the usage exit
+    val e3 = intercept[IllegalStateException] {
+      graft.cli.Main.auditExcel(Map("--dir" -> corpus.resolve("a.xlsx").toString))
+    }
+    assert(e3.getMessage.contains("not a directory"))
   }
 
   test("fromObographs: deprecated flag + IAO:0100001 replacement ids (J2 alt_term_ids)") {
