@@ -41,6 +41,50 @@ object Curation {
           .as("h"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC) instances — the variable-size
+    * twin of [[chunkInstances]], robust to insertions/deletions where
+    * fixed-width chunking is not: inserting one token near a doc's
+    * head shifts EVERY fixed 10-token chunk boundary after it (zero
+    * shared chunks with the original — the dedup silently misses the
+    * near-copy), while CDC draws each boundary from the CONTENT of a
+    * small rolling window (split before 0-based token b iff the
+    * 32-bit md5 prefix of the `window` tokens ending at b-1 is
+    * ≡ 0 mod `avgChunk`), so boundaries re-synchronize right after
+    * the edit and everything downstream of it chunks identically —
+    * the FastCDC/LBFS idea at token granularity. Expected chunk
+    * length ~avgChunk tokens; every doc yields >= 1 chunk (an
+    * unsplit doc is one whole-doc chunk).
+    *
+    * Same output shape as [[chunkInstances]] (+ `chunk_tokens`), so
+    * [[chunkKeepFirst]] composes unchanged. The md5-prefix boundary
+    * decision is the DuckDB-twin trick shared with
+    * [[duplicateSpansSampled]], keeping the oracle closed-form.
+    */
+  def cdcChunkInstances(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, avgChunk: Int = 16): DataFrame = {
+    require(window >= 1, s"rolling window must be >= 1 token, got $window")
+    require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    val toks = Dedup.tokens(col(textCol))
+    val candidates = when(size(col("toks")) > window,
+        filter(sequence(lit(window), size(col("toks")) - 1), b =>
+          conv(substring(md5(concat_ws(" ",
+            slice(col("toks"), b - lit(window) + 1, lit(window)))), 1, 8),
+            16, 10).cast("long") % avgChunk === 0))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        concat(array(lit(0)), candidates, array(size(col("toks")))).as("bs"))
+      .select(col("doc_id"), col("toks"), col("bs"),
+        explode(sequence(lit(0), size(col("bs")) - 2)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (element_at(col("bs"), col("chunk_idx") + 2) -
+          element_at(col("bs"), col("chunk_idx") + 1)).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"),
+          element_at(col("bs"), col("chunk_idx") + 1) + 1,
+          element_at(col("bs"), col("chunk_idx") + 2) -
+            element_at(col("bs"), col("chunk_idx") + 1)))).as("h"))
+  }
+
   /** CCNet-style cross-document dedup at chunk granularity: a chunk
     * instance survives iff it is the FIRST occurrence of its content
     * corpus-wide (min (doc_id, chunk_idx) per fingerprint); every

@@ -635,6 +635,28 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Content-defined-chunking dedup ([[graft.operators.Curation
+    * .cdcChunkInstances]] + the same first-occurrence-wins pass as
+    * `chunk_dedup`): variable-size chunks whose boundaries come from
+    * the content itself, so insert/delete edits shift nothing
+    * downstream of the edit — the dedup signal fixed-width chunking
+    * structurally misses. Adds chunk-size accounting (sum/max) since
+    * CDC sizes are data-dependent.
+    */
+  private def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.chunkKeepFirst(
+        Curation.cdcChunkInstances(t(s, dir, "documents"), "doc_id", "text"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("chunk_tokens").cast("long")).as("sum_chunk_tokens"),
+        max(col("chunk_tokens")).cast("long").as("max_chunk_tokens"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_kept") / col("n_chunks"), 4))
+      .orderBy(col("bucket"))
+  }
+
   /** Deterministic global corpus shuffle: every doc gets a stable
     * 1-based position from a seeded hash total order — the
     * "shuffle once, train reproducibly" primitive. GlobalRank's
@@ -2682,6 +2704,7 @@ object Queries {
     "q51_rare_token_ratio" -> (q51RareTokenRatio _),
     "q52_range_agg_pushdown" -> (q52RangeAggPushdown _),
     "chunk_dedup" -> (chunkDedup _),
+    "cdc_chunk_dedup" -> (cdcChunkDedup _),
     "global_shuffle" -> (globalShuffle _),
     "mixture_sample" -> (mixtureSample _),
     "temperature_mixture" -> (temperatureMixtureQuery _),
@@ -3737,6 +3760,33 @@ object Queries {
                 unnest(regexp_extract_all(text, '[0-9]+')) AS num
               FROM documents)
         GROUP BY 1 ORDER BY 1""",
+    "cdc_chunk_dedup" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        cand AS (
+          SELECT doc_id, toks,
+            [0] || list_filter(range(4, len(toks)), b ->
+              CAST(('0x' || substr(md5(array_to_string(toks[b-3:b], ' ')), 1, 8))
+                AS BIGINT) % 16 = 0) || [len(toks)] AS bs
+          FROM tk),
+        inst AS (
+          SELECT doc_id, j AS chunk_idx,
+            bs[j+2] - bs[j+1] AS chunk_tokens,
+            md5(array_to_string(toks[bs[j+1]+1 : bs[j+2]], ' ')) AS h
+          FROM (SELECT doc_id, toks, bs, unnest(range(len(bs) - 1)) AS j
+                FROM cand)),
+        ranked AS (
+          SELECT doc_id, chunk_idx, chunk_tokens,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+          FROM inst)
+        SELECT doc_id % 10 AS bucket, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+          CAST(max(chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+          round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS dup_ratio
+        FROM ranked GROUP BY 1 ORDER BY 1""",
     "chunk_dedup" ->
       """WITH tk AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks

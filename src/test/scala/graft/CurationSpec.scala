@@ -216,6 +216,40 @@ class CurationSpec extends SparkSpec {
     assert(ok.count() == 1L)
   }
 
+  test("cdcChunkInstances: boundaries re-synchronize after an insertion (fixed chunking shares nothing)") {
+    // doc 2 = doc 1 with ONE token prepended. Fixed 10-token chunks
+    // all shift -> zero shared fingerprints (the dedup signal is
+    // structurally lost); CDC boundaries derive from content, so
+    // every chunk after the first boundary is identical.
+    val base = (1 to 400).map(i => s"tok${i % 97}_$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+
+    val fixed = Curation.chunkInstances(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val fixedShared = fixed.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fixed.filter(_._1 == 2L).map(_._2).toSet)
+    assert(fixedShared.isEmpty,
+      s"fixed chunking unexpectedly survived the shift: $fixedShared")
+
+    val cdc = Curation.cdcChunkInstances(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    val h1 = cdc.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = cdc.filter(_._1 == 2L).map(_._3).toSet
+    val shared = h1.intersect(h2)
+    assert(shared.size >= math.max(2, h1.size - 2),
+      s"CDC should share all but the head chunk(s): |doc1|=${h1.size}, shared=${shared.size}")
+
+    // chunk accounting: per doc, chunk_tokens sums to the token count
+    val sums = cdc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sums(1L) == 400 && sums(2L) == 401, s"coverage broken: $sums")
+
+    // keep-first composes: duplicated CDC chunks in doc 2 are dropped
+    val kept = Curation.chunkKeepFirst(
+        Curation.cdcChunkInstances(docs, "doc_id", "text"))
+      .filter(col("doc_id") === 2L && !col("kept")).count()
+    assert(kept >= 2, "no duplicate CDC chunks flagged in the near-copy")
+  }
+
   test("duplicateSpans: maximal cross-doc spans; intra-doc repeats don't count") {
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
     val shared10 = words("s", 10)    // exactly one window

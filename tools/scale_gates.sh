@@ -50,7 +50,7 @@ else
   gen /root/repo/target/scale/sf10 100
   S=target/scale/verify_sf10_r12
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,duplicate_spans_sampled,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,corpus_funnel,semdedup_planted \
+    SPARK_GRAFT_ONLY=dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,duplicate_spans_sampled,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,cdc_chunk_dedup,corpus_funnel,semdedup_planted \
     sbt -batch -mem 49152 "runMain graft.Verify target/scale/sf10 $S"
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -60,7 +60,7 @@ else
   GRAFT_REPLICAS=100 GRAFT_EXPECTED_PLANTED=3960 \
     python3 tools/sf1_invariant.py "$SF01_OUT" "$S" semdedup semdedup_planted
   python3 tools/check.py target/scale/sf10 "$S" \
-    p6_workbooks_distributed p6_issue_channel chunk_dedup corpus_funnel \
+    p6_workbooks_distributed p6_issue_channel chunk_dedup cdc_chunk_dedup corpus_funnel \
     bpe_token_stats winnow_fingerprint duplicate_spans duplicate_spans_sampled semdedup_planted
 fi
 echo "ALL $MODE GATES GREEN"
