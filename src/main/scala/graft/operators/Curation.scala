@@ -61,15 +61,23 @@ object Curation {
     * [[duplicateSpansSampled]], keeping the oracle closed-form.
     */
   def cdcChunkInstances(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 4, avgChunk: Int = 16): DataFrame = {
+      window: Int = 4, avgChunk: Int = 16,
+      useXxhash: Boolean = false): DataFrame = {
     require(window >= 1, s"rolling window must be >= 1 token, got $window")
     require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
     val toks = Dedup.tokens(col(textCol))
+    // Boundary fingerprint: md5 keeps the DuckDB oracle twin;
+    // `useXxhash` is the production swap — the sf10 measurement
+    // (BASELINE.md round 12) shows the per-position window hash is the
+    // dominant term, the same trade as duplicateSpansSampled.
+    def boundaryHit(b: Column): Column = {
+      val win = concat_ws(" ", slice(col("toks"), b - lit(window) + 1, lit(window)))
+      if (useXxhash) pmod(xxhash64(win), lit(avgChunk.toLong)) === 0
+      else conv(substring(md5(win), 1, 8), 16, 10)
+        .cast("long") % avgChunk === 0
+    }
     val candidates = when(size(col("toks")) > window,
-        filter(sequence(lit(window), size(col("toks")) - 1), b =>
-          conv(substring(md5(concat_ws(" ",
-            slice(col("toks"), b - lit(window) + 1, lit(window)))), 1, 8),
-            16, 10).cast("long") % avgChunk === 0))
+        filter(sequence(lit(window), size(col("toks")) - 1), b => boundaryHit(b)))
       .otherwise(array().cast("array<int>"))
     docs.select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),

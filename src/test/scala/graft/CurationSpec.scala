@@ -248,6 +248,15 @@ class CurationSpec extends SparkSpec {
         Curation.cdcChunkInstances(docs, "doc_id", "text"))
       .filter(col("doc_id") === 2L && !col("kept")).count()
     assert(kept >= 2, "no duplicate CDC chunks flagged in the near-copy")
+
+    // the production fingerprint (xxhash64) holds the same contract
+    val xs = Curation.cdcChunkInstances(docs, "doc_id", "text", useXxhash = true)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    val xshared = xs.filter(_._1 == 1L).map(_._3).toSet
+      .intersect(xs.filter(_._1 == 2L).map(_._3).toSet)
+    assert(xshared.size >= 2, "xxhash CDC lost the re-sync property")
+    val xsums = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(xsums(1L) == 400 && xsums(2L) == 401)
   }
 
   test("duplicateSpans: maximal cross-doc spans; intra-doc repeats don't count") {
