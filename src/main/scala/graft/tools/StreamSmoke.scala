@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.EventStreams
 
 /** Structured-Streaming smoke under an arbitrary master (ExecMode):
@@ -20,7 +20,7 @@ import graft.streaming.EventStreams
   */
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = graft.ExecMode.builder()
+    val spark: org.apache.spark.sql.SparkSession = graft.ExecMode.builder()
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -60,7 +60,7 @@ object StreamSmoke {
     check("watermarked_dedup") {
       val stream = MemoryStream[EventStreams.Event]
       val q = EventStreams.dedupEvents(
-          stream.toDS().toDF(), Seq("user_id", "event_type"), "ts", "10 minutes")
+          stream.toDS().toDF(), Seq("user_id", "event_type"), "10 minutes")
         .writeStream.format("memory").queryName("sm_dedup")
         .outputMode("append").start()
       stream.addData(
