@@ -62,9 +62,11 @@ object Curation {
     */
   def cdcChunkInstances(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, avgChunk: Int = 16,
-      useXxhash: Boolean = false): DataFrame = {
+      useXxhash: Boolean = false, maxChunk: Int = 64): DataFrame = {
     require(window >= 1, s"rolling window must be >= 1 token, got $window")
     require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    require(maxChunk >= avgChunk,
+      s"maxChunk ($maxChunk) must be >= avgChunk ($avgChunk)")
     val toks = Dedup.tokens(col(textCol))
     // Boundary fingerprint: md5 keeps the DuckDB oracle twin;
     // `useXxhash` is the production swap — the sf10 measurement
@@ -79,9 +81,24 @@ object Curation {
     val candidates = when(size(col("toks")) > window,
         filter(sequence(lit(window), size(col("toks")) - 1), b => boundaryHit(b)))
       .otherwise(array().cast("array<int>"))
+    // FastCDC's max-cut: a doc whose windows never hit a boundary (an
+    // all-identical-token page, adversarial boilerplate) would become
+    // ONE unbounded whole-doc chunk — a single row carrying the whole
+    // text through every exchange. Force a boundary every `maxChunk`
+    // tokens inside any over-long gap; forced cuts are deterministic
+    // offsets FROM the preceding content cut, so they re-synchronize
+    // at the first real boundary after an edit just like everything
+    // else.
+    val bounds0 = concat(array(lit(0)), candidates, array(size(col("toks"))))
+    val forced = flatten(transform(sequence(lit(0), size(bounds0) - 2), j => {
+      val a = element_at(bounds0, j + 1)
+      val b = element_at(bounds0, j + 2)
+      when(b - a > maxChunk, sequence(a + lit(maxChunk), b - 1, lit(maxChunk)))
+        .otherwise(array().cast("array<int>"))
+    }))
     docs.select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),
-        concat(array(lit(0)), candidates, array(size(col("toks")))).as("bs"))
+        array_sort(concat(bounds0, forced)).as("bs"))
       .select(col("doc_id"), col("toks"), col("bs"),
         explode(sequence(lit(0), size(col("bs")) - 2)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),

@@ -3768,14 +3768,21 @@ object Queries {
           SELECT doc_id, toks,
             [0] || list_filter(range(4, len(toks)), b ->
               CAST(('0x' || substr(md5(array_to_string(toks[b-3:b], ' ')), 1, 8))
-                AS BIGINT) % 16 = 0) || [len(toks)] AS bs
+                AS BIGINT) % 16 = 0) || [len(toks)] AS bs0
           FROM tk),
+        maxed AS (
+          SELECT doc_id, toks,
+            list_sort(bs0 || flatten(list_transform(range(len(bs0) - 1), j ->
+              CASE WHEN bs0[j+2] - bs0[j+1] > 64
+                THEN range(bs0[j+1] + 64, bs0[j+2], 64)
+                ELSE range(0, 0) END))) AS bs
+          FROM cand),
         inst AS (
           SELECT doc_id, j AS chunk_idx,
             bs[j+2] - bs[j+1] AS chunk_tokens,
             md5(array_to_string(toks[bs[j+1]+1 : bs[j+2]], ' ')) AS h
           FROM (SELECT doc_id, toks, bs, unnest(range(len(bs) - 1)) AS j
-                FROM cand)),
+                FROM maxed)),
         ranked AS (
           SELECT doc_id, chunk_idx, chunk_tokens,
             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn

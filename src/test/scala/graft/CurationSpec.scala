@@ -249,6 +249,16 @@ class CurationSpec extends SparkSpec {
       .filter(col("doc_id") === 2L && !col("kept")).count()
     assert(kept >= 2, "no duplicate CDC chunks flagged in the near-copy")
 
+    // adversarial: an all-identical-token doc has either zero or every
+    // content boundary; with zero, the max-cut must still bound every
+    // chunk (the unbounded whole-doc-chunk hazard), and coverage holds
+    val bland = Seq((9L, Seq.fill(1000)("same").mkString(" "))).toDF("doc_id", "text")
+    val bchunks = Curation.cdcChunkInstances(bland, "doc_id", "text")
+      .collect().map(r => r.getInt(2))
+    assert(bchunks.forall(_ <= 64),
+      s"max-cut violated: chunk sizes ${bchunks.distinct.sorted.mkString(",")}")
+    assert(bchunks.sum == 1000)
+
     // the production fingerprint (xxhash64) holds the same contract
     val xs = Curation.cdcChunkInstances(docs, "doc_id", "text", useXxhash = true)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
