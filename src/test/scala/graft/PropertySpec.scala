@@ -428,4 +428,35 @@ class PropertySpec extends SparkSpec {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
     assert(r.passed, r.status.toString)
   }
+
+  test("CDC chunking: chunks PARTITION the token sequence exactly; max-cut always holds") {
+    // random corpora incl. degenerate shapes: repeated single tokens
+    // (no content boundary without the max-cut), tiny docs below the
+    // rolling window, mixed vocab sizes
+    val tokGen = Gen.oneOf(Gen.const("same"), Gen.alphaLowerStr.map(s => "t" + s.take(4)),
+      Gen.choose(0, 9).map(i => s"v$i"))
+    val docGen = Gen.choose(0, 300).flatMap(n => Gen.listOfN(n, tokGen))
+    val p = Prop.forAll(Gen.listOfN(6, docGen)) { docsToks =>
+      val docs = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunks = graft.operators.Curation
+        .cdcChunkInstances(docs, "doc_id", "text", maxChunk = 32)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val byDoc = chunks.groupBy(_._1)
+      docsToks.zipWithIndex.forall { case (ts, i) =>
+        val mine = byDoc.getOrElse(i.toLong, Array.empty)
+        // tokens() of "" yields [""], so even an empty doc is 1 "token"
+        val nTok = math.max(ts.length, 1)
+        val coverage = mine.map(_._3).sum == nTok
+        val maxCut = mine.forall(_._3 <= 32)
+        val contiguousIdx =
+          mine.map(_._2).sorted.toSeq == mine.indices.toSeq
+        coverage && maxCut && contiguousIdx && mine.nonEmpty
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, r.status.toString)
+  }
 }
