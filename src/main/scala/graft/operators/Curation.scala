@@ -90,15 +90,21 @@ object Curation {
     // at the first real boundary after an edit just like everything
     // else.
     val bounds0 = concat(array(lit(0)), candidates, array(size(col("toks"))))
-    val forced = flatten(transform(sequence(lit(0), size(bounds0) - 2), j => {
-      val a = element_at(bounds0, j + 1)
-      val b = element_at(bounds0, j + 2)
+    // `bs0` MUST be a materialized column before the forced-cut pass:
+    // referencing the bounds EXPRESSION inside the transform lambda
+    // would re-evaluate every per-window md5 once per gap (measured
+    // 1.9 -> 14 s at sf0.1 before this split). The multi-use
+    // non-cheap alias also keeps CollapseProject from re-inlining it.
+    val forced = flatten(transform(sequence(lit(0), size(col("bs0")) - 2), j => {
+      val a = element_at(col("bs0"), j + 1)
+      val b = element_at(col("bs0"), j + 2)
       when(b - a > maxChunk, sequence(a + lit(maxChunk), b - 1, lit(maxChunk)))
         .otherwise(array().cast("array<int>"))
     }))
     docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), bounds0.as("bs0"))
       .select(col("doc_id"), col("toks"),
-        array_sort(concat(bounds0, forced)).as("bs"))
+        array_sort(concat(col("bs0"), forced)).as("bs"))
       .select(col("doc_id"), col("toks"), col("bs"),
         explode(sequence(lit(0), size(col("bs")) - 2)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
