@@ -57,7 +57,13 @@ object PlanDump {
     "exact_cosine_pairs" ->
       "Exact cosine pair mining: int8-quantized prescreen rows meet in a triangle block-pair EQUI-join (never a cartesian), ByteDot upper-bound filter inside the join, exact double-vector verify only for survivors",
     "bucketed_join" ->
-      "Storage-layout co-location: both fact scans carry the catalog bucket spec, so the sort-merge join, the bucket-key aggregation, and the TakeOrderedAndProject top-100 all run with ZERO exchanges — the one shuffle was paid at layout-write time")
+      "Storage-layout co-location: both fact scans carry the catalog bucket spec, so the sort-merge join, the bucket-key aggregation, and the TakeOrderedAndProject top-100 all run with ZERO exchanges — the one shuffle was paid at layout-write time",
+    "duplicate_spans_sampled" ->
+      "Content-defined window sampling: the mod-8 md5-prefix filter sits map-side BEFORE the dup-content aggregate, so the exchange carries ~1/8 of the windows; merge window stays doc_id-partitioned",
+    "cdc_chunk_dedup" ->
+      "Content-defined chunking: boundary candidates, the max-cut pass, and chunk fingerprints are THREE stacked projections (bounds materialized once per row — re-inlining the bounds expression into the forced-cut lambda re-evaluates every window hash per gap); dedup shares chunk_dedup's one-agg-one-join shape",
+    "ann_ivf_batch_warm" ->
+      "Warm-index batch IVF: centroids/assignment are parquet scans of the persisted store (no k-means stages in the plan); broadcast probe set, qid-partitioned top-k window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
