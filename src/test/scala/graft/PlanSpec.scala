@@ -356,6 +356,63 @@ class PlanSpec extends SparkSpec {
         "the projection stopped preserving the bundle-frame sort")
   }
 
+  test("duplicate_spans_sampled: the mod-8 keep filter sits BELOW the dup-content exchange") {
+    // the whole point of the sampled twin is that only ~1/8 of the
+    // windows enter the aggregate shuffle: the conv(substring(md5..))
+    // filter must appear map-side (in the pre-exchange stage), never
+    // after a shuffle
+    val p = plan("duplicate_spans_sampled")
+    val lines = p.split("\n")
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("conv(substring"))
+    assert(filterIdx >= 0, "mod-8 keep filter missing from the plan:\n" + p.take(1500))
+    // below the filter (deeper in the tree) there must be NO Exchange:
+    // the filter feeds directly off the narrow window generation
+    assert(!lines.drop(filterIdx).exists(_.contains("Exchange")),
+      "keep filter is above an exchange — sampling no longer prunes the shuffle:\n" +
+        lines.drop(filterIdx).mkString("\n").take(1200))
+  }
+
+  test("cdc_chunk_dedup: documents scan prunes to (doc_id, text); no window operators") {
+    val schemas = scanMeta("cdc_chunk_dedup").map(_._2)
+    assert(schemas.exists(s => s.contains("doc_id") && s.contains("text") &&
+        !s.contains("lang") && !s.contains("source")),
+      schemas.mkString("; "))
+    assert(!plan("cdc_chunk_dedup").contains("Window"),
+      "CDC chunking regressed to a window plan")
+  }
+
+  test("warm batch IVF search: index from parquet scans, no RDD-backed k-means stage") {
+    // The entry's recall summary localCheckpoints its perQ frame, so
+    // the ENTRY plan is opaque; pin the SEARCH operator itself over
+    // the persisted store (built by running the entry once): the warm
+    // path must be pure scans + joins + qid-window — >= 3 parquet
+    // scans (embeddings + centroids + assignment), no ExistingRDD (the
+    // cold path's k-means iterations pin through RDDs).
+    import graft.operators.Similarity
+    import graft.sources.WarmStore
+    Queries.all("ann_ivf_batch_warm")(spark, sfDir) // ensures the store exists
+    val (store, ready) = WarmStore.resolve(sfDir, "embeddings",
+      "graft_ivf_idx_", extraKey = "nlist32_ri2", successMarker = "_READY")
+    assert(ready, "warm store missing after running the entry")
+    val e = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(e, "vec_id", "embedding")
+    val qids = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"))
+    val search = Similarity.ivfSearchBatch(prep,
+      spark.read.parquet(store.resolve("assign").toString),
+      spark.read.parquet(store.resolve("centroids").toString),
+      qids, k = 10, nprobe = 8)
+    val sp = search.queryExecution.sparkPlan
+    val parquetScans = sp.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(parquetScans.size >= 3,
+      s"expected >=3 parquet scans in the warm search, got ${parquetScans.size}")
+    assert(!sp.toString.contains("ExistingRDD"),
+      "warm search path re-grew an RDD-backed stage:\n" + sp.toString.take(1200))
+  }
+
   test("media_decode: per-partition codec batch is a MapPartitions sandwich over a doc_id-only scan") {
     val s = plan("media_decode")
     assert(s.contains("MapPartitions"), s.take(1200))
