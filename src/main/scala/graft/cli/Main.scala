@@ -115,7 +115,11 @@ object Main {
       .getOrElse(readInput(spark, excel).toSeq.sortBy(_._1))
 
     if (o.contains("--verbose"))
-      Audit.preprocess(tables).foreach { e =>
+      // strip the distributed scan's provenance columns for the audit
+      // render, like audit-excel --dir, so "N cols" matches the sheet
+      Audit.preprocess(tables.map { case (k, df) =>
+        k -> (if (corpus.isDefined) df.drop("source_file", "row_idx") else df)
+      }).foreach { e =>
         println(f"              ${e.step}%-20s ${e.sheet}%-15s ${e.message}")
       }
 
