@@ -1247,8 +1247,13 @@ object Queries {
     // historical key derivation, so pre-refactor stores stay warm)
     val (sigDir, ready) = WarmStore.resolve(dir, "documents", "graft_base_sigs_")
     if (!ready)
-      Dedup.minhashSignaturesFast(base, "doc_id", "text")
-        .write.mode("overwrite").parquet(sigDir.toString)
+      // atomic publish: build into a temp sibling, one rename — a
+      // racing JVM's loser build is discarded, readers never see a
+      // half-written store
+      WarmStore.publish(sigDir) { tmp =>
+        Dedup.minhashSignaturesFast(base, "doc_id", "text")
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
     WarmStore.markSource(sigDir, dir)
     val baseSigs = s.read.parquet(sigDir.toString)
     val planted = base.filter(col("doc_id") % 50 === 1)
@@ -2393,18 +2398,20 @@ object Queries {
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
     val (store, ready) = WarmStore.resolve(dir, "embeddings",
       "graft_ivf_idx_", extraKey = "nlist32_ri0", successMarker = "_READY")
-    if (!ready) {
+    if (!ready)
       // same index parameters as the cold entry (nlist=32, seed
       // centroids), so the probe result — and the contract margins —
-      // are identical to ann_ivf_topk's (SimilaritySpec pins equality)
-      val (assign, centroids) = Similarity.ivfIndex(prep, nlist = 32,
-        refineIters = 0)
-      centroids.write.mode("overwrite")
-        .parquet(store.resolve("centroids").toString)
-      assign.write.mode("overwrite")
-        .parquet(store.resolve("assign").toString)
-      java.nio.file.Files.writeString(store.resolve("_READY"), "ok")
-    }
+      // are identical to ann_ivf_topk's (SimilaritySpec pins equality).
+      // Atomic publish: a racing JVM's loser build is discarded whole.
+      WarmStore.publish(store, extraKey = "nlist32_ri0") { tmp =>
+        val (assign, centroids) = Similarity.ivfIndex(prep, nlist = 32,
+          refineIters = 0)
+        centroids.write.mode("overwrite")
+          .parquet(tmp.resolve("centroids").toString)
+        assign.write.mode("overwrite")
+          .parquet(tmp.resolve("assign").toString)
+        java.nio.file.Files.writeString(tmp.resolve("_READY"), "ok")
+      }
     WarmStore.markSource(store, dir)
     val ann = Similarity.ivfProbe(prep,
       s.read.parquet(store.resolve("assign").toString),
@@ -2433,15 +2440,16 @@ object Queries {
     val prep = Similarity.prepared(e, "vec_id", "embedding")
     val (store, ready) = WarmStore.resolve(dir, "embeddings",
       "graft_ivf_idx_", extraKey = "nlist32_ri2", successMarker = "_READY")
-    if (!ready) {
-      val (assign, centroids) = Similarity.ivfIndex(prep, nlist = 32,
-        refineIters = 2)
-      centroids.write.mode("overwrite")
-        .parquet(store.resolve("centroids").toString)
-      assign.write.mode("overwrite")
-        .parquet(store.resolve("assign").toString)
-      java.nio.file.Files.writeString(store.resolve("_READY"), "ok")
-    }
+    if (!ready)
+      WarmStore.publish(store, extraKey = "nlist32_ri2") { tmp =>
+        val (assign, centroids) = Similarity.ivfIndex(prep, nlist = 32,
+          refineIters = 2)
+        centroids.write.mode("overwrite")
+          .parquet(tmp.resolve("centroids").toString)
+        assign.write.mode("overwrite")
+          .parquet(tmp.resolve("assign").toString)
+        java.nio.file.Files.writeString(tmp.resolve("_READY"), "ok")
+      }
     WarmStore.markSource(store, dir)
     val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
     val ann = Similarity.ivfSearchBatch(prep,
@@ -2484,15 +2492,16 @@ object Queries {
     val inc = all.filter(col("id") % 5 === 0)
     val (store, ready) = WarmStore.resolve(dir, "embeddings",
       "graft_ivf_append_", extraKey = "nlist32_ri2_base80", successMarker = "_READY")
-    if (!ready) {
-      val (assign, centroids) = Similarity.ivfIndex(base, nlist = 32,
-        refineIters = 2)
-      centroids.write.mode("overwrite")
-        .parquet(store.resolve("centroids").toString)
-      assign.write.mode("overwrite")
-        .parquet(store.resolve("assign").toString)
-      java.nio.file.Files.writeString(store.resolve("_READY"), "ok")
-    }
+    if (!ready)
+      WarmStore.publish(store, extraKey = "nlist32_ri2_base80") { tmp =>
+        val (assign, centroids) = Similarity.ivfIndex(base, nlist = 32,
+          refineIters = 2)
+        centroids.write.mode("overwrite")
+          .parquet(tmp.resolve("centroids").toString)
+        assign.write.mode("overwrite")
+          .parquet(tmp.resolve("assign").toString)
+        java.nio.file.Files.writeString(tmp.resolve("_READY"), "ok")
+      }
     WarmStore.markSource(store, dir)
     val centroids = s.read.parquet(store.resolve("centroids").toString)
     val grown = s.read.parquet(store.resolve("assign").toString)

@@ -58,20 +58,62 @@ object WarmStore {
       java.util.UUID.nameUUIDFromBytes(keyBase.getBytes("UTF-8")).toString)
     val ready = java.nio.file.Files.exists(store.resolve(successMarker))
     if (!ready) cleanupSuperseded(tmpRoot, store, prefix, sfDir, extraKey)
-    // Record the PARAMETER key alongside the store (backfilled on
-    // reuse): two differently-parameterized stores of the same
-    // (prefix, source) are SIBLINGS, not supersessions — without this
-    // marker, building ann_ivf's refined-index store would delete the
-    // seed-index store it coexists with. Missing marker (pre-r12
-    // stores) reads as "".
+    // Backfill the PARAMETER-key marker on existing stores (pre-r12
+    // builds and direct-write callers): two differently-parameterized
+    // stores of the same (prefix, source) are SIBLINGS, not
+    // supersessions — without the marker, building ann_ivf's
+    // refined-index store would delete the seed-index store it
+    // coexists with. Missing marker reads as "". Fresh stores get the
+    // marker from [[publish]].
     try {
-      java.nio.file.Files.createDirectories(store)
-      if (!java.nio.file.Files.exists(store.resolve("_extra_key")))
+      if (java.nio.file.Files.isDirectory(store) &&
+          !java.nio.file.Files.exists(store.resolve("_extra_key")))
         java.nio.file.Files.writeString(store.resolve("_extra_key"), extraKey)
     } catch {
       case _: java.io.IOException => () // best-effort, like markSource
     }
     (store, ready)
+  }
+
+  /** Build a store ATOMICALLY: `build` writes every part (including
+    * its success marker) into a temp sibling, which is then published
+    * to `store` with one atomic rename. Two JVMs racing the same
+    * build each construct a private temp; the loser's rename fails on
+    * the winner's directory and its temp is discarded — the reader
+    * path after either outcome sees only a COMPLETE store, never an
+    * interleaved half-build (the hazard of building in place with
+    * mode=overwrite parquet writes). Returns true if this call's
+    * build won. The temp lives beside the store (same filesystem, so
+    * the move is truly atomic) and carries the `_extra_key` sibling
+    * marker from birth.
+    */
+  def publish(store: java.nio.file.Path, extraKey: String = "")
+      (build: java.nio.file.Path => Unit): Boolean = {
+    val tmp = store.resolveSibling(
+      store.getFileName.toString + ".build-" + java.util.UUID.randomUUID())
+    def discard(): Unit =
+      try {
+        if (java.nio.file.Files.exists(tmp)) {
+          val w = java.nio.file.Files.walk(tmp)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally w.close()
+        }
+      } catch { case _: java.io.IOException => () }
+    try {
+      java.nio.file.Files.createDirectories(tmp)
+      build(tmp)
+      // AFTER build: a mode=overwrite parquet write into tmp replaces
+      // the directory, which would erase a pre-written marker
+      java.nio.file.Files.writeString(tmp.resolve("_extra_key"), extraKey)
+      try {
+        java.nio.file.Files.move(tmp, store,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.io.IOException => discard(); false // lost the race
+      }
+    } catch { case e: Throwable => discard(); throw e }
   }
 
   /** Record the store's source dir so [[resolve]]'s cleanup can
@@ -90,15 +132,21 @@ object WarmStore {
       .filter(_ != keep)
       .foreach { p =>
         try {
+          // in-flight [[publish]] temps are never supersession
+          // candidates; ORPHANED temps (a crashed build) are reclaimed
+          // once stale — an active build finishes in minutes
+          val isTemp = p.getFileName.toString.contains(".build-")
+          val stale = isTemp && (System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(p).toMillis) > 3600000L
           val marker = p.resolve("_source_dir")
           val keyMarker = p.resolve("_extra_key")
           val siblingKey =
             if (java.nio.file.Files.exists(keyMarker))
               java.nio.file.Files.readString(keyMarker)
             else ""
-          if (siblingKey == extraKey &&
+          if (stale || (!isTemp && siblingKey == extraKey &&
               java.nio.file.Files.exists(marker) &&
-              java.nio.file.Files.readString(marker) == sfDir) {
+              java.nio.file.Files.readString(marker) == sfDir)) {
             val victims = java.nio.file.Files.walk(p)
             try victims.sorted(java.util.Comparator.reverseOrder())
               .forEach(f => java.nio.file.Files.deleteIfExists(f))

@@ -331,7 +331,9 @@ class ScalePatternSpec extends SparkSpec {
     java.nio.file.Files.writeString(src, "v1")
     val (a, _) = WarmStore.resolve(tmp.toString, "documents",
       "graft_ws_sib_", extraKey = "ri0")
-    java.nio.file.Files.writeString(a.resolve("_SUCCESS"), "")
+    WarmStore.publish(a, extraKey = "ri0") { t =>
+      java.nio.file.Files.writeString(t.resolve("_SUCCESS"), "")
+    }
     WarmStore.markSource(a, tmp.toString)
     // building the differently-keyed sibling (cold -> cleanup runs)
     val (b, readyB) = WarmStore.resolve(tmp.toString, "documents",
@@ -339,7 +341,9 @@ class ScalePatternSpec extends SparkSpec {
     assert(!readyB && b != a)
     assert(java.nio.file.Files.exists(a.resolve("_SUCCESS")),
       "sibling store with a different extraKey was wrongly reclaimed")
-    java.nio.file.Files.writeString(b.resolve("_SUCCESS"), "")
+    WarmStore.publish(b, extraKey = "ri2") { t =>
+      java.nio.file.Files.writeString(t.resolve("_SUCCESS"), "")
+    }
     WarmStore.markSource(b, tmp.toString)
     // content change: each key's store supersedes only its OWN
     // predecessor
@@ -351,6 +355,42 @@ class ScalePatternSpec extends SparkSpec {
       "same-key superseded store was not reclaimed")
     assert(java.nio.file.Files.exists(b.resolve("_SUCCESS")),
       "other-key sibling was reclaimed by a same-source rebuild")
+  }
+
+  test("WarmStore.publish: atomic build — loser of a race is discarded, winner's store intact") {
+    import graft.sources.WarmStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_pub")
+    val store = tmp.resolve("graft_ws_pub_deadbeef")
+    // winner publishes a complete store
+    val won = WarmStore.publish(store, extraKey = "k1") { t =>
+      java.nio.file.Files.writeString(t.resolve("part"), "winner")
+      java.nio.file.Files.writeString(t.resolve("_READY"), "ok")
+    }
+    assert(won)
+    assert(java.nio.file.Files.readString(store.resolve("part")) == "winner")
+    assert(java.nio.file.Files.readString(store.resolve("_extra_key")) == "k1")
+    // a second builder loses the race: its temp is discarded, the
+    // winner's store is untouched, and the call reports the loss
+    val lost = WarmStore.publish(store, extraKey = "k1") { t =>
+      java.nio.file.Files.writeString(t.resolve("part"), "loser")
+      java.nio.file.Files.writeString(t.resolve("_READY"), "ok")
+    }
+    assert(!lost)
+    assert(java.nio.file.Files.readString(store.resolve("part")) == "winner")
+    // no temp debris survives either outcome
+    val ls = java.nio.file.Files.list(tmp)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString).toList
+    } finally ls.close()
+    assert(names == List("graft_ws_pub_deadbeef"), names.toString)
+    // a failing build never leaves a half-store behind
+    intercept[RuntimeException] {
+      WarmStore.publish(tmp.resolve("graft_ws_pub_other"), "k") { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!java.nio.file.Files.exists(tmp.resolve("graft_ws_pub_other")))
   }
 
   test("BucketedLayout.append: the grown twin still joins exchange-free and loses no rows") {
