@@ -2351,6 +2351,20 @@ object Queries {
       queryId = 0L, k = 10)
   }
 
+  /** Product-quantization ANN top-10 (Jegou et al. 2011): sampled
+    * per-subspace codebooks, map-only encode to m=16 codes + a stored
+    * norm (~16x memory shrink at dim 64), ADC table-lookup scan,
+    * exact rerank of the top-100 candidates. Same recall contract as
+    * the IVF/LSH entries ([[annRecallSummary]], recall@10 >= 0.7
+    * asserted; the exact-side stats are recomputed by DuckDB).
+    */
+  private def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val ann = Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, m = 16, ksub = 16, iters = 3, rerank = 100)
+    annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 7)
+  }
+
   /** Bloom-pruned join: lineitem rows are pre-filtered by a broadcast
     * Bloom filter over the high-value order keys before the exact
     * join — shuffle volume scales with matches, not corpus. Exact
@@ -2700,6 +2714,7 @@ object Queries {
     "corpus_funnel" -> (corpusFunnel _),
     "q44_salted_join" -> (q44SaltedJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
+    "ann_pq_topk" -> (annPqTopK _),
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
     "q45_typed_agg" -> (q45TypedAgg _),
@@ -3653,6 +3668,7 @@ object Queries {
     // one-hit margin below every observed SF value; BASELINE.md r9).
     "ann_lsh_topk" -> AnnSingleOracleSql,
     "ann_ivf_topk" -> AnnSingleOracleSql,
+    "ann_pq_topk" -> AnnSingleOracleSql,
     // Round 10: warm (persisted-index) IVF — same probe, same contract.
     "ann_ivf_warm" -> AnnSingleOracleSql,
     "ann_ivf_batch_warm" -> AnnBatchOracleSql,

@@ -474,6 +474,44 @@ class SimilaritySpec extends SparkSpec {
     assert(e1.forall(r => r.getBoolean(3) && r.getBoolean(4)),
       s"append contract booleans not TRUE: $e1")
   }
+
+  test("PQ: codebook shape, int codes in range, full-rerank == brute force, entry recall") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val m = 8
+    val cb = Similarity.pqCodebooks(prep, m = m, ksub = 16, iters = 2)
+    // shape: m books, <= ksub centroids each, each centroid dim d/m
+    assert(cb.length == m)
+    assert(cb.forall(book => book.nonEmpty && book.length <= 16))
+    assert(cb.forall(_.forall(_.length == 8)))
+    val enc = Similarity.pqEncode(prep, cb)
+    // every vector carries exactly m codes, each a valid book index
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m)
+      codes.zipWithIndex.foreach { case (c, mi) =>
+        assert(c >= 0 && c < cb(mi).length, s"code $c out of range at sub $mi")
+      }
+    }
+    // rerank = corpus size degrades PQ to the exact brute force: the
+    // ADC pass only ORDERS candidates, the rerank rescores exactly
+    val n = prep.count().toInt
+    val full = Similarity.pqSearch(prep, enc, cb, queryId = 0L, k = 10,
+      rerank = n).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().filter(_.getLong(0) != 0L).take(10)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"full-rerank PQ != brute force:\n$full\n$brute")
+    // the entry configuration keeps recall@10 >= 0.7
+    val ann = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, m = 16, ksub = 16, iters = 3, rerank = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.size == 10, s"expected 10 rows, got ${ann.size}")
+    val recall = (ann & brute.map(_._1).toSet).size.toDouble / 10.0
+    assert(recall >= 0.7, s"PQ recall@10 too low: $recall")
+  }
 }
 
 object SimilaritySpec {
