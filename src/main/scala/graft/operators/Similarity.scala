@@ -731,12 +731,23 @@ object Similarity {
     * ADC-scan + exact rerank. The cold path; at the design point the
     * codebook + encoded frame are a persisted artifact built once per
     * corpus and each query pays only [[pqSearch]].
+    *
+    * `rerank = 0` (the default) scales the candidate set as
+    * ~4*sqrt(N): ADC error is corpus-size-independent, but the sim
+    * DENSITY near the top-k boundary grows with N, so a FIXED rerank
+    * loses recall as the corpus grows (measured: recall_ok flipped
+    * false at 10x under rerank=100). sqrt keeps the rerank a
+    * vanishing fraction of the corpus (2.8% at 20k, 0.9% at 200k,
+    * ~0.01% at 1e9) while tracking the boundary crowding.
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int = 10, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      rerank: Int = 50, sampleCap: Long = 100000L): DataFrame = {
+      k: Int = 10, m: Int = 16, ksub: Int = 64, iters: Int = 2,
+      rerank: Int = 0, sampleCap: Long = 100000L): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
     val cb = pqCodebooks(prep, m, ksub, iters, sampleCap)
-    pqSearch(prep, pqEncode(prep, cb), cb, queryId, k, rerank)
+    val r =
+      if (rerank > 0) rerank
+      else math.max(100, (4.0 * math.sqrt(prep.count().toDouble)).ceil.toInt)
+    pqSearch(prep, pqEncode(prep, cb), cb, queryId, k, r)
   }
 }

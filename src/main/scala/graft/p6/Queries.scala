@@ -2354,14 +2354,16 @@ object Queries {
   /** Product-quantization ANN top-10 (Jegou et al. 2011): sampled
     * per-subspace codebooks, map-only encode to m=16 codes + a stored
     * norm (~16x memory shrink at dim 64), ADC table-lookup scan,
-    * exact rerank of the top-100 candidates. Same recall contract as
-    * the IVF/LSH entries ([[annRecallSummary]], recall@10 >= 0.7
+    * exact rerank of the top ~4*sqrt(N) candidates (the sqrt scaling
+    * tracks boundary crowding as the corpus grows — a fixed rerank
+    * measured recall_ok=false at 10x). Same recall contract as the
+    * IVF/LSH entries ([[annRecallSummary]], recall@10 >= 0.7
     * asserted; the exact-side stats are recomputed by DuckDB).
     */
   private def annPqTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val ann = Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 10, m = 16, ksub = 16, iters = 3, rerank = 100)
+      queryId = 0L, k = 10, m = 16, ksub = 64, iters = 2)
     annRecallSummary(exactTop10(s, dir), ann, k = 10, minHits = 7)
   }
 

@@ -504,9 +504,10 @@ class SimilaritySpec extends SparkSpec {
       .collect().filter(_.getLong(0) != 0L).take(10)
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == brute, s"full-rerank PQ != brute force:\n$full\n$brute")
-    // the entry configuration keeps recall@10 >= 0.7
+    // the entry configuration (auto sqrt-scaled rerank) keeps
+    // recall@10 >= 0.7
     val ann = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
-      k = 10, m = 16, ksub = 16, iters = 3, rerank = 100)
+      k = 10, m = 16, ksub = 64, iters = 2)
       .collect().map(_.getLong(0)).toSet
     assert(ann.size == 10, s"expected 10 rows, got ${ann.size}")
     val recall = (ann & brute.map(_._1).toSet).size.toDouble / 10.0
