@@ -52,6 +52,15 @@ object VectorExpressions {
       org.apache.spark.sql.graft.SignProjection(
         ColumnBridge.expression(v), bits, tables))
 
+  /** All m product-quantization codes of a vector in one compiled
+    * pass (array<int>, one argmin-L2 code per subspace) — the
+    * map-only PQ encoder ([[graft.operators.Similarity.pqEncode]]).
+    */
+  def pq_encode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.PqEncodeCodes(
+        ColumnBridge.expression(v), codebook))
+
   /** Whole-document MinHash signature in one codegen'd pass — the
     * map-only replacement for shingle_explode + minhash_agg (bit-
     * identical signatures, no generator rows, no groupBy exchange).

@@ -559,24 +559,6 @@ object Similarity {
       .agg(min(col("a")).as("kept"), round(max(col("cos")), 4).as("max_cos"))
   }
 
-  /** Squared L2 between two double-array columns (HOF fold; the
-    * arrays here are dsub-element PQ subvectors, so the interpreted
-    * lambda cost is a handful of flops per pair).
-    */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** The per-vector subvector split for product quantization: `m`
-    * contiguous (d/m)-dim slices. d must be divisible by m (asserted
-    * at the callers via the codebook shape); dsub is derived per-row
-    * from size(v) so no dimension constant threads through.
-    */
-  private def subvectors(m: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)),
-      mi => slice(col("v"), mi * (size(col("v")) / m) + 1,
-        size(col("v")) / m))
-
   /** Product-quantization codebooks (Jegou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector
     * into `m` contiguous subvectors and k-means each subspace to
@@ -584,101 +566,93 @@ object Similarity {
     * (+ one stored norm), a ~(4*d)/(m) byte-level shrink that is THE
     * public path to billion-vector in-memory ANN.
     *
-    * Scale shape: training reads a hash-deterministic SAMPLE of at
-    * most ~`sampleCap` vectors (codebooks are a distribution estimate;
-    * the full corpus adds nothing at 100 TB), and every Lloyd
-    * iteration covers ALL m subspaces in ONE grouped job over the
-    * exploded (id, sub, subvector) frame — not m sequential k-means.
-    * The centroid table is m*ksub rows (bounded), pinned driver-side
-    * between iterations exactly like [[kmeansCentroids]]. Seeds are
-    * the ksub lowest-id subvectors per subspace: deterministic, no
-    * side files. Empty cells keep their previous centroid so the
-    * codebook shape never shrinks mid-iteration.
+    * Scale shape: codebooks are a DISTRIBUTION ESTIMATE — training
+    * reads a hash-deterministic sample of at most ~`sampleCap`
+    * vectors (the full corpus adds nothing at 100 TB) and runs the
+    * Lloyd iterations DRIVER-SIDE over that bounded sample: one Spark
+    * job total regardless of `iters`, the same bounded-collect
+    * contract as [[kmeansCentroids]]' per-iteration pin and
+    * Curation's capped driver histogram. (A first cut trained
+    * distributed; at sf0.1 the per-iteration stage/broadcast/plan
+    * latency was 6.8 s of a 7.5 s entry for milliseconds of actual
+    * arithmetic — the distributed passes are encode and search, which
+    * scale with the corpus; training does not.) Seeds are the ksub
+    * lowest-id subvectors per subspace: deterministic, no side files.
+    * Argmin ties break to the lowest code; empty cells keep their
+    * previous centroid so the codebook shape never shrinks.
     *
     * Returns the codebook as a driver-side m x ksub' x dsub array
-    * (ksub' <= ksub when the sample is tiny) — a bounded collect with
-    * the same contract as kmeansCentroids' per-iteration pin.
+    * (ksub' <= ksub when the sample is tiny).
     */
   def pqCodebooks(prep: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2, sampleCap: Long = 100000L): Array[Array[Array[Double]]] = {
-    val spark = prep.sparkSession
-    val n = prep.count()
+      iters: Int = 2, sampleCap: Long = 20000L,
+      knownCount: Long = -1L): Array[Array[Array[Double]]] = {
+    val n = if (knownCount >= 0) knownCount else prep.count()
     val den = math.max(1L, n / math.max(1L, sampleCap))
     val sampled =
       if (den <= 1L) prep
       else prep.filter(pmod(xxhash64(col("id")), lit(den)) === 0)
-    val sv = sampled.select(col("id"),
-        posexplode(subvectors(m)).as(Seq("sub", "sv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sub",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("cv",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
-    def pin(df: DataFrame): DataFrame = {
-      val rows = df.select(col("sub").cast("int"), col("code").cast("int"),
-        col("cv")).collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-    }
-    try {
-      val w = Window.partitionBy(col("sub")).orderBy(col("id"))
-      var centroids = pin(sv
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= ksub)
-        .select(col("sub"), (col("__rn") - 1).as("code"), col("sv").as("cv")))
-      var i = 0
-      while (i < iters) {
-        val assign = sv.join(broadcast(centroids), "sub")
-          .select(col("id"), col("sub"), col("code"),
-            l2sq(col("sv"), col("cv")).as("d"))
-          .groupBy(col("id"), col("sub"))
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-        val means = sv.join(assign, Seq("id", "sub"))
-          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("j", "x")))
-          .groupBy(col("sub"), col("code"), col("j"))
-          .agg(avg(col("x")).as("mn"))
-          .groupBy(col("sub"), col("code"))
-          .agg(transform(sort_array(collect_list(struct(col("j"), col("mn")))),
-            s => s.getField("mn")).as("cv"))
-        centroids = pin(centroids
-          .select(col("sub"), col("code"), col("cv").as("__prev"))
-          .join(means, Seq("sub", "code"), "left")
-          .select(col("sub"), col("code"),
-            coalesce(col("cv"), col("__prev")).as("cv")))
-        i += 1
+    val sample = sampled.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val d = sample.head._2.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    Array.tabulate(m) { mi =>
+      val subs = sample.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub) }
+      val k = math.min(ksub, subs.length)
+      val cents = Array.tabulate(k)(c => subs(c).clone) // lowest-id seeds
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val cnts = new Array[Long](k)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dd = 0.0; var j = 0
+            while (j < dsub) { val t = s(j) - cents(c)(j); dd += t * t; j += 1 }
+            if (dd < bestD) { bestD = dd; best = c } // strict < => lowest code
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += s(j); j += 1 }
+          cnts(best) += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (cnts(c) > 0) {
+            var j = 0
+            while (j < dsub) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+          } // empty cell keeps its previous centroid
+          c += 1
+        }
+        it += 1
       }
-      centroids.collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        .groupBy(_._1).toArray.sortBy(_._1)
-        .map(_._2.sortBy(_._2).map(_._3))
-    } finally { sv.unpersist(false); () }
+      cents
+    }
   }
 
   /** MAP-ONLY PQ encoding: each vector becomes its m codebook codes
-    * (argmin squared-L2 per subspace; ties break to the lowest code)
-    * plus its EXACT norm — the per-vector state an ADC scan needs.
-    * The codebook rides along as a nested array LITERAL (m*ksub*dsub
-    * doubles, ~8 KB at the defaults), so encoding is one projection:
-    * no join, no shuffle, no broadcast variable. At 100 TB this is
-    * the pass that shrinks the corpus ~32x before any search touches
-    * it.
+    * plus its EXACT norm — the per-vector state an ADC scan needs —
+    * in ONE projection through the native
+    * [[graft.functions.VectorExpressions.pq_encode]] kernel (one
+    * compiled eval per vector; the codebook serializes with the
+    * expression). No join, no shuffle, no broadcast variable: at
+    * 100 TB this is the pass that shrinks the corpus ~16x before any
+    * search touches it, and it composes with whatever partitioning
+    * the corpus already has. (Measured at sf10, 200k vectors: 148 s
+    * as an exploded broadcast-join assign, 17 s as a higher-order
+    * transform with a native dot per centroid, sub-second as this
+    * kernel — see PqEncodeCodes' scaladoc.)
     */
-  def pqEncode(prep: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
-    val m = cb.length
-    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    prep.select(col("id"), subvectors(m).as("__subs"),
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("norm"))
-      .select(col("id"),
-        transform(col("__subs"), (sv, mi) => {
-          val dists = transform(element_at(cbLit, mi + 1),
-            cv => l2sq(cv, sv))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }).as("codes"),
-        col("norm"))
-  }
+  def pqEncode(prep: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    prep.select(col("id"),
+      VectorExpressions.pq_encode(col("v"),
+        cb.map(_.map(_.toSeq).toSeq).toSeq).as("codes"),
+      sqrt(VectorExpressions.dot_product(col("v"), col("v"))).as("norm"))
 
   /** PQ asymmetric-distance top-k (ADC) with exact rerank: the query
     * stays un-quantized; its dot product against every codebook
@@ -744,10 +718,11 @@ object Similarity {
       k: Int = 10, m: Int = 16, ksub: Int = 64, iters: Int = 2,
       rerank: Int = 0, sampleCap: Long = 100000L): DataFrame = {
     val prep = prepared(df, idCol, vecCol)
-    val cb = pqCodebooks(prep, m, ksub, iters, sampleCap)
+    val n = prep.count()
+    val cb = pqCodebooks(prep, m, ksub, iters, sampleCap, knownCount = n)
     val r =
       if (rerank > 0) rerank
-      else math.max(100, (4.0 * math.sqrt(prep.count().toDouble)).ceil.toInt)
+      else math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt)
     pqSearch(prep, pqEncode(prep, cb), cb, queryId, k, r)
   }
 }

@@ -469,6 +469,98 @@ case class SortedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: all m subspace codes of a vector in
+  * ONE compiled pass — per subspace, argmin squared-L2 over that
+  * subspace's codebook, computed as |c|^2 - 2*s.c with |c|^2
+  * precomputed once per expression instance. Ties break to the
+  * lowest code (strict <), matching min_by((d, code)) and
+  * array_position-of-min. The codebook is a Seq so case-class
+  * equality/canonicalization stay structural; it serializes with the
+  * expression into the task binary (m*ksub*dsub doubles — ~64 KB at
+  * the entry defaults, bounded by construction).
+  *
+  * This replaced two slower formulations, both measured at sf10
+  * (200k vectors, m=16, ksub=64): an exploded broadcast-join assign
+  * (~148 s — 205M joined rows of shuffle machinery for microseconds
+  * of arithmetic) and a higher-order transform over a codebook
+  * literal with a native dot inside (~17 s — one interpreted
+  * expression eval per CENTROID). One eval per VECTOR amortizes all
+  * per-eval overhead across the m*ksub*dsub flops.
+  */
+case class PqEncodeCodes(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "codebook must have at least one centroid per subspace")
+  require(codebook.forall(_.forall(_.length == codebook.head.head.length)),
+    "all centroids must share one subspace dimension")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  // volatile publish, same reasoning as SignProjection's weight cache
+  @transient @volatile private var cents: Array[Array[Array[Double]]] = _
+  @transient @volatile private var cn2: Array[Array[Double]] = _
+
+  private def tables(): (Array[Array[Array[Double]]], Array[Array[Double]]) = {
+    val c0 = cents
+    if (c0 != null) return (c0, cn2)
+    val c = codebook.map(_.map(_.toArray).toArray).toArray
+    val n2 = c.map(_.map { cv =>
+      var s = 0.0; var j = 0
+      while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
+      s
+    })
+    cn2 = n2
+    cents = c
+    (c, n2)
+  }
+
+  def encode(input: ArrayData): ArrayData = {
+    val (c, n2) = tables()
+    val m = c.length
+    val dsub = c(0)(0).length
+    require(input.numElements() >= m * dsub,
+      s"vector dim ${input.numElements()} < $m x $dsub")
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val book = c(mi)
+      val norms = n2(mi)
+      val base = mi * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < book.length) {
+        val cv = book(ci)
+        var dot = 0.0
+        var j = 0
+        while (j < dsub) { dot += cv(j) * input.getDouble(base + j); j += 1 }
+        val dd = norms(ci) - 2.0 * dot
+        if (dd < bestD) { bestD = dd; best = ci }
+        ci += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression converters for expression-building facades. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
