@@ -52,6 +52,13 @@ object VectorExpressions {
       org.apache.spark.sql.graft.SignProjection(
         ColumnBridge.expression(v), bits, tables))
 
+  /** Low 64 bits of md5 (little-endian digest bytes 8..15) — DuckDB's
+    * `md5_number_lower` twin; use BIT ops only (see kernel scaladoc).
+    */
+  def md5_lower64(s: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.Md5Lower64(ColumnBridge.expression(s)))
+
   /** All m product-quantization codes of a vector in one compiled
     * pass (array<int>, one argmin-L2 code per subspace) — the
     * map-only PQ encoder ([[graft.operators.Similarity.pqEncode]]).

@@ -874,6 +874,38 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Model-based quality filtering — the classifier-scoring stage of
+    * the modern pretraining funnel (fineweb-edu / DCLM style: score
+    * every document with a cheap linear model, keep above threshold).
+    * The model here is a HASHED linear model with weights derived
+    * from the token hash itself (feature-hashing trick taken to its
+    * closed form), so both engines recompute it exactly: per token,
+    * w = (md5_lower64(tk) >>> 3) & 4095 — bit ops only, identical on
+    * a signed long and DuckDB's UBIGINT — per doc the token-mean is
+    * squashed by the rational sigmoid z/(1+|z|) (no transcendentals:
+    * bit-identical across libm implementations). The scan is
+    * MAP-ONLY per doc + one lang-grouped aggregate; at 100 TB scoring
+    * fuses into whatever projection already reads the text.
+    */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val ws = transform(toks, tk =>
+      shiftrightunsigned(VectorExpressions.md5_lower64(tk), 3)
+        .bitwiseAND(lit(4095L)).cast("double"))
+    val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
+      size(toks).cast("double")
+    val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
+    val score = round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+    t(s, dir, "documents")
+      .select(col("lang"), score.as("score"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("lang"))
+  }
+
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select((col("doc_id") % 10).as("bucket"),
@@ -2682,6 +2714,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "text_quality" -> (textQuality _),
+    "quality_classifier" -> (qualityClassifier _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "ann_cosine_topk" -> (annCosineTopK _),
@@ -3600,6 +3633,28 @@ object Queries {
           FROM qz z, q WHERE z.vec_id <> 0)
         SELECT id, round(cos, 4) AS sim FROM d
         ORDER BY sim DESC, id LIMIT 10""",
+    // Hashed linear classifier: weights ARE the token hash (bit ops on
+    // md5_number_lower — representation-identical to the Spark
+    // kernel's signed long), rational sigmoid (no libm), per-doc sums
+    // are exact integer arithmetic in doubles — both engines agree to
+    // the bit before the final 1e-4 rounding.
+    "quality_classifier" ->
+      """WITH t AS (SELECT lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      s AS (SELECT lang,
+          list_sum(list_transform(toks,
+            tk -> CAST((md5_number_lower(tk) >> 3) & 4095 AS DOUBLE)))
+            / CAST(len(toks) AS DOUBLE) AS meanw
+        FROM t),
+      z AS (SELECT lang, (meanw / 2048.0 - 1.0) * 6.0 AS z FROM s),
+      sc AS (SELECT lang,
+          round(0.5 + 0.5 * z / (1.0 + abs(z)), 4) AS score FROM z)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        round(avg(score), 4) AS avg_score
+      FROM sc GROUP BY 1 ORDER BY 1""",
     "text_quality" ->
       """SELECT lang, count(*) AS n_docs,
         round(avg(n_tok), 4) AS avg_tokens,

@@ -469,6 +469,49 @@ case class SortedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Low 64 bits of md5(string) — digest bytes 8..15, little-endian —
+  * the exact value DuckDB's `md5_number_lower` returns (the same
+  * basis [[SimHash64]] uses internally with md5Basis=true), exposed
+  * as a scalar so entries can build engine-portable hash-derived
+  * features with BIT operations (shifts/masks are representation-
+  * identical between this signed long and DuckDB's UBIGINT; modulo
+  * is NOT — avoid it).
+  */
+case class Md5Lower64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_lower64"
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def hash(tk: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(tk.getBytes)
+    java.nio.ByteBuffer.wrap(digest, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5l64", this, classOf[Md5Lower64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.hash($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder: all m subspace codes of a vector in
   * ONE compiled pass — per subspace, argmin squared-L2 over that
   * subspace's codebook, computed as |c|^2 - 2*s.c with |c|^2
