@@ -64,6 +64,8 @@ object PlanDump {
       "Content-defined chunking: boundary candidates, the max-cut pass, and chunk fingerprints are THREE stacked projections (bounds materialized once per row — re-inlining the bounds expression into the forced-cut lambda re-evaluates every window hash per gap); dedup shares chunk_dedup's one-agg-one-join shape",
     "ann_ivf_batch_warm" ->
       "Warm-index batch IVF: centroids/assignment are parquet scans of the persisted store (no k-means stages in the plan); broadcast probe set, qid-partitioned top-k window",
+    "token_budget_pack" ->
+      "Token-budget packing: map-only hashed-linear scoring on the scan, ONE range exchange (what any global sort costs) feeding the native PrefixScanExec running sum, keep-filter + final aggregate map-side — no single-task WindowExec anywhere",
     "ann_pq_topk" ->
       "Product-quantization ANN recall summary (the operator side — pq_encode kernel as ONE projection on the scan, map-side ADC scores, TakeOrdered candidate bound, exact rescore of candidates only — executes under the summary's localCheckpoint, so this dump shows the contract join over its pinned <=k rows: Scan ExistingRDD)")
 

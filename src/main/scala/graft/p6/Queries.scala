@@ -1222,6 +1222,53 @@ object Queries {
       .select(col("n_in"), col("n_out"), (col("n_in") - col("n_out")).as("n_removed"))
   }
 
+  /** Leakage-safe train/eval split: [[q23StableSplit]]'s hash split
+    * decides per DOCUMENT, so two near-duplicates can land on
+    * opposite sides — exactly the train/test contamination a
+    * pretraining pipeline must prevent. Here the split key is the
+    * near-dup COMPONENT representative (min-id over the exact-Jaccard
+    * edge set, the same edges/components dedup_corpus resolves), so
+    * every member of a duplicate cluster follows its representative
+    * and the cross-split verified-pair count is ZERO by construction
+    * — emitted as a column the oracle recomputes, so a leaky split
+    * hash-mismatches instead of passing silently. Singletons keep
+    * their own id as representative, reducing to the plain stable
+    * split. Scale shape: edges come from the banded MinHash pipeline
+    * (no all-pairs), components from the two-tier
+    * [[graft.operators.Dedup.connectedComponents]]; the split itself
+    * is one broadcast-light left join + a map-side md5.
+    */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    // the edge set feeds three consumers (components, the pair count,
+    // the cross-split audit) — pin it once
+    val edges = Dedup.jaccardVerify(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val comp = Dedup.connectedComponents(edges)
+    val split = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextOps.stableSplit(coalesce(col("component"), col("doc_id")))
+          .as("split"))
+      .localCheckpoint(true)
+    val cross = edges
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb"))
+    split.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("n_linked_docs"),
+        countDistinct(col("component")).as("n_components"))))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(cross.agg(count(lit(1)).as("n_cross_pairs"))))
+  }
+
   /** Incremental dedup: the corpus splits into an 80% "yesterday" base
     * and a 20% increment, the increment additionally carrying re-idd
     * COPIES of base docs (planted cross-batch dups the operator must
@@ -1888,6 +1935,52 @@ object Queries {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard_id"))
+  }
+
+  /** Token-budget corpus packing: the "give me the best B tokens"
+    * curation step — score every document with the hashed linear
+    * quality model ([[qualityClassifier]]'s bit-identical closed
+    * form), order by score descending (doc_id tie-break), and
+    * greedily keep every document whose inclusive running token
+    * count stays within a global budget (40% of corpus tokens here,
+    * so the cut binds at every SF). The running count over a GLOBAL
+    * order is the trap: a partition-less window serializes the
+    * corpus through one task, so this uses
+    * [[graft.operators.GlobalRank.withPrefixSum]] — range-partitioned
+    * sort + the native two-pass PrefixScanExec. Shape at 100 TB: one
+    * map-only scoring pass, one range shuffle (what any global sort
+    * costs), the O(#partitions) offsets job, a map-side filter, one
+    * aggregate. The budget itself is integer arithmetic (total*2/5)
+    * so both engines compute it exactly.
+    */
+  private def tokenBudgetPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    import graft.functions.VectorExpressions
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val ws = transform(toks, tk =>
+      shiftrightunsigned(VectorExpressions.md5_lower64(tk), 3)
+        .bitwiseAND(lit(4095L)).cast("double"))
+    val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
+      size(toks).cast("double")
+    val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
+    val score = round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), score.as("score"),
+        size(toks).cast("long").as("ntoks"))
+    // single-row aggregate to the driver: the budget is a scalar knob
+    val total = docs.agg(sum(col("ntoks"))).collect()(0).getLong(0)
+    val budget = total * 2 / 5
+    val kept = (col("excl") + col("ntoks")) <= lit(budget)
+    GlobalRank.withPrefixSum(docs,
+        Seq(col("score").desc, col("doc_id")), col("ntoks"), "excl")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        lit(total).as("tokens_total"),
+        lit(budget).as("budget"),
+        sum(when(kept, col("ntoks")).otherwise(0L)).as("tokens_kept"),
+        min(when(kept, col("score"))).as("min_kept_score"),
+        max(when(!kept, col("score"))).as("max_dropped_score"))
   }
 
   /** Fact-fact join over BUCKETED twins of orders and lineitem — the
@@ -2705,6 +2798,7 @@ object Queries {
     "ngram_jaccard_hist" -> (ngramJaccardHist _),
     "minhash_neardup" -> (minhashNearDup _),
     "dedup_corpus" -> (dedupCorpus _),
+    "leakage_safe_split" -> (leakageSafeSplit _),
     "dedup_increment" -> (dedupIncrementQuery _),
     "dedup_increment_warm" -> (dedupIncrementWarmQuery _),
     "simhash_buckets" -> (simhashBuckets _),
@@ -2757,6 +2851,7 @@ object Queries {
     "q47_contamination" -> (q47Contamination _),
     "q48_sequence_packing" -> (q48SequencePacking _),
     "token_shard_assign" -> (tokenShardAssign _),
+    "token_budget_pack" -> (tokenBudgetPack _),
     "bucketed_join" -> (bucketedJoin _),
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
@@ -3591,6 +3686,49 @@ object Queries {
           (SELECT count(*) FROM documents)
             - (SELECT count(*) FROM comp WHERE id <> c) AS n_out,
           (SELECT count(*) FROM comp WHERE id <> c) AS n_removed""",
+    // Same exact-Jaccard edges + min-id components as dedup_corpus;
+    // the split key is the component representative, so the
+    // cross-split pair count the oracle recomputes must be zero.
+    "leakage_safe_split" ->
+      """WITH RECURSIVE d AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(range(len(toks) - 2),
+                i -> array_to_string(toks[i + 1: i + 3], ' ')))
+            ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents)),
+        e AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        e2 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        n AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+        reach AS (
+          SELECT id, id AS r FROM n
+          UNION
+          SELECT e2.b AS id, reach.r FROM e2 JOIN reach ON reach.id = e2.a),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        rep AS (SELECT doc_id, coalesce(comp.c, doc_id) AS rep
+          FROM documents LEFT JOIN comp ON comp.id = doc_id),
+        sp AS (SELECT doc_id,
+            CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS split
+          FROM rep)
+        SELECT
+          CAST((SELECT count(*) FROM sp WHERE split = 'train') AS BIGINT)
+            AS n_train,
+          CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT)
+            AS n_test,
+          CAST((SELECT count(*) FROM comp) AS BIGINT) AS n_linked_docs,
+          CAST((SELECT count(DISTINCT c) FROM comp) AS BIGINT)
+            AS n_components,
+          CAST((SELECT count(*) FROM e) AS BIGINT) AS n_pairs,
+          CAST((SELECT count(*) FROM e
+            JOIN sp sa ON sa.doc_id = e.a
+            JOIN sp sb ON sb.doc_id = e.b
+            WHERE sa.split <> sb.split) AS BIGINT) AS n_cross_pairs""",
     // Incremental dedup closed-form: replicate the 80/20 split + the
     // planted re-idd base copies, kill any increment doc with exact
     // J >= 0.5 against base (base wins), then min-id components over
@@ -4107,6 +4245,40 @@ object Queries {
                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
                 FROM documents))
         GROUP BY 1 ORDER BY 1""",
+    // Same hashed-linear score closed form as quality_classifier; the
+    // running token count follows the (score DESC, doc_id) order and
+    // the budget is exact integer arithmetic.
+    "token_budget_pack" ->
+      """WITH sc AS (
+          SELECT doc_id,
+            round(0.5 + 0.5 * z / (1.0 + abs(z)), 4) AS score, ntoks
+          FROM (
+            SELECT doc_id, (meanw / 2048.0 - 1.0) * 6.0 AS z, ntoks
+            FROM (
+              SELECT doc_id,
+                list_sum(list_transform(toks,
+                  tk -> CAST((md5_number_lower(tk) >> 3) & 4095 AS DOUBLE)))
+                  / CAST(len(toks) AS DOUBLE) AS meanw,
+                CAST(len(toks) AS BIGINT) AS ntoks
+              FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents)))),
+        tot AS (SELECT CAST(sum(ntoks) AS BIGINT) AS t,
+            CAST(sum(ntoks) AS BIGINT) * 2 // 5 AS b FROM sc),
+        ps AS (SELECT score, ntoks,
+            coalesce(sum(ntoks) OVER (ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+          FROM sc)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN excl + ntoks <= b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          t AS tokens_total, b AS budget,
+          CAST(sum(CASE WHEN excl + ntoks <= b THEN ntoks ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+          min(CASE WHEN excl + ntoks <= b THEN score END) AS min_kept_score,
+          max(CASE WHEN excl + ntoks <= b THEN NULL ELSE score END)
+            AS max_dropped_score
+        FROM ps, tot GROUP BY t, b""",
     "winnow_fingerprint" ->
       """WITH tk AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks

@@ -50,7 +50,7 @@ class ContractSpec extends AnyFunSuite {
       "approx_distinct", "approx_percentiles",
       "ann_lsh_topk", "ann_ivf_topk",
       "emb_neardup", "simhash_neardup_pairs", "semdedup",
-      "semdedup_planted")
+      "semdedup_planted", "leakage_safe_split")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) &&
         !sql.toUpperCase.contains("ORDER BY") => name

@@ -548,4 +548,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(report.toSeq == Seq((21L, 210L)), report.mkString(", "))
   }
+
+  test("leakage-safe split: a planted near-dup that straddles the per-doc hash boundary follows its representative") {
+    import graft.functions.TextOps
+    // per-doc split side of an id, same rule as TextOps.stableSplit
+    def sideOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      if (f"${d(0) & 0xff}%02x" < "1a") "test" else "train"
+    }
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val ids = base.select("doc_id").collect().map(_.getLong(0))
+    // a base doc on the 'test' side; its duplicate gets a fresh id on
+    // the 'train' side — the PER-DOC split would separate them
+    val testDoc = ids.filter(i => sideOf(i) == "test").min
+    val dupId = (9000000L to 9000100L).find(i => sideOf(i) == "train").get
+    val t0 = base.filter(col("doc_id") === testDoc).collect()(0).getString(1)
+    val docs = base.unionByName(Seq((dupId, t0)).toDF("doc_id", "text"))
+    val edges = Dedup.jaccardVerify(
+        Dedup.minhashCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val comp = Dedup.connectedComponents(edges)
+    val split = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextOps.stableSplit(coalesce(col("component"), col("doc_id")))
+          .as("split"))
+    val bySide = split.filter(col("doc_id").isin(testDoc, dupId))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the pair lands TOGETHER, on the representative's (min id) side
+    assert(bySide(testDoc) == bySide(dupId),
+      s"near-dups split apart: $bySide")
+    assert(bySide(testDoc) == sideOf(math.min(testDoc, dupId)))
+    // and the property binds: the per-doc rule WOULD have split them
+    assert(sideOf(testDoc) != sideOf(dupId))
+    // zero cross-split verified pairs, the invariant the oracle gates
+    val cross = edges
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(cross == 0L)
+  }
 }

@@ -134,6 +134,39 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("token_budget_pack: distributed greedy fill matches a sequential driver reference") {
+    import graft.functions.VectorExpressions
+    val row = graft.p6.Queries.all("token_budget_pack")(spark, sfDir).collect()(0)
+    // sequential reference: same score/ntoks columns, greedy fill in
+    // (score desc, doc_id) order on the driver
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val ws = transform(toks, tk =>
+      shiftrightunsigned(VectorExpressions.md5_lower64(tk), 3)
+        .bitwiseAND(lit(4095L)).cast("double"))
+    val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
+      size(toks).cast("double")
+    val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
+    val score = round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+    val scored = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), score.as("score"),
+        size(toks).cast("long").as("ntoks"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    val budget = scored.map(_._3).sum * 2 / 5
+    var run = 0L; var nKept = 0L; var tokKept = 0L
+    scored.foreach { case (_, _, n) =>
+      // the entry's keep rule is prefix-over-ALL-docs + ntoks <= B
+      // (dropped docs still advance the running position)
+      if (run + n <= budget) { nKept += 1; tokKept += n }
+      run += n
+    }
+    assert(row.getLong(0) == scored.length.toLong)
+    assert(row.getLong(1) == nKept, s"n_kept ${row.getLong(1)} vs ref $nKept")
+    assert(row.getLong(3) == budget)
+    assert(row.getLong(4) == tokKept)
+    assert(tokKept <= budget && nKept > 0 && nKept < scored.length)
+  }
+
   test("as-of join semantics: latest right at-or-before left, per key") {
     def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
     val clicks = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"))

@@ -34,6 +34,10 @@ Gates (per query, chosen by flag):
                equal the sf0.1 output exactly (for outputs where
                replicas>0 may legitimately add rows, e.g. noise-level
                cosine pairs in exact mining).
+  leakage    — leakage_safe_split: zero cross-split pairs at both
+               scales, pair/component/linked counts exactly REPLICAS x
+               the sf0.1 row, total docs conserved, both split sides
+               non-empty.
   semdedup   — the scale recall gate for the semdedup entry: its 1-row
                summary must carry drops_valid_ok AND planted_recall_ok
                true with n_planted_pairs > 0 and divisible by
@@ -164,6 +168,36 @@ def main():
         extra = "; drops_valid_ok" if "drops_valid_ok" in row else ""
         print(f"pass {query}: semdedup (planted_recall_ok over "
               f"{n_planted} planted pairs{extra})")
+
+    elif gate == "leakage":
+        # leakage_safe_split: near-dup edges/components are replica-
+        # local by construction, so pair/component/linked-doc counts
+        # scale EXACTLY by REPLICAS; the train/test split is re-hashed
+        # on renamed component keys (not replica-linear), so only its
+        # SUM (total docs) scales; the zero-cross-pair invariant must
+        # hold at every scale.
+        brows = con.execute("SELECT * FROM b").fetchall()
+        srows = con.execute("SELECT * FROM s").fetchall()
+        if len(brows) != 1 or len(srows) != 1:
+            fail(f"{query}: leakage gate needs exactly one row per side "
+                 f"(base={len(brows)}, sf1={len(srows)})")
+        b = dict(zip(cols, brows[0]))
+        s = dict(zip(cols, srows[0]))
+        if s["n_cross_pairs"] != 0 or b["n_cross_pairs"] != 0:
+            fail(f"{query}: n_cross_pairs base={b['n_cross_pairs']} "
+                 f"sfN={s['n_cross_pairs']} — the split leaks")
+        for c in ("n_pairs", "n_components", "n_linked_docs"):
+            if s[c] != b[c] * REPLICAS:
+                fail(f"{query}: {c} sf0.1={b[c]} sfN={s[c]} "
+                     f"(expected {b[c] * REPLICAS})")
+        if s["n_train"] + s["n_test"] != (b["n_train"] + b["n_test"]) * REPLICAS:
+            fail(f"{query}: total docs {s['n_train'] + s['n_test']} != "
+                 f"{(b['n_train'] + b['n_test']) * REPLICAS}")
+        if s["n_train"] <= 0 or s["n_test"] <= 0:
+            fail(f"{query}: degenerate split train={s['n_train']} "
+                 f"test={s['n_test']}")
+        print(f"pass {query}: leakage (cross=0; pairs/components/linked "
+              f"exactly {REPLICAS}x; split {s['n_train']}/{s['n_test']})")
 
     else:
         fail(f"unknown gate {gate}")
