@@ -896,8 +896,12 @@ object Queries {
     val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
       size(toks).cast("double")
     val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
-    val score = round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+    // z feeds the sigmoid TWICE (numerator and abs); materialize it in
+    // its own projection so the token-hash aggregate runs once per doc
+    // (a multi-use non-cheap alias survives CollapseProject)
+    val score = round(lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))), 4)
     t(s, dir, "documents")
+      .select(col("lang"), z.as("z"))
       .select(col("lang"), score.as("score"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1963,10 +1967,13 @@ object Queries {
     val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
       size(toks).cast("double")
     val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
-    val score = round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+    // same two-projection split as qualityClassifier: z feeds the
+    // sigmoid twice, so materialize it once per doc
+    val score = round(lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))), 4)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), score.as("score"),
+      .select(col("doc_id"), z.as("z"),
         size(toks).cast("long").as("ntoks"))
+      .select(col("doc_id"), score.as("score"), col("ntoks"))
     // single-row aggregate to the driver: the budget is a scalar knob
     val total = docs.agg(sum(col("ntoks"))).collect()(0).getLong(0)
     val budget = total * 2 / 5
