@@ -35,9 +35,11 @@ Gates (per query, chosen by flag):
                replicas>0 may legitimately add rows, e.g. noise-level
                cosine pairs in exact mining).
   leakage    — leakage_safe_split: zero cross-split pairs at both
-               scales, pair/component/linked counts exactly REPLICAS x
-               the sf0.1 row, total docs conserved, both split sides
-               non-empty.
+               scales, edge count within GRAFT_RECALL_FLOOR of
+               REPLICAS x the sf0.1 row and never above it
+               (precision exact), component/linked counts within the
+               missed-edge slack, total docs conserved, both split
+               sides non-empty.
   semdedup   — the scale recall gate for the semdedup entry: its 1-row
                summary must carry drops_valid_ok AND planted_recall_ok
                true with n_planted_pairs > 0 and divisible by
@@ -170,12 +172,18 @@ def main():
               f"{n_planted} planted pairs{extra})")
 
     elif gate == "leakage":
-        # leakage_safe_split: near-dup edges/components are replica-
-        # local by construction, so pair/component/linked-doc counts
-        # scale EXACTLY by REPLICAS; the train/test split is re-hashed
-        # on renamed component keys (not replica-linear), so only its
-        # SUM (total docs) scales; the zero-cross-pair invariant must
-        # hold at every scale.
+        # leakage_safe_split: near-dup edges are replica-local by
+        # construction, so the edge count scales by REPLICAS — up to
+        # the LSH recall tail: per-replica token renaming re-rolls the
+        # shingle hashes, so borderline-Jaccard pairs occasionally miss
+        # banding (the same measured tail shiftsubset tolerates for
+        # minhash_neardup: 3 of 25,600 at 100 replicas, floor 0.999).
+        # Verified edges have exact precision, so MORE than expected is
+        # always a failure. Component/linked-doc counts may drift by at
+        # most the pair deficit (a missed edge can split one component
+        # or drop a 2-clique). The zero-cross-pair invariant and the
+        # doc-total conservation are exact at every scale.
+        floor = float(os.environ.get("GRAFT_RECALL_FLOOR", "0.999"))
         brows = con.execute("SELECT * FROM b").fetchall()
         srows = con.execute("SELECT * FROM s").fetchall()
         if len(brows) != 1 or len(srows) != 1:
@@ -186,18 +194,28 @@ def main():
         if s["n_cross_pairs"] != 0 or b["n_cross_pairs"] != 0:
             fail(f"{query}: n_cross_pairs base={b['n_cross_pairs']} "
                  f"sfN={s['n_cross_pairs']} — the split leaks")
-        for c in ("n_pairs", "n_components", "n_linked_docs"):
-            if s[c] != b[c] * REPLICAS:
-                fail(f"{query}: {c} sf0.1={b[c]} sfN={s[c]} "
-                     f"(expected {b[c] * REPLICAS})")
+        exp_pairs = b["n_pairs"] * REPLICAS
+        deficit = exp_pairs - s["n_pairs"]
+        if deficit < 0:
+            fail(f"{query}: n_pairs sfN={s['n_pairs']} EXCEEDS expected "
+                 f"{exp_pairs} — verified-edge precision break")
+        if exp_pairs and s["n_pairs"] / exp_pairs < floor:
+            fail(f"{query}: n_pairs recall {s['n_pairs'] / exp_pairs:.6f} "
+                 f"({s['n_pairs']}/{exp_pairs}) < floor {floor}")
+        for c in ("n_components", "n_linked_docs"):
+            slack = deficit * (2 if c == "n_linked_docs" else 1)
+            if abs(s[c] - b[c] * REPLICAS) > slack:
+                fail(f"{query}: {c} sf0.1={b[c]} sfN={s[c]} (expected "
+                     f"{b[c] * REPLICAS} +- {slack} for {deficit} missed edges)")
         if s["n_train"] + s["n_test"] != (b["n_train"] + b["n_test"]) * REPLICAS:
             fail(f"{query}: total docs {s['n_train'] + s['n_test']} != "
                  f"{(b['n_train'] + b['n_test']) * REPLICAS}")
         if s["n_train"] <= 0 or s["n_test"] <= 0:
             fail(f"{query}: degenerate split train={s['n_train']} "
                  f"test={s['n_test']}")
-        print(f"pass {query}: leakage (cross=0; pairs/components/linked "
-              f"exactly {REPLICAS}x; split {s['n_train']}/{s['n_test']})")
+        print(f"pass {query}: leakage (cross=0; pairs {s['n_pairs']}/{exp_pairs}"
+              f", components/linked within the {deficit}-edge tail; "
+              f"split {s['n_train']}/{s['n_test']})")
 
     else:
         fail(f"unknown gate {gate}")
