@@ -725,4 +725,198 @@ object Similarity {
       else math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt)
     pqSearch(prep, pqEncode(prep, cb), cb, queryId, k, r)
   }
+
+  /** Driver-pin a SMALL frame (the nlist-row centroid table): one
+    * bounded collect, re-created as a local DataFrame so downstream
+    * consumers (assignment broadcast, residual joins, the probe's
+    * collect) stop re-executing the centroid lineage — the same
+    * bounded-collect contract as [[kmeansCentroids]]' per-iteration
+    * pin.
+    */
+  private def pinSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), df.schema)
+  }
+
+  /** Residual frame for IVF-PQ: every vector minus its assigned coarse
+    * centroid — (id, v) where v is the residual. PQ codebooks trained
+    * on residuals capture the LOCAL error distribution around each
+    * list instead of the global vector distribution, the refinement
+    * that makes IVFADC (Jegou et al. 2011 §IV) beat flat PQ at equal
+    * code length. One broadcast centroid join; a sample filter on `id`
+    * pushes through the assignment's groupBy to the scan, so training
+    * reads only the sampled slice.
+    */
+  def ivfPqResiduals(prep: DataFrame, assign: DataFrame,
+      centroids: DataFrame): DataFrame =
+    prep.join(assign, "id")
+      .join(broadcast(centroids), "cid")
+      .select(col("id"), zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+
+  /** MAP-ONLY IVF-PQ encoding: (id, cid, codes, norm) — the coarse
+    * list id, the m residual PQ codes via the native
+    * [[graft.functions.VectorExpressions.pq_encode]] kernel (one
+    * compiled eval per vector, codebook serialized with the
+    * expression), and the vector's EXACT norm for the cosine
+    * denominator. One broadcast centroid join + one projection: at
+    * 100 TB this is the pass that shrinks the corpus to list-bucketed
+    * ~m-byte codes, and it composes with whatever partitioning the
+    * corpus already has (writing it partitioned BY cid is the
+    * persisted-index layout — each probe then touches only
+    * nprobe/nlist of the files).
+    */
+  def ivfPqEncode(prep: DataFrame, assign: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    prep.join(assign, "id")
+      .join(broadcast(centroids), "cid")
+      .select(col("id"), col("cid"),
+        VectorExpressions.pq_encode(
+          zip_with(col("v"), col("cv"), (x, c) => x - c),
+          cb.map(_.map(_.toSeq).toSeq).toSeq).as("codes"),
+        sqrt(VectorExpressions.dot_product(col("v"), col("v"))).as("norm"))
+
+  /** IVF-PQ (IVFADC) search: probe the `nprobe` coarse lists nearest
+    * the query, ADC-scan ONLY those lists' residual codes, exact-rerank
+    * the top `rerank`. The inner-product decomposition
+    * <q,v> = <q,c_list> + <q,residual> means ONE ADC table (built from
+    * q alone, driver arithmetic) serves every probed list — the
+    * per-list term is a literal-map lookup on `cid` — so the scan cost
+    * is m lookups+adds per CANDIDATE (nprobe/nlist of the corpus), not
+    * per corpus vector: the two pruning levers (coarse quantization
+    * and code compression) multiply. Centroids are a bounded
+    * nlist-row collect (same contract as [[kmeansCentroids]]' pin);
+    * the probed-list filter is an `isin` over nprobe ids — partition-
+    * prunable when the encoded frame is stored partitioned by cid.
+    * Exact rerank on the full vectors, so quantization error only
+    * costs recall, never precision of the returned sims.
+    */
+  def ivfPqSearch(prep: DataFrame, encoded: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Double]]], queryId: Long, k: Int = 10,
+      nprobe: Int = 8, rerank: Int = 50): DataFrame = {
+    val m = cb.length
+    val qv = prep.filter(col("id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val dsub = qv.length / m
+    require(qv.length == m * dsub && cb.head.head.length == dsub,
+      s"dim ${qv.length} not divisible into $m subspaces of $dsub")
+    val qnorm = math.max(math.sqrt(qv.map(x => x * x).sum), 1e-30)
+    def ip(c: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * qv(j); j += 1 }
+      s
+    }
+    // bounded collect: nlist centroid rows; probe ranking matches
+    // ivfProbe's (cosine desc, cid asc)
+    val cents = centroids.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = cents.map { case (cid, cv) =>
+      val cn = math.max(math.sqrt(cv.map(x => x * x).sum), 1e-30)
+      (cid, ip(cv), ip(cv) / (cn * qnorm))
+    }.sortBy { case (cid, _, cs) => (-cs, cid) }.take(nprobe)
+    val ipQC: Map[Long, Double] =
+      probed.map { case (cid, ipv, _) => cid -> ipv }.toMap
+    val probedIds = probed.map(_._1).toSeq
+    val adc: Seq[Seq[Double]] = cb.zipWithIndex.map { case (book, mi) =>
+      book.map { cv =>
+        var s = 0.0; var j = 0
+        while (j < dsub) { s += cv(j) * qv(mi * dsub + j); j += 1 }
+        s
+      }.toSeq
+    }.toSeq
+    val adcLit = typedLit(adc)
+    val ipLit = typedLit(ipQC)
+    val cand = encoded
+      .filter(col("cid").isin(probedIds: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id"),
+        ((element_at(ipLit, col("cid")) +
+          aggregate(
+            transform(col("codes"), (c, mi) =>
+              element_at(element_at(adcLit, mi + 1), c + 1)),
+            lit(0.0), (acc, x) => acc + x))
+          / (greatest(col("norm"), lit(1e-30)) * lit(qnorm))).as("approx"))
+      .orderBy(col("approx").desc, col("id"))
+      .limit(rerank)
+    val q = prep.filter(col("id") === queryId).select(col("v").as("qv"))
+    cand.select(col("id")).join(prep, "id")
+      .crossJoin(broadcast(q))
+      .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** End-to-end IVF-PQ ANN (Jegou et al. 2011's IVFADC): coarse IVF
+    * lists + PQ on the residuals + one-table ADC scan of the probed
+    * lists + exact rerank — the composition that is THE public
+    * billion-vector index shape (coarse pruning bounds how much is
+    * scanned; residual codes bound the bytes per scanned vector). The
+    * cold path; centroids + assignment + encoded codes + codebooks are
+    * the persisted artifact at the design point (see `ann_ivfpq_warm`).
+    * `rerank = 0` scales candidates as ~4*sqrt(N), same boundary-
+    * crowding reasoning as [[pqTopK]].
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, nlist: Int = 32, nprobe: Int = 8, m: Int = 16,
+      ksub: Int = 64, iters: Int = 2, rerank: Int = 0,
+      sampleCap: Long = 100000L, refineIters: Int = 0): DataFrame = {
+    val prep = prepared(df, idCol, vecCol)
+    val n = prep.count()
+    val (cents, _, cb, encoded) = ivfPqIndex(prep, nlist, m, ksub, iters,
+      sampleCap, refineIters, knownCount = n)
+    val r =
+      if (rerank > 0) rerank
+      else math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt)
+    ivfPqSearch(prep, encoded, cents, cb, queryId, k, nprobe, r)
+  }
+
+  /** Build the full IVF-PQ index over a prepared corpus:
+    * (centroids, assign, codebooks, encoded). At the design point all
+    * four are persisted once per corpus (see the `ann_ivfpq_warm`
+    * entry — encoded written partitioned by cid so probes prune
+    * files); each query then pays only [[ivfPqSearch]].
+    */
+  def ivfPqIndex(prep: DataFrame, nlist: Int = 32, m: Int = 16,
+      ksub: Int = 64, iters: Int = 2, sampleCap: Long = 100000L,
+      refineIters: Int = 0, knownCount: Long = -1L)
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]], DataFrame) = {
+    val n = if (knownCount >= 0) knownCount else prep.count()
+    val cents = pinSmall(
+      if (refineIters > 0) kmeansCentroids(prep, nlist, refineIters)
+      else prep.orderBy(col("id")).limit(nlist)
+        .select(col("id").as("cid"), col("v").as("cv")))
+    val assign = assignNearest(prep, cents)
+    val cb = pqCodebooks(ivfPqResiduals(prep, assign, cents), m, ksub,
+      iters, sampleCap, knownCount = n)
+    (cents, assign, cb, ivfPqEncode(prep, assign, cents, cb))
+  }
+
+  /** Codebook -> (mi, code, cv) rows, the persisted form of a trained
+    * PQ codebook (m*ksub tiny rows — driver-created, bounded by
+    * construction).
+    */
+  def codebookToDf(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = for {
+      (book, mi) <- cb.zipWithIndex.toSeq
+      (cv, c) <- book.zipWithIndex.toSeq
+    } yield org.apache.spark.sql.Row(mi, c, cv.toSeq)
+    val schema = StructType(Seq(
+      StructField("mi", IntegerType), StructField("code", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Inverse of [[codebookToDf]]: one bounded collect of the m*ksub
+    * codebook rows, rebuilt as the driver-side array the encode/search
+    * kernels take.
+    */
+  def codebookFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("mi"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(mi => rows.filter(_._1 == mi).sortBy(_._2).map(_._3))
+  }
 }

@@ -309,7 +309,8 @@ class PlanSpec extends SparkSpec {
       // lives in a predicate the structural check can't prove:
       "ann_batch_topk", "ann_cosine_topk", "ann_ivf_topk",
       "ann_ivf_append", "ann_ivf_warm", "ann_lsh_topk",
-      "ann_quantized_topk", "ann_pq_topk", "knn_classify",
+      "ann_quantized_topk", "ann_pq_topk", "ann_ivfpq_topk",
+      "ann_ivfpq_warm", "knn_classify",
       // exact all-pairs scaffolds, quadratic by contract over a
       // literal-capped doc set (ngram: doc_id < 200) or the cluster-
       // bounded semdedup oracle (subquadratic twin: semdedup_planted):

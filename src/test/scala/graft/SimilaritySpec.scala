@@ -513,6 +513,47 @@ class SimilaritySpec extends SparkSpec {
     val recall = (ann & brute.map(_._1).toSet).size.toDouble / 10.0
     assert(recall >= 0.7, s"PQ recall@10 too low: $recall")
   }
+
+  test("IVF-PQ: codebook roundtrip, list pruning, full-probe+rerank == brute, warm == cold") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val n = prep.count().toInt
+    val nlist = 8
+    val (cents, assign, cb, encoded) = Similarity.ivfPqIndex(prep,
+      nlist = nlist, m = 8, ksub = 16, iters = 2)
+    // codebook survives the persisted (mi, code, cv) form bit-exactly
+    val rt = Similarity.codebookFromDf(Similarity.codebookToDf(spark, cb))
+    assert(rt.length == cb.length)
+    cb.zip(rt).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+    // nprobe = 1 only ever reranks members of the single probed list
+    val one = Similarity.ivfPqSearch(prep, encoded, cents, cb,
+      queryId = 0L, k = 10, nprobe = 1, rerank = n)
+      .collect().map(_.getLong(0)).toSet
+    val byCid = assign.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val listsHit = byCid.filter(p => one.contains(p._1)).map(_._2).toSet
+    assert(listsHit.size == 1, s"nprobe=1 touched lists $listsHit")
+    // probing every list with corpus-sized rerank degrades to brute
+    // force: coarse pruning off, ADC only orders, rerank rescores
+    val full = Similarity.ivfPqSearch(prep, encoded, cents, cb,
+      queryId = 0L, k = 10, nprobe = nlist, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Queries.all("ann_cosine_topk")(spark, sfDir)
+      .collect().filter(_.getLong(0) != 0L).take(10)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, s"full-probe IVF-PQ != brute force:\n$full\n$brute")
+    // the cold entry's contract booleans hold, and the warm entry
+    // (persisted index read back, partition-pruned scan) returns the
+    // IDENTICAL summary row — twice, exercising the store-reuse path
+    val cold = Queries.all("ann_ivfpq_topk")(spark, sfDir).collect().toSeq
+    assert(cold.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      s"ivfpq contract booleans not TRUE: $cold")
+    val w1 = Queries.all("ann_ivfpq_warm")(spark, sfDir).collect().toSeq
+    val w2 = Queries.all("ann_ivfpq_warm")(spark, sfDir).collect().toSeq
+    assert(w1 == cold && w2 == cold, s"warm != cold: $w1 vs $cold")
+  }
 }
 
 object SimilaritySpec {
