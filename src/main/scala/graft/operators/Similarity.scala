@@ -892,6 +892,43 @@ object Similarity {
     (cents, assign, cb, ivfPqEncode(prep, assign, cents, cb))
   }
 
+  /** Component j of Johnson-Lindenstrauss projection row k: +/-1 by
+    * bit 13 of xxhash64(j, xxhash64(k, seed)) — the same deterministic
+    * no-side-files hash family as the LSH hyperplanes (seed 1789
+    * keeps the JL matrix independent of the seed-42 LSH planes).
+    */
+  def jlRow(k: Int, dim: Int, seed: Long = 1789L): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val hk = XxHash64Function.hash(k, IntegerType, seed)
+    Array.tabulate(dim) { j =>
+      val h = XxHash64Function.hash(j, IntegerType, hk)
+      if (((h >>> 13) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection to `r` dimensions: each
+    * output component is the native codegen'd dot product of the
+    * vector with a deterministic +/-1 row, scaled by 1/sqrt(r) — the
+    * standard distance-preserving (in expectation, and within
+    * (1 +/- eps) w.h.p. for r = O(log n / eps^2)) shrink applied
+    * BEFORE clustering / LSH / pair mining when the raw dimension is
+    * the cost driver. MAP-ONLY: r compiled dot products per vector,
+    * no shuffle, no side files (the matrix is hash-tabulated), and it
+    * composes with whatever partitioning the corpus has. Returns
+    * (id, p double[r]). Restrict `r` to powers of two if bit-exact
+    * cross-engine replay matters (1/sqrt(r) is then exact in binary).
+    */
+  def jlProject(prep: DataFrame, r: Int, dim: Int,
+      seed: Long = 1789L): DataFrame = {
+    val scale = 1.0 / math.sqrt(r.toDouble)
+    val comps = (0 until r).map { k =>
+      VectorExpressions.dot_product(col("v"),
+        typedLit(jlRow(k, dim, seed).toSeq)) * lit(scale)
+    }
+    prep.select(col("id"), array(comps: _*).as("p"))
+  }
+
   /** Codebook -> (mi, code, cv) rows, the persisted form of a trained
     * PQ codebook (m*ksub tiny rows — driver-created, bounded by
     * construction).

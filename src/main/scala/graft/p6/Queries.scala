@@ -2921,6 +2921,7 @@ object Queries {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_ivfpq_warm" -> (annIvfPqWarm _),
+    "jl_project" -> (jlProjectEntry _),
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
     "q45_typed_agg" -> (q45TypedAgg _),
@@ -2970,6 +2971,49 @@ object Queries {
     * plain dot products (applying +/-1 weights via list_dot_product
     * reproduces the kernel's ascending-j summation bit for bit).
     */
+  /** Johnson-Lindenstrauss projection of every embedding to 16 dims —
+    * the map-only distance-preserving shrink applied before
+    * clustering / LSH / pair mining when the raw dimension drives the
+    * cost. FULLY closed-form oracle (not a contract summary): the
+    * +/-1 matrix is a data-independent hash-tabulated constant, so
+    * DuckDB recomputes every projected component from the inlined
+    * rows via list_dot_product — same ascending-j summation as the
+    * native DotProduct kernel, bit-identical before the shared
+    * round(, 4). r = 16 keeps 1/sqrt(r) = 0.25 exact in binary, so
+    * the scaling introduces no cross-engine drift.
+    */
+  private def jlProjectEntry(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id",
+      "embedding")
+    val p = Similarity.jlProject(prep, r = 16, dim = 64)
+    // + 0.0 canonicalizes IEEE negative zero (round can yield -0.0,
+    // which the engines RENDER differently and which perturbs the
+    // driver's all-column row sort)
+    p.select(col("id").as("vec_id") +:
+        (0 until 16).map(k =>
+          (round(element_at(col("p"), k + 1), 4) + lit(0.0))
+            .as(f"proj_$k%02d")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** jl_project oracle: the 16 +/-1 rows inlined as DOUBLE[] literals
+    * (hash-tabulated by the same [[graft.operators.Similarity.jlRow]]
+    * the operator uses — data-independent constants, the emb_neardup
+    * pattern), each component recomputed closed-form.
+    */
+  private lazy val JlProjectOracleSql: String = {
+    import graft.operators.Similarity
+    val comps = (0 until 16).map { k =>
+      val w = Similarity.jlRow(k, 64)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      f"(round(list_dot_product(v, $w) * 0.25, 4) + 0.0) AS proj_$k%02d"
+    }.mkString(", ")
+    s"""SELECT vec_id, $comps
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      ORDER BY vec_id"""
+  }
+
   private def lshSignRow(k: Int, dim: Int): String = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.IntegerType
@@ -3955,6 +3999,7 @@ object Queries {
     // matrix is a data-independent constant (inlined), and the simhash
     // entries run the md5-low-64 token-hash basis DuckDB can recompute.
     "emb_neardup" -> EmbNearDupOracleSql,
+    "jl_project" -> JlProjectOracleSql,
     // Round 9 (this round): exact pair mining — the oracle is the plain
     // all-pairs filter, so the gate proves the Spark side's int8
     // prescreen + triangle block join lossless on this corpus.

@@ -554,6 +554,41 @@ class SimilaritySpec extends SparkSpec {
     val w2 = Queries.all("ann_ivfpq_warm")(spark, sfDir).collect().toSeq
     assert(w1 == cold && w2 == cold, s"warm != cold: $w1 vs $cold")
   }
+
+  test("JL projection: shuffle-free plan, distances preserved in expectation") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val proj = Similarity.jlProject(prep, r = 16, dim = 64)
+    // map-only: r compiled dot products per vector, zero exchanges
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"JL projection shuffled:\n$plan")
+    val orig = prep.filter(col("id") < 50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val low = proj.filter(col("id") < 50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    assert(low.forall(_._2.length == 16))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E||p(a)-p(b)||^2 = ||a-b||^2 for the +/-1/sqrt(r) ensemble;
+    // per-pair ratio variance ~2/r, so the MEAN over ~1200 pairs
+    // concentrates tightly around 1 and single pairs stay in a wide
+    // band — both bounds carry large margin
+    val ratios = for {
+      i <- orig.indices; j <- (i + 1) until orig.length
+      o = d2(orig(i)._2, orig(j)._2) if o > 1e-12
+    } yield d2(low(i)._2, low(j)._2) / o
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"JL mean distortion off: $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"JL pairwise distortion outlier: ${ratios.min} .. ${ratios.max}")
+    // deterministic: a second projection is bit-identical
+    val again = Similarity.jlProject(prep, r = 16, dim = 64)
+      .filter(col("id") < 50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    assert(low.zip(again).forall { case ((i1, p1), (i2, p2)) =>
+      i1 == i2 && p1.sameElements(p2) })
+  }
 }
 
 object SimilaritySpec {
