@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Snapshot diff between two corpus versions: one row per doc id
+    * with status `added` (current only), `removed` (previous only),
+    * `changed` (both, fingerprint differs), or `unchanged` — the
+    * bookkeeping pass every incremental ingestion runs before deciding
+    * what to re-process (only `added`+`changed` flow into the
+    * re-embed / re-dedup stages; `removed` drives tombstones).
+    *
+    * Scale shape: each side is projected to (id, md5 fingerprint)
+    * BEFORE the full-outer join, so the only thing that shuffles is
+    * 32 hex chars per doc — never the text — and the join is a plain
+    * co-partitioned equi-join on the id (bucketize both snapshots on
+    * id and it is exchange-free, see sources.BucketedLayout).
+    */
+  def snapshotDiff(current: DataFrame, previous: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"__id_$side"), md5(col(textCol)).as(s"__fp_$side"))
+    fp(current, "cur").join(fp(previous, "prev"),
+        col("__id_cur") === col("__id_prev"), "full_outer")
+      .select(
+        coalesce(col("__id_cur"), col("__id_prev")).as(idCol),
+        when(col("__id_prev").isNull, lit("added"))
+          .when(col("__id_cur").isNull, lit("removed"))
+          .when(col("__fp_cur") =!= col("__fp_prev"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** One row per (doc, chunk): non-overlapping `chunkLen`-token chunks
     * with a 128-bit md5 chunk fingerprint. The trailing partial chunk
     * is kept (a shorter tail is still content worth deduplicating);

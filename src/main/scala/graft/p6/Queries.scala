@@ -2257,6 +2257,31 @@ object Queries {
       .orderBy(col("qid"))
   }
 
+  /** Corpus snapshot diff — the bookkeeping pass every incremental
+    * ingestion runs: what changed between the previous crawl/export
+    * and this one, per doc id, so only `added`+`changed` docs flow
+    * into the expensive re-embed/re-dedup stages. The previous
+    * snapshot is SYNTHESIZED deterministically from the same table
+    * (DuckDB replays it exactly): docs with id % 11 = 3 are absent
+    * from prev (-> added), id % 7 = 2 carried drifted text
+    * (-> changed), and prev-only tombstone rows with negated ids
+    * simulate deletions (-> removed). Only (id, md5) ever shuffles —
+    * see [[graft.operators.Curation.snapshotDiff]].
+    */
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = t(s, dir, "documents")
+    val cur = docs.select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 17 === 4)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+    Curation.snapshotDiff(cur, prev, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end corpus-curation funnel (the exact-stage training-data
     * shape): quality gate -> fingerprint dedup (canonical keep = min
     * doc_id, deterministic) -> stable hash split. One row of stage
@@ -2916,6 +2941,7 @@ object Queries {
     "q42_date_arithmetic" -> (q42DateArithmetic _),
     "q43_try_cast" -> (q43TryCast _),
     "corpus_funnel" -> (corpusFunnel _),
+    "corpus_diff" -> (corpusDiff _),
     "q44_salted_join" -> (q44SaltedJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
     "ann_pq_topk" -> (annPqTopK _),
@@ -4520,6 +4546,22 @@ object Queries {
           (SELECT count(*) FROM u) AS n_unique,
           CAST((SELECT count(*) FROM s WHERE split = 'train') AS BIGINT) AS n_train,
           CAST((SELECT count(*) FROM s WHERE split = 'test') AS BIGINT) AS n_test""",
+    "corpus_diff" ->
+      """WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        prev AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 7 = 2 THEN text || ' v1' ELSE text END) AS fp
+          FROM documents WHERE doc_id % 11 <> 3
+          UNION ALL
+          SELECT -doc_id - 1 AS doc_id, md5(text) AS fp
+          FROM documents WHERE doc_id % 17 = 4)
+        SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+          CASE WHEN prev.doc_id IS NULL THEN 'added'
+               WHEN cur.doc_id IS NULL THEN 'removed'
+               WHEN cur.fp <> prev.fp THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+        ORDER BY doc_id""",
     "q44_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         round(sum(l_quantity), 2) AS sum_qty

@@ -336,4 +336,45 @@ class CurationSpec extends SparkSpec {
       assert(start >= lo && start + len <= hi)
     }
   }
+
+  test("snapshotDiff: statuses partition the id union and match the planted closed form") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val prev = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 17 === 4)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+    val diff = graft.operators.Curation
+      .snapshotDiff(docs, prev, "doc_id", "text")
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // planted closed form over the real id set
+    val added = ids.count(_ % 11 == 3).toLong
+    val removed = ids.count(_ % 17 == 4).toLong
+    val changed = ids.count(i => i % 7 == 2 && i % 11 != 3).toLong
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.values.sum == ids.size + removed,
+      s"statuses do not partition the id union: $byStatus")
+    // one row per id, never a dup from the full-outer join
+    assert(diff.count() == diff.select("doc_id").distinct().count())
+    // scale contract: the text column never reaches the join — both
+    // join inputs (what any exchange would have to carry) are only
+    // (id, fingerprint) attributes
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val joinInputs = diff.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec    => j.left.output ++ j.right.output
+      case j: ShuffledHashJoinExec => j.left.output ++ j.right.output
+    }
+    assert(joinInputs.nonEmpty, "expected a shuffled equi-join")
+    joinInputs.foreach { out =>
+      assert(!out.map(_.name).contains("text"),
+        s"join input carries text: ${out.map(_.name)}")
+    }
+  }
 }
