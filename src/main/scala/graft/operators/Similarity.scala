@@ -929,6 +929,91 @@ object Similarity {
     prep.select(col("id"), array(comps: _*).as("p"))
   }
 
+  /** Batch IVF-PQ search: [[ivfPqSearch]] for a query SET in ONE plan
+    * — the amortized production shape. All per-query preparation
+    * (probed-list ranking, <q,c_list> terms, the ADC table, the query
+    * norm) is bounded driver arithmetic over the |Q| collected query
+    * vectors and the nlist centroid rows; the corpus-scale work is a
+    * single pass: encoded codes join the broadcast (qid, cid, ipqc)
+    * probe frame on cid — each code row fans out ONLY to the queries
+    * probing its list — the per-candidate approx is m table lookups
+    * against a literal qid-keyed ADC map (hoisted to one map lookup
+    * per row), and a qid-partitioned window takes the rerank set. No
+    * per-query jobs, no per-query corpus scans.
+    */
+  def ivfPqSearchBatch(prep: DataFrame, encoded: DataFrame,
+      centroids: DataFrame, cb: Array[Array[Array[Double]]],
+      queryIds: Seq[Long], k: Int = 10, nprobe: Int = 8,
+      rerank: Int = 50): DataFrame = {
+    val m = cb.length
+    val spark = prep.sparkSession
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    // bounded collects by contract: |Q| query vectors + nlist centroids
+    val qrows = prep.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(qrows.nonEmpty, "no query vectors found")
+    val dsub = qrows.head._2.length / m
+    require(qrows.head._2.length == m * dsub && cb.head.head.length == dsub,
+      s"dim ${qrows.head._2.length} not divisible into $m subspaces of $dsub")
+    val cents = centroids.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = Seq.newBuilder[(Long, Long, Double)]
+    val adcMap: Map[Long, Seq[Seq[Double]]] = qrows.map { case (qid, qv) =>
+      val qn = math.max(math.sqrt(dot(qv, qv)), 1e-30)
+      cents.map { case (cid, cv) =>
+        val ip = dot(cv, qv)
+        (cid, ip, ip / (math.max(math.sqrt(dot(cv, cv)), 1e-30) * qn))
+      }.sortBy { case (cid, _, cs) => (-cs, cid) }.take(nprobe)
+        .foreach { case (cid, ip, _) => probeRows += ((qid, cid, ip)) }
+      qid -> cb.zipWithIndex.map { case (book, mi) =>
+        book.map { cv =>
+          var s = 0.0; var j = 0
+          while (j < dsub) { s += cv(j) * qv(mi * dsub + j); j += 1 }
+          s
+        }.toSeq
+      }.toSeq
+    }.toMap
+    val qnorms: Map[Long, Double] = qrows.map { case (qid, qv) =>
+      qid -> math.max(math.sqrt(dot(qv, qv)), 1e-30) }.toMap
+    val probes = spark.createDataFrame(probeRows.result())
+      .toDF("qid", "cid", "__ipqc")
+    val adcLit = typedLit(adcMap)
+    val qnLit = typedLit(qnorms)
+    val candW = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("id"))
+    val cand = encoded.join(broadcast(probes), "cid")
+      .filter(col("id") =!= col("qid"))
+      // hoist the qid-keyed table to ONE map lookup per row (the
+      // transform lambda would otherwise re-look-up per code)
+      .select(col("qid"), col("id"), col("norm"), col("codes"),
+        col("__ipqc"), element_at(adcLit, col("qid")).as("__tbl"))
+      .select(col("qid"), col("id"),
+        ((col("__ipqc") +
+          aggregate(
+            transform(col("codes"), (c, mi) =>
+              element_at(element_at(col("__tbl"), mi + 1), c + 1)),
+            lit(0.0), (acc, x) => acc + x))
+          / (greatest(col("norm"), lit(1e-30))
+            * element_at(qnLit, col("qid")))).as("approx"))
+      .withColumn("__rn", row_number().over(candW))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("id"))
+    val qvecs = prep.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.join(prep, "id").join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Codebook -> (mi, code, cv) rows, the persisted form of a trained
     * PQ codebook (m*ksub tiny rows — driver-created, bounded by
     * construction).

@@ -2948,6 +2948,7 @@ object Queries {
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_ivfpq_warm" -> (annIvfPqWarm _),
     "jl_project" -> (jlProjectEntry _),
+    "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
     "q45_typed_agg" -> (q45TypedAgg _),
@@ -2997,6 +2998,31 @@ object Queries {
     * plain dot products (applying +/-1 weights via list_dot_product
     * reproduces the kernel's ascending-j summation bit for bit).
     */
+  /** BATCH IVF-PQ: the amortized production shape for the composed
+    * index — one plan serves the 20-query set: per-query ADC tables /
+    * probed lists / <q,c> terms are bounded driver arithmetic, the
+    * corpus pays a single encoded-codes scan joined against the
+    * broadcast (qid, cid) probe frame (each code row fans out only to
+    * the queries probing its list), and qid-partitioned windows take
+    * rerank + top-k. Same recall contract and oracle as the sibling
+    * batch ANN entries.
+    */
+  private def annIvfPqBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = t(s, dir, "embeddings")
+    val prep = Similarity.prepared(e, "vec_id", "embedding")
+    val n = prep.count()
+    val (cents, _, cb, encoded) = Similarity.ivfPqIndex(prep, nlist = 32,
+      m = 16, ksub = 64, iters = 2, knownCount = n)
+    val ann = Similarity.ivfPqSearchBatch(prep, encoded, cents, cb,
+      queryIds = 0L until 20L, k = 10, nprobe = 8,
+      rerank = math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt))
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    annRecallBatchSummary(
+      Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10),
+      ann, k = 10, minHitsPerQuery = 4, minMeanRecall = 0.8)
+  }
+
   /** Johnson-Lindenstrauss projection of every embedding to 16 dims —
     * the map-only distance-preserving shrink applied before
     * clustering / LSH / pair mining when the raw dimension drives the
@@ -4021,6 +4047,7 @@ object Queries {
     "ann_ivf_append" -> AnnSingleOracleSql,
     "ann_lsh_batch_topk" -> AnnBatchOracleSql,
     "ann_ivf_batch_topk" -> AnnBatchOracleSql,
+    "ann_ivfpq_batch_topk" -> AnnBatchOracleSql,
     // Closed-form hash-basis oracles (round 9): the LSH hyperplane
     // matrix is a data-independent constant (inlined), and the simhash
     // entries run the md5-low-64 token-hash basis DuckDB can recompute.

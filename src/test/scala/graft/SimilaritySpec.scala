@@ -555,6 +555,37 @@ class SimilaritySpec extends SparkSpec {
     assert(w1 == cold && w2 == cold, s"warm != cold: $w1 vs $cold")
   }
 
+  test("batch IVF-PQ: full probe reproduces the exact batch; nprobe subset matches single-query") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val n = prep.count().toInt
+    val nlist = 8
+    val (cents, _, cb, encoded) = Similarity.ivfPqIndex(prep,
+      nlist = nlist, m = 8, ksub = 16, iters = 2)
+    val qids = 0L until 5L
+    // coarse pruning off + corpus-sized rerank -> exact batch
+    val full = Similarity.ivfPqSearchBatch(prep, encoded, cents, cb,
+      qids, k = 10, nprobe = nlist, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._1, -t._3, t._2))
+    val qdf = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+    val brute = Similarity.bruteTopKBatch(emb, "vec_id", "embedding", qdf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(full == brute, s"full-probe batch != exact batch")
+    // the entry's configuration matches the single-query path per qid
+    val batch = Similarity.ivfPqSearchBatch(prep, encoded, cents, cb,
+      qids, k = 10, nprobe = 4, rerank = 50)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    qids.foreach { q =>
+      val single = Similarity.ivfPqSearch(prep, encoded, cents, cb,
+        queryId = q, k = 10, nprobe = 4, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(q) == single, s"batch != single for qid $q")
+    }
+  }
+
   test("JL projection: shuffle-free plan, distances preserved in expectation") {
     val emb = Tables(spark, sfDir, "embeddings")
     val prep = Similarity.prepared(emb, "vec_id", "embedding")
