@@ -355,6 +355,73 @@ object Multimodal {
       }(enc)
   }
 
+  final case class MediaPHash(doc_id: Long, phash_hi: Long,
+    phash_lo: Long, codec: String)
+
+  /** Perceptual average-hash (aHash) over REAL decoded rasters: the
+    * image is average-pooled onto an 8x8 grid (pixel (x, y) lands in
+    * cell (x*8/w, y*8/h) — plain integer floor division), and bit c is
+    * set iff cell c's mean sample exceeds the image's global mean.
+    * Near-identical images (re-encodes, small edits) collide; that
+    * makes the hash the standard content-level media dedup key, one
+    * step beyond byte-level dedup (media_dedup) and frame hashing.
+    *
+    * INTEGER-EXACT by construction: both means are ratios of integer
+    * sums, and the comparison is done cross-multiplied
+    * (cell_sum * n_pixels > total_sum * cell_n), so there is no float
+    * division, no summation-order sensitivity, and a closed-form
+    * oracle replays every bit. (Bound: cell_sum <= 255 * 64M pixels
+    * times n <= 64M stays under 2^63 thanks to [[MaxDecodePixels]].)
+    * The 64 bits ship as two non-negative 32-bit halves so neither
+    * engine touches the sign bit. Undecodable payloads degrade to
+    * (-1, -1, "pseudo") — the operator stays total. Band 0 only
+    * (grayscale contract; a luma mix would slot in per sample).
+    */
+  def perceptualHash(withMediaDf: DataFrame): Dataset[MediaPHash] = {
+    val enc = Encoders.product[MediaPHash]
+    withMediaDf.select(col("doc_id"), col("media")).as(idBytesEnc)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img = safeImageRead(bytes)
+          if (img == null) MediaPHash(id, -1L, -1L, "pseudo")
+          else {
+            val r = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val cellSum = new Array[Long](64)
+            val cellN = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val c = cy * 8 + x * 8 / w
+                val v = r.getSample(x, y, 0).toLong
+                cellSum(c) += v
+                cellN(c) += 1
+                total += v
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hi = 0L
+            var lo = 0L
+            var c = 0
+            while (c < 64) {
+              if (cellSum(c) * n > total * cellN(c)) {
+                if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+              }
+              c += 1
+            }
+            MediaPHash(id, hi, lo, "imageio")
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic stand-in for a media codec. */
   final class PseudoCodec {
     def decode(bytes: Array[Byte]): (Int, Double) = {

@@ -1480,6 +1480,31 @@ object Queries {
     * PNG is lossless). 200 docs keeps the verify dump small; the
     * per-partition batch shape is what scales.
     */
+  /** Perceptual-hash media dedup over REAL decoded rasters: every doc
+    * gets its closed-form gradient PNG, a twin id (+16128, which is
+    * 0 mod 9, 7, AND 256, so dims and every pixel are identical)
+    * plants one exact-duplicate IMAGE per doc under a DIFFERENT doc
+    * id, and the aHash groups them: n_same_hash counts docs sharing a
+    * hash — content-level dedup one step beyond byte equality
+    * (media_dedup) and frame hashing. The hash is integer-exact
+    * (cross-multiplied mean comparison, no float division), so DuckDB
+    * replays all 64 bits per image from the pixel formula.
+    */
+  private def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"))
+    val ids = base.unionAll(
+      base.select((col("doc_id") + 16128).as("doc_id")))
+    val ph = Multimodal.perceptualHash(Multimodal.withMediaPng(ids)).toDF()
+    val counts = ph.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(count(lit(1)).as("n_same_hash"))
+    ph.join(counts, Seq("phash_hi", "phash_lo"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("n_same_hash"), col("codec"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mediaDecodeQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
@@ -2904,6 +2929,7 @@ object Queries {
     "simhash_buckets" -> (simhashBuckets _),
     "media_feature_stats" -> (mediaFeatureStats _),
     "media_decode" -> (mediaDecodeQuery _),
+    "media_phash" -> (mediaPhash _),
     "audio_decode" -> (audioDecodeQuery _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -3777,6 +3803,39 @@ object Queries {
         count(DISTINCT md5(text)) AS n_uniq_media,
         CAST(sum((octet_length(encode(text)) + 255) // 256) AS BIGINT) AS n_frames
         FROM documents GROUP BY 1 ORDER BY 1""",
+    "media_phash" ->
+      """WITH ids AS (
+          SELECT doc_id FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 16128 FROM documents WHERE doc_id < 200),
+        d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          FROM ids),
+        px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d),
+        cells AS (SELECT doc_id,
+            ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS c,
+            sum(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS cs,
+            count(*) AS cn
+          FROM px GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(cs) AS ts, sum(cn) AS tn
+          FROM cells GROUP BY 1),
+        bits AS (SELECT cells.doc_id, c,
+            CASE WHEN cs * tn > ts * cn THEN 1 ELSE 0 END AS bit
+          FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+        ph AS (SELECT doc_id,
+            CAST(sum(CASE WHEN c >= 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
+              ELSE 0 END) AS BIGINT) AS phash_hi,
+            CAST(sum(CASE WHEN c < 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(c AS INT))
+              ELSE 0 END) AS BIGINT) AS phash_lo
+          FROM bits GROUP BY doc_id),
+        cnt AS (SELECT phash_hi, phash_lo, count(*) AS n_same_hash
+          FROM ph GROUP BY 1, 2)
+        SELECT ph.doc_id, ph.phash_hi, ph.phash_lo,
+          CAST(cnt.n_same_hash AS BIGINT) AS n_same_hash,
+          'imageio' AS codec
+        FROM ph JOIN cnt USING (phash_hi, phash_lo)
+        ORDER BY ph.doc_id""",
     "media_decode" ->
       """WITH d AS (
           SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,

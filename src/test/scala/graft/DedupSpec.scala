@@ -442,6 +442,41 @@ class DedupSpec extends SparkSpec {
     assert(back.codec == "imageio" && back.width == 4 && back.height == 4)
   }
 
+  test("perceptual hash: closed-form bits, twin images collide, corrupt bytes degrade") {
+    val docs = (0L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val ph = Multimodal.perceptualHash(Multimodal.withMediaPng(docs))
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(ph.size == 41 && ph.values.forall(_.codec == "imageio"))
+    // scala reference: integer-exact aHash from the pixel formula
+    (0L to 40L).foreach { id =>
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13 + id) % 256
+        val c = (y * 8 / h) * 8 + x * 8 / w
+        cs(c) += v; cn(c) += 1; tot += v
+      }
+      var hi = 0L; var lo = 0L
+      val n = w.toLong * h
+      for (c <- 0 until 64 if cs(c) * n > tot * cn(c))
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      assert(ph(id).phash_hi == hi && ph(id).phash_lo == lo,
+        s"doc $id: (${ph(id).phash_hi},${ph(id).phash_lo}) want ($hi,$lo)")
+      // both halves non-negative by construction (32 bits each)
+      assert(ph(id).phash_hi >= 0 && ph(id).phash_lo >= 0)
+    }
+    // a twin id 16128 apart (0 mod 9, 7, and 256) is the same image
+    val twins = Multimodal.perceptualHash(Multimodal.withMediaPng(
+      Seq(Tuple1(5L), Tuple1(5L + 16128L)).toDF("doc_id")))
+      .collect().map(p => (p.phash_hi, p.phash_lo)).toSet
+    assert(twins.size == 1, s"twin images hashed apart: $twins")
+    // undecodable payload -> total degradation, never a throw
+    val bad = Multimodal.perceptualHash(
+      Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")).collect().head
+    assert(bad.codec == "pseudo" && bad.phash_hi == -1L && bad.phash_lo == -1L)
+  }
+
   test("real WAV decode: javax.sound recovers closed-form format and mean amplitude") {
     val docs = (0L to 30L).map(i => Tuple1(i)).toDF("doc_id")
     val decoded = Multimodal.decodeAudio(Multimodal.withMediaWav(docs))
