@@ -306,6 +306,31 @@ class ScaleStressSpec extends SparkSpec {
     assert(topk.forall(_._3 >= 0.9999), topk.filter(_._3 < 0.9999).take(3).mkString(", "))
   }
 
+  test("collapsed embedding space: IVF-PQ degrades to a bounded ADC scan, top-k stays valid") {
+    // all 19k near-constant vectors land in one coarse list, so a
+    // probing query ADC-scans that whole list — the designed worst
+    // case: the scan is m table lookups PER CANDIDATE (linear, no
+    // pairwise blowup), TakeOrdered bounds the rerank set, and the
+    // exact rerank returns cosine ~1 rows because the hot list's
+    // members are near-identical by construction
+    import graft.operators.Similarity
+    val prep = Similarity.prepared(constEmbeddings, "vec_id", "embedding")
+    val (cents, _, cb, encoded) = timed("ivfpq_index_degenerate_20k") {
+      val t = Similarity.ivfPqIndex(prep, nlist = 8, m = 8, ksub = 16,
+        iters = 1, sampleCap = 2000L)
+      t._4.count() // materialize the encode pass inside the timer
+      t
+    }
+    val topk = timed("ivfpq_search_degenerate_20k") {
+      Similarity.ivfPqSearch(prep, encoded, cents, cb, queryId = 1L,
+        k = 10, nprobe = 2, rerank = 512)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    assert(topk.length == 10)
+    assert(topk.forall(_._2 >= 0.9999),
+      topk.filter(_._2 < 0.9999).take(3).mkString(", "))
+  }
+
   test("exact pair mining at 20k vectors: 200M-pair space, prescreen prunes, blocks balance") {
     // diverse random +/-1 vectors (expected cosine ~0, sd ~ 1/sqrt(32))
     // with 50 PLANTED near-identical pairs the miner must return: the
