@@ -1966,6 +1966,46 @@ object Queries {
       .orderBy(col("shard_id"))
   }
 
+  /** Diversity-aware curation: ONE best-quality document per
+    * embedding-space cluster — the cheap distributed surrogate for
+    * maximal-marginal-relevance selection (greedy MMR is inherently
+    * sequential; per-cluster argmax parallelizes and caps redundancy
+    * structurally, since two picks can never share a cluster). The
+    * cluster key is the deterministic IVF coarse assignment (32
+    * lowest-id seed centroids, argmax cosine, tie lowest cid) and the
+    * quality is the hashed-linear model ([[qualityClassifier]]'s
+    * bit-identical closed form), so DuckDB replays the WHOLE entry —
+    * assignment included — from scratch: no contract booleans, a full
+    * value match. Shape at 100 TB: one broadcast-centroid map pass,
+    * one map-only scoring pass, one co-partitioned equi-join on the
+    * doc id, one grouped argmax.
+    */
+  private def diverseSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions
+    val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id",
+      "embedding")
+    val (assign, _) = Similarity.ivfIndex(prep, nlist = 32, refineIters = 0)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val ws = transform(toks, tk =>
+      shiftrightunsigned(VectorExpressions.md5_lower64(tk), 3)
+        .bitwiseAND(lit(4095L)).cast("double"))
+    val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
+      size(toks).cast("double")
+    val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
+    val score = round(lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))), 4)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), z.as("z"))
+      .select(col("doc_id"), score.as("score"))
+    assign.join(scored, col("id") === col("doc_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_in_cluster"),
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("tb"))).as("pick"),
+        round(max(col("score")), 4).as("best_score"))
+      .orderBy(col("cid"))
+  }
+
   /** Token-budget corpus packing: the "give me the best B tokens"
     * curation step — score every document with the hashed linear
     * quality model ([[qualityClassifier]]'s bit-identical closed
@@ -2983,6 +3023,7 @@ object Queries {
     "q48_sequence_packing" -> (q48SequencePacking _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
+    "diverse_sample" -> (diverseSample _),
     "bucketed_join" -> (bucketedJoin _),
     "q49_repetition" -> (q49Repetition _),
     "q50_pii_scrub" -> (q50PiiScrub _),
@@ -4481,6 +4522,43 @@ object Queries {
                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
                 FROM documents))
         GROUP BY 1 ORDER BY 1""",
+    // Full closed-form replay of the diversity pick: seed centroids
+    // (32 lowest-id vectors), argmax-cosine assignment (tie lowest
+    // cid; list_dot_product matches the native kernel bit for bit),
+    // and the hashed-linear quality score.
+    "diverse_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY vec_id LIMIT 32),
+        a AS (SELECT id, cid FROM (
+            SELECT e.vec_id AS id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_dot_product(v, cv) /
+                  (sqrt(list_dot_product(v, v)) *
+                   sqrt(list_dot_product(cv, cv))) DESC, c.cid) AS rn
+            FROM e, c) WHERE rn = 1),
+        sc AS (SELECT doc_id,
+            round(0.5 + 0.5 * z / (1.0 + abs(z)), 4) AS score
+          FROM (
+            SELECT doc_id, (meanw / 2048.0 - 1.0) * 6.0 AS z
+            FROM (
+              SELECT doc_id,
+                list_sum(list_transform(toks,
+                  tk -> CAST((md5_number_lower(tk) >> 3) & 4095 AS DOUBLE)))
+                  / CAST(len(toks) AS DOUBLE) AS meanw
+              FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents)))),
+        f AS (SELECT cid, doc_id, score,
+            row_number() OVER (PARTITION BY cid
+              ORDER BY score DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY cid) AS n_in_cluster,
+            max(score) OVER (PARTITION BY cid) AS best_score
+          FROM a JOIN sc ON a.id = sc.doc_id)
+        SELECT cid, CAST(n_in_cluster AS BIGINT) AS n_in_cluster,
+          doc_id AS pick, round(best_score, 4) AS best_score
+        FROM f WHERE rn = 1 ORDER BY cid""",
     // Same hashed-linear score closed form as quality_classifier; the
     // running token count follows the (score DESC, doc_id) order and
     // the budget is exact integer arithmetic.

@@ -337,6 +337,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("diverse_sample: one pick per cluster, pick is its cluster's best score, clusters partition the joined corpus") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.p6.Queries.all("diverse_sample")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    // clusters partition the embedding-bearing docs
+    val emb = Tables(spark, sfDir, "embeddings").select("vec_id").as[Long].collect().toSet
+    val docIds = Tables(spark, sfDir, "documents").select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(1)).sum == (emb & docIds).size)
+    // every pick is a real doc and picks are distinct
+    val picks = rows.map(_.getLong(2))
+    assert(picks.toSet.size == picks.length)
+    assert(picks.forall(p => emb.contains(p) && docIds.contains(p)))
+    // per cluster, the reported best_score is what the pick scores:
+    // re-derive the score for each picked doc via the registry's
+    // quality entry closed form (recompute directly)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val ws = transform(toks, tk =>
+      shiftrightunsigned(graft.functions.VectorExpressions.md5_lower64(tk), 3)
+        .bitwiseAND(lit(4095L)).cast("double"))
+    val meanW = aggregate(ws, lit(0.0), (acc, x) => acc + x) /
+      size(toks).cast("double")
+    val z = (meanW / lit(2048.0) - lit(1.0)) * lit(6.0)
+    val scores = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), z.as("z"))
+      .select(col("doc_id"),
+        round(lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))), 4)
+          .as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(scores(r.getLong(2)) == r.getDouble(3),
+        s"cluster ${r.getLong(0)}: pick's score != best_score")
+    }
+  }
+
   test("snapshotDiff: statuses partition the id union and match the planted closed form") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")

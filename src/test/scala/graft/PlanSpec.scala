@@ -321,6 +321,9 @@ class PlanSpec extends SparkSpec {
       case a: SortAggregateExec       => a.groupingExpressions.isEmpty
       case _: GlobalLimitExec         => true
       case _: LocalLimitExec          => true
+      // orderBy().limit(n) compiles to TakeOrderedAndProject — yields
+      // at most n rows, the same bound a GlobalLimit proves
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
       case _                          => false
     }
     val offenders = Queries.all.keys.toSeq.sorted.filter { name =>
