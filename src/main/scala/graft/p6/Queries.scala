@@ -1966,6 +1966,89 @@ object Queries {
       .orderBy(col("shard_id"))
   }
 
+  /** Document-frequency boilerplate detection (CCNet / RefinedWeb
+    * style): a 3-token shingle that occurs in at least
+    * K = max(5, ceil(0.4% of docs)) DISTINCT documents is boilerplate
+    * (headers, navigation chrome, license blurbs — text repeated
+    * across unrelated pages), and every position covered by such a
+    * shingle is a strip candidate. Distinct from [[duplicateSpansQuery]]
+    * (pairwise span sharing) — df-thresholding needs no pair
+    * enumeration at all. Scale shape: one shuffle on the shingle for
+    * the distinct-doc df, and the position->flagged-shingle join
+    * reuses that same hash partitioning (exchange reuse, no broadcast
+    * of the potentially large boilerplate set); K is integer-exact
+    * ((4*N + 999)/1000) so both engines agree without float ceil. The
+    * single-row corpus count follows the bounded-collect contract
+    * (one 1-row aggregate, like Dedup's probe counts).
+    */
+  private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val nDocs = base.agg(count(lit(1))).head().getLong(0)
+    val k = math.max(5L, (4L * nDocs + 999L) / 1000L)
+    val pos = base
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 3)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(3))).as("g"))
+    val boiler = pos.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= k)
+      .select(col("g"), lit(1).as("__bp"))
+    pos.join(boiler, Seq("g"), "left")
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("__bp"), lit(0))).cast("long").as("n_bp_pos"))
+      .join(base.groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs")), Seq("bucket"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"), col("n_bp_pos"),
+        round(col("n_bp_pos") / col("n_pos"), 6).as("bp_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  /** BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75)
+    * for a fixed 4-term query over the corpus — the scoring half of a
+    * decontamination / retrieval pass (tfidf's q20 publishes the idf
+    * table; this ranks documents). Selection is keyed on the score
+    * ROUNDED to 1e-6 with doc_id tie-break — the q20/q21 idiom that
+    * keeps the top-k boundary independent of last-ulp libm noise.
+    * Scale shape: the query-term filter lands scan-side BEFORE the
+    * explode is aggregated (only query-term postings survive), df and
+    * corpus stats are one tiny broadcast cross join, and the top-k is
+    * a TakeOrderedAndProject — no global sort materializes.
+    */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "window", "hash")
+    val toks = Dedup.tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(col("dl")).cast("double").as("sumdl"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("sumdl")))
+    postings
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** Diversity-aware curation: ONE best-quality document per
     * embedding-space cluster — the cheap distributed surrogate for
     * maximal-marginal-relevance selection (greedy MMR is inherently
@@ -3021,6 +3104,8 @@ object Queries {
     "q46_subqueries" -> (q46Subqueries _),
     "q47_contamination" -> (q47Contamination _),
     "q48_sequence_packing" -> (q48SequencePacking _),
+    "boilerplate_strip" -> (boilerplateStrip _),
+    "bm25_topk" -> (bm25TopK _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -4509,6 +4594,44 @@ object Queries {
                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntoks
                 FROM documents))
         GROUP BY 1 ORDER BY 1""",
+    "boilerplate_strip" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 3),
+        pos AS (
+          SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i FROM base)),
+        k AS (SELECT greatest(5, (4 * count(*) + 999) // 1000) AS k FROM base),
+        boiler AS (
+          SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1)
+          WHERE df >= (SELECT k FROM k))
+        SELECT p.doc_id % 10 AS bucket,
+          count(DISTINCT p.doc_id) AS n_docs,
+          count(*) AS n_pos,
+          CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp_pos,
+          round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS bp_ratio
+        FROM pos p LEFT JOIN boiler b ON p.g = b.g
+        GROUP BY 1 ORDER BY 1""",
+    "bm25_topk" ->
+      """WITH docs AS (
+          SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1),
+        stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM docs),
+        postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+          WHERE term IN ('spark', 'join', 'window', 'hash')
+          GROUP BY 1, 2, 3),
+        dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1)
+        SELECT doc_id,
+          round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumdl))), 6) AS score,
+          count(*) AS n_terms_hit
+        FROM postings JOIN dfs USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 15""",
     "token_shard_assign" ->
       """SELECT shard_id, count(*) AS n_docs,
         CAST(sum(ntoks) AS BIGINT) AS sum_tokens,

@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bundle join chain reappeared")
   }
 
+  test("bm25_topk: top-k is a TakeOrderedAndProject over broadcast stats — no global sort, no shuffle join") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject(limit=15"),
+      "top-k regressed to a global Sort + Limit (full-corpus range exchange)")
+    assert(!p.contains("SortMergeJoin"),
+      "df/corpus-stats join fell off the broadcast path")
+  }
+
+  test("boilerplate_strip: term filter reaches the scan; no global sort before the bucket agg") {
+    val p = plan("boilerplate_strip")
+    // one ORDER BY bucket at the very top over <= 10 rows is fine; a
+    // WindowExec or cartesian would mean the df-threshold semantics
+    // got re-planned pairwise
+    assert(!p.contains("Window"), "df-thresholding regressed to a window plan")
+    assert(p.contains("size(split(lower(trim("),
+      "the >=3-token gate left the scan side")
+  }
+
   test("winnow_fingerprint: no WindowExec — the sliding min is scan-side scalar work") {
     val p = plan("winnow_fingerprint")
     assert(!p.contains("Window"), "winnowing regressed to a window plan")
