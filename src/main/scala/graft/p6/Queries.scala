@@ -1999,10 +1999,9 @@ object Queries {
       .select(col("g"), lit(1).as("__bp"))
     pos.join(boiler, Seq("g"), "left")
       .groupBy((col("doc_id") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n_pos"),
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pos"),
         sum(coalesce(col("__bp"), lit(0))).cast("long").as("n_bp_pos"))
-      .join(base.groupBy((col("doc_id") % 10).as("bucket"))
-        .agg(count(lit(1)).as("n_docs")), Seq("bucket"))
       .select(col("bucket"), col("n_docs"), col("n_pos"), col("n_bp_pos"),
         round(col("n_bp_pos") / col("n_pos"), 6).as("bp_ratio"))
       .orderBy(col("bucket"))
