@@ -62,6 +62,47 @@ class TextRetrievalSpec extends SparkSpec {
     assert(totalBp == 0L, s"df-5 plant flagged despite K=6 floor (n_bp_pos=$totalBp)")
   }
 
+  test("containment_neardup: planted excerpt has containment 1.0 despite Jaccard far below the dedup threshold") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // C(excerpt->big)=1.0, J ~= 6/58
+    val docs = Seq((10L, big), (20L, excerpt), (30L, "x1 x2 x3 x4 x5 x6 x7"))
+      .toDF("doc_id", "text")
+    val rows = entry("containment_neardup", docs)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.toSeq == Seq((20L, 10L, 1.0)),
+      s"expected only the excerpt->container pair, got ${rows.toSeq}")
+  }
+
+  test("containment_neardup: prefix filter is lossless — equals all-pairs brute force on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val docs = (0L until 40L).map { i =>
+        // skewed vocab so some shingles are corpus-common and others rare
+        val n = 7 + rnd.nextInt(30)
+        val words = (0 until n).map(_ => s"t${rnd.nextInt(12)}")
+        // plant occasional exact prefixes of an earlier doc
+        val t = if (i % 7 == 3) (0 until 9).map(k => s"p${trial}_$k").mkString(" ")
+          else if (i % 7 == 5) (0 until 20).map(k => s"p${trial}_$k").mkString(" ")
+          else words.mkString(" ")
+        (i, t)
+      }.toDF("doc_id", "text")
+      val got = entry("containment_neardup", docs)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // brute force: all ordered pairs, exact distinct-3-gram containment
+      val sh = docs.collect().map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.size >= 5)
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a != b
+        inter = (sa & sb).size
+        if inter.toDouble / sa.size >= 0.8
+      } yield (a, b, sa.size.toLong, inter.toLong)).toSet
+      assert(got == want, s"trial $trial: missing ${want -- got}, extra ${got -- want}")
+      assert(want.nonEmpty, s"trial $trial: degenerate corpus, nothing verified")
+    }
+  }
+
   test("bm25_topk: equals a driver-side naive BM25 over a hand corpus, ties broken by doc_id") {
     val docs = Seq(
       (0L, "spark join window hash spark"), // all 4 terms, tf(spark)=2
