@@ -2018,7 +2018,10 @@ object Queries {
     * corpus stats are one tiny broadcast cross join, and the top-k is
     * a TakeOrderedAndProject — no global sort materializes.
     */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BM25 scorer: (doc_id, score, n_terms_hit) for every doc
+    * matching at least one query term (see [[bm25TopK]] for contract).
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("spark", "join", "window", "hash")
     val toks = Dedup.tokens(col("text"))
     val docs = t(s, dir, "documents")
@@ -2044,8 +2047,38 @@ object Queries {
       .groupBy(col("doc_id"))
       .agg(round(sum(idf * tfNorm), 6).as("score"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
+
+  /** Retrieve-then-rerank (the RAG / hard-negative-mining shape):
+    * BM25 selects the lexical top-50, then the candidate set — now 50
+    * rows, BROADCAST — is reranked by exact embedding cosine against
+    * the query vector. The expensive exact similarity only ever
+    * touches the candidate set, so the corpus-side work stays the
+    * linear BM25 pass regardless of embedding dimensionality; docs
+    * without an embedding row drop out in the rerank join (inner, by
+    * construction of the corpus). Both selection boundaries are on
+    * ROUNDED scores with doc_id tie-breaks (the [[bm25TopK]] idiom).
+    */
+  private def hybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val cands = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+      .withColumnRenamed("score", "bm25")
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("bm25"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Asymmetric containment near-dup join (PPJoin-family prefix
@@ -3160,6 +3193,7 @@ object Queries {
     "boilerplate_strip" -> (boilerplateStrip _),
     "bm25_topk" -> (bm25TopK _),
     "containment_neardup" -> (containmentNearDup _),
+    "hybrid_retrieval" -> (hybridRetrieval _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -4710,6 +4744,33 @@ object Queries {
         JOIN good gb ON gb.doc_id = cand.b
         WHERE len(list_intersect(ga.s, gb.s))::DOUBLE / len(ga.s) >= 0.8
         ORDER BY a, b""",
+    "hybrid_retrieval" ->
+      """WITH docs AS (
+          SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1),
+        stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM docs),
+        postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+          WHERE term IN ('spark', 'join', 'window', 'hash')
+          GROUP BY 1, 2, 3),
+        dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+        bm AS (
+          SELECT doc_id,
+            round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+              (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumdl))), 6) AS bm25
+          FROM postings JOIN dfs USING (term) CROSS JOIN stats
+          GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 50),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0)
+        SELECT doc_id, bm25,
+          round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+            (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 4) AS sim
+        FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, q
+        ORDER BY sim DESC, doc_id LIMIT 10""",
     "token_shard_assign" ->
       """SELECT shard_id, count(*) AS n_docs,
         CAST(sum(ntoks) AS BIGINT) AS sum_tokens,

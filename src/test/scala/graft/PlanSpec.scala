@@ -182,6 +182,14 @@ class PlanSpec extends SparkSpec {
       "the >=3-token gate left the scan side")
   }
 
+  test("hybrid_retrieval: BM25 candidates broadcast into the embedding rerank — corpus never shuffle-joins") {
+    val p = plan("hybrid_retrieval")
+    assert(!p.contains("SortMergeJoin"),
+      "the 50-row candidate set fell off the broadcast path")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      "rerank regressed to a global sort")
+  }
+
   test("winnow_fingerprint: no WindowExec — the sliding min is scan-side scalar work") {
     val p = plan("winnow_fingerprint")
     assert(!p.contains("Window"), "winnowing regressed to a window plan")
@@ -329,6 +337,11 @@ class PlanSpec extends SparkSpec {
       "ann_ivf_append", "ann_ivf_warm", "ann_lsh_topk",
       "ann_quantized_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_warm", "knn_classify",
+      // retrieve-then-rerank: the BNLJ is the 1-row query-vector
+      // cross join (same shape as ann_cosine_topk) against a 50-row
+      // TakeOrdered candidate set — O(candidates), but the filter
+      // bound is predicate-level, invisible to the structural check:
+      "hybrid_retrieval",
       // exact all-pairs scaffolds, quadratic by contract over a
       // literal-capped doc set (ngram: doc_id < 200) or the cluster-
       // bounded semdedup oracle (subquadratic twin: semdedup_planted):
