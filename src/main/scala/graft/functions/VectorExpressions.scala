@@ -59,6 +59,13 @@ object VectorExpressions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.Md5Lower64(ColumnBridge.expression(s)))
 
+  /** Unicode NFC normalization, codegen'd (DuckDB `nfc_normalize`
+    * twin); fast-paths already-composed text with zero allocation.
+    */
+  def nfc_normalize(s: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.NfcNormalize(ColumnBridge.expression(s)))
+
   /** All m product-quantization codes of a vector in one compiled
     * pass (array<int>, one argmin-L2 code per subspace) — the
     * map-only PQ encoder ([[graft.operators.Similarity.pqEncode]]).

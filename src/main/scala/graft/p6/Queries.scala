@@ -2135,6 +2135,36 @@ object Queries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Unicode NFC normalization pass (pre-dedup hygiene): the same
+    * text arrives composed ("é") and decomposed ("e" + U+0301) from
+    * different provenances, and every downstream exact/shingle dedup
+    * treats them as distinct documents unless the corpus is composed
+    * first. The corpus is ASCII, so the entry PLANTS decomposed
+    * sequences deterministically (combining acute on 'a' for
+    * doc_id%3==0, combining diaeresis on 'o' for %3==1) and runs the
+    * codegen'd [[graft.functions.VectorExpressions.nfc_normalize]]
+    * kernel (DuckDB twin: nfc_normalize) — map-only, no shuffle
+    * beyond the 10-row bucket agg. chars are codepoint counts, so
+    * composition strictly shrinks changed docs.
+    */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.nfc_normalize
+    val deco = when(col("doc_id") % 3 === 0,
+        replace(col("text"), lit("a"), lit("á")))
+      .when(col("doc_id") % 3 === 1,
+        replace(col("text"), lit("o"), lit("ö")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), deco.as("d"))
+      .select(col("doc_id"), col("d"), nfc_normalize(col("d")).as("nd"))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nd") =!= col("d"), 1).otherwise(0)).cast("long").as("n_changed"),
+        sum(length(col("d"))).cast("long").as("chars_decomposed"),
+        sum(length(col("nd"))).cast("long").as("chars_nfc"))
+      .orderBy(col("bucket"))
+  }
+
   /** Diversity-aware curation: ONE best-quality document per
     * embedding-space cluster — the cheap distributed surrogate for
     * maximal-marginal-relevance selection (greedy MMR is inherently
@@ -3194,6 +3224,7 @@ object Queries {
     "bm25_topk" -> (bm25TopK _),
     "containment_neardup" -> (containmentNearDup _),
     "hybrid_retrieval" -> (hybridRetrieval _),
+    "text_normalize" -> (textNormalize _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -4771,6 +4802,20 @@ object Queries {
              * sqrt(list_dot_product(qv, qv))), 4) AS sim
         FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, q
         ORDER BY sim DESC, doc_id LIMIT 10""",
+    "text_normalize" ->
+      """WITH deco AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+                 WHEN doc_id % 3 = 1 THEN replace(text, 'o', 'o' || chr(776))
+                 ELSE text END AS d
+          FROM documents),
+        n AS (SELECT doc_id, d, nfc_normalize(d) AS nd FROM deco)
+        SELECT doc_id % 10 AS bucket,
+          count(*) AS n_docs,
+          CAST(sum(CASE WHEN nd <> d THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(sum(length(d)) AS BIGINT) AS chars_decomposed,
+          CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
+        FROM n GROUP BY 1 ORDER BY 1""",
     "token_shard_assign" ->
       """SELECT shard_id, count(*) AS n_docs,
         CAST(sum(ntoks) AS BIGINT) AS sum_tokens,

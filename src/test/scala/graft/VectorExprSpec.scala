@@ -121,6 +121,39 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, codegen == interpreted") {
+    import graft.functions.VectorExpressions.nfc_normalize
+    val cases = Seq(
+      "plain ascii stays",
+      "e\u0301clair me\u0301me", // decomposed acutes -> eclair meme with composed accents
+      "\u00e9clair",              // already NFC
+      "o\u0308 a\u030a c\u0327", // diaeresis, ring, cedilla
+      "d\u0307\u0323",           // marks out of canonical order: NFC reorders THEN composes
+      "",
+      null)
+    val df = cases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), col("t"), nfc_normalize(col("t")).as("n"))
+    val got = df.collect().map(r => Option(r.getString(2))).toSeq
+    val want = cases.map(c => Option(c).map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+    assert(got == want)
+    // composed outputs are shorter for the decomposed inputs
+    assert(got(1).get == "\u00e9clair m\u00e9me" && got(1).get.length == 11)
+    assert(got(3).get == "\u00f6 \u00e5 \u00e7" && got(3).get.length == 5)
+    // dot-below composes onto d (U+1E0D) after reordering; dot-above stays combining
+    assert(got(4).get == "\u1e0d\u0307" && got(4).get.length == 2)
+    // idempotence: normalizing the normalized column changes nothing
+    val twice = df.select(nfc_normalize(col("n")).as("n2")).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(twice == got)
+    // interpreted eval (no codegen) agrees with the reference
+    val expr = org.apache.spark.sql.graft.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301")))
+    assert(expr.eval(null).toString == "\u00e9")
+  }
+
   test("expression compiles under whole-stage codegen (no fallback)") {
     // needs a real scan: a local relation of literals gets planned
     // without a WholeStageCodegen subtree at all
