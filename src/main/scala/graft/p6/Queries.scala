@@ -2165,6 +2165,34 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    * 2006): each doc gets key u^(1/w) for u ~ U(0,1) and weight w;
+    * the global top-k by key IS an exact weighted sample — fully
+    * deterministic here because u derives from the md5_lower64 kernel
+    * (same bit-for-bit in DuckDB via md5_number_lower), so the
+    * "random" sample is reproducible across engines, partitionings,
+    * and reruns — the property a curation pipeline needs for
+    * auditable subsampling. Maximizing u^(1/w) == maximizing
+    * ln(u)/w (monotone), which avoids pow; selection is on the
+    * ROUNDED key with doc_id tie-break ([[bm25TopK]] idiom). Scale
+    * shape: map-only key computation + TakeOrderedAndProject — no
+    * shuffle at all beyond the top-k tree aggregation.
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions
+    val h = VectorExpressions.md5_lower64(
+      concat(col("doc_id").cast("string"), lit(":ws")))
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0) // 2^53: u uniform in (0,1), exactly representable
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        // + 0.0 canonicalizes IEEE -0.0 (a key that rounds to zero)
+        // so both engines emit the same sign
+        (round(log(u) / col("n_chars").cast("double"), 6) + lit(0.0)).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Diversity-aware curation: ONE best-quality document per
     * embedding-space cluster — the cheap distributed surrogate for
     * maximal-marginal-relevance selection (greedy MMR is inherently
@@ -3225,6 +3253,7 @@ object Queries {
     "containment_neardup" -> (containmentNearDup _),
     "hybrid_retrieval" -> (hybridRetrieval _),
     "text_normalize" -> (textNormalize _),
+    "weighted_sample" -> (weightedSample _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -4816,6 +4845,13 @@ object Queries {
           CAST(sum(length(d)) AS BIGINT) AS chars_decomposed,
           CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
         FROM n GROUP BY 1 ORDER BY 1""",
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars,
+          round(ln(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ws') >> 11)::DOUBLE
+                    + 0.5) / 9007199254740992.0)
+                / CAST(n_chars AS DOUBLE), 6) + 0.0 AS es_key
+        FROM documents
+        ORDER BY es_key DESC, doc_id LIMIT 100""",
     "token_shard_assign" ->
       """SELECT shard_id, count(*) AS n_docs,
         CAST(sum(ntoks) AS BIGINT) AS sum_tokens,

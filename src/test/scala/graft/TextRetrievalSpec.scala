@@ -103,6 +103,36 @@ class TextRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("weighted_sample: equals the driver-side A-ES replay; heavy weights dominate the sample") {
+    // 250 heavy (w=2000) + 250 light (w=50) docs
+    val docs = (0L until 500L).map { i =>
+      (i, "t", if (i < 250) 2000L else 50L)
+    }.toDF("doc_id", "text", "n_chars")
+    val got = entry("weighted_sample", docs)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // driver-side replay of the exact key construction
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      md.reset()
+      val d = md.digest(s"$id:ws".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d, 8, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0
+      val r = BigDecimal(math.log(u) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r + 0.0
+    }
+    val want = (0L until 500L).map(i => (i, if (i < 250) 2000L else 50L))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, k) => (-k, i) }
+      .take(100)
+    assert(got == want)
+    // the E-S property: inclusion probability rises with weight —
+    // with a 40x weight ratio the heavy class must dominate
+    val heavy = got.count(_._2 == 2000L)
+    assert(heavy >= 85, s"heavy docs in sample: $heavy/100")
+  }
+
   test("bm25_topk: equals a driver-side naive BM25 over a hand corpus, ties broken by doc_id") {
     val docs = Seq(
       (0L, "spark join window hash spark"), // all 4 terms, tf(spark)=2
