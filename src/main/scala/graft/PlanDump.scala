@@ -67,7 +67,13 @@ object PlanDump {
     "token_budget_pack" ->
       "Token-budget packing: map-only hashed-linear scoring on the scan, ONE range exchange (what any global sort costs) feeding the native PrefixScanExec running sum, keep-filter + final aggregate map-side — no single-task WindowExec anywhere",
     "ann_pq_topk" ->
-      "Product-quantization ANN recall summary (the operator side — pq_encode kernel as ONE projection on the scan, map-side ADC scores, TakeOrdered candidate bound, exact rescore of candidates only — executes under the summary's localCheckpoint, so this dump shows the contract join over its pinned <=k rows: Scan ExistingRDD)")
+      "Product-quantization ANN recall summary (the operator side — pq_encode kernel as ONE projection on the scan, map-side ADC scores, TakeOrdered candidate bound, exact rescore of candidates only — executes under the summary's localCheckpoint, so this dump shows the contract join over its pinned <=k rows: Scan ExistingRDD)",
+    "containment_neardup" ->
+      "Lossless prefix-filtered containment join: df agg on the shingle, per-doc rarest-p window (doc_id-partitioned, never global), prefix-vs-full-postings equi-join with the integer length filter, sorted-merge exact verify — every stage a keyed exchange, nothing quadratic",
+    "hybrid_retrieval" ->
+      "Retrieve-then-rerank: BM25 postings agg -> TakeOrdered(50) candidates BROADCAST into the embedding join, 1-row query-vector BNLJ (the ann_cosine shape), TakeOrdered(10) rerank — the corpus is scanned once for BM25 and once for the 50-row hash join probe",
+    "weighted_sample" ->
+      "Deterministic A-ES weighted sampling: md5_lower64 kernel + ln(u)/w key as ONE map-side projection on the scan, TakeOrderedAndProject(100) — zero exchanges in the whole plan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
