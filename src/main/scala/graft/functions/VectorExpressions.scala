@@ -66,6 +66,16 @@ object VectorExpressions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.NfcNormalize(ColumnBridge.expression(s)))
 
+  /** One BPE training round's greedy left-to-right merge of the
+    * adjacent pair (left, right) into `left+"+"+right` over a token
+    * array — one codegen'd O(len) pass per document (the `aggregate`
+    * HOF fold it replaces is O(len²) per document).
+    */
+  def bpe_merge_step(tokens: Column, left: String, right: String): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.BpeMergeStep(
+        ColumnBridge.expression(tokens), left, right))
+
   /** All m product-quantization codes of a vector in one compiled
     * pass (array<int>, one argmin-L2 code per subspace) — the
     * map-only PQ encoder ([[graft.operators.Similarity.pqEncode]]).

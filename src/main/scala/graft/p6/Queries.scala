@@ -1,6 +1,6 @@
 package graft.p6
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.P6Functions._
@@ -2193,6 +2193,60 @@ object Queries {
       .limit(100)
   }
 
+  /** BPE merge TRAINING (Sennrich et al. 2016, word-level): M
+    * iterations of [count all adjacent token pairs over the corpus ->
+    * take the most frequent pair (ties: count DESC, left ASC, right
+    * ASC) -> rewrite every doc by greedy left-to-right non-overlapping
+    * merge of that pair]. The pair COUNTING is a distributed
+    * position-explode aggregate each round; only the ONE-ROW argmax is
+    * collected (the PQ-codebook bounded-collect contract — M rows
+    * total cross the driver). The rewrite is the native codegen'd
+    * [[graft.functions.VectorExpressions.bpe_merge_step]] kernel —
+    * one O(len) pass per document (an `aggregate` HOF fold with a
+    * string accumulator is O(len²) per document: measured ~470 s for
+    * 6 rounds at sf0.1 vs ~seconds with the kernel). Each round's
+    * corpus is localCheckpoint'd so round i's pair count and round
+    * i+1's rewrite share ONE materialization instead of re-executing
+    * the whole merge pyramid from the raw scan (the semdedup k-means
+    * pattern); checkpoints unpersist as soon as the next round lands.
+    * The DuckDB oracle replays ALL M rounds closed-form as chained
+    * CTEs (pair CTE -> 1-row argmax CTE -> list_reduce rewrite CTE),
+    * so the learned merge table is recomputed from scratch by both
+    * engines — nothing is precomputed or smuggled in as literals.
+    * Merged tokens join with '+' (corpus tokens never contain '+', so
+    * merge products cannot collide with raw tokens).
+    */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val m = 6
+    var corpus = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(Dedup.tokens(col("text")).as("t"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var prev: Option[DataFrame] = None
+    for (step <- 1 to m) {
+      val snap = corpus.localCheckpoint() // eager; frees the pyramid
+      prev.foreach(_.unpersist())
+      prev = Some(snap)
+      val top = snap
+        .filter(size(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+        .select(col("t")(col("i")).as("a"), col("t")(col("i") + 1).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .head() // bounded: ONE row per iteration
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, a, b, c))
+      corpus = snap.select(
+        graft.functions.VectorExpressions.bpe_merge_step(col("t"), a, b).as("t"))
+    }
+    prev.foreach(_.unpersist())
+    import s.implicits._
+    merges.result().toDF("step", "left", "right", "n_pairs")
+      .orderBy(col("step"))
+  }
+
   /** Diversity-aware curation: ONE best-quality document per
     * embedding-space cluster — the cheap distributed surrogate for
     * maximal-marginal-relevance selection (greedy MMR is inherently
@@ -3254,6 +3308,7 @@ object Queries {
     "hybrid_retrieval" -> (hybridRetrieval _),
     "text_normalize" -> (textNormalize _),
     "weighted_sample" -> (weightedSample _),
+    "bpe_train" -> (bpeTrain _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -3354,6 +3409,42 @@ object Queries {
     * the operator uses — data-independent constants, the emb_neardup
     * pattern), each component recomputed closed-form.
     */
+  /** bpe_train oracle: replays all M merge rounds closed-form. Stage i
+    * (i >= 1): p_i counts adjacent pairs over corpus s_{i-1}, m_i is
+    * the 1-row argmax (count DESC, pair ASC), s_i rewrites every doc
+    * with DuckDB's list_reduce — the same greedy left-to-right fold as
+    * the Spark `aggregate` HOF (accumulator = rebuilt string; a merge
+    * replaces the accumulator's last token, which a just-merged '+'
+    * token can never re-match within the round).
+    */
+  private lazy val BpeTrainOracleSql: String = {
+    val m = 6
+    val sb = new StringBuilder
+    sb ++= """WITH s0 AS (
+        SELECT array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS s
+        FROM documents WHERE trim(text) <> '')"""
+    for (i <- 1 to m) {
+      sb ++= s""",
+      p$i AS (
+        SELECT t[i+1] AS a, t[i+2] AS b, count(*) AS c
+        FROM (SELECT regexp_split_to_array(s, ' ') AS t,
+                unnest(range(len(regexp_split_to_array(s, ' ')) - 1)) AS i
+              FROM s${i - 1})
+        GROUP BY 1, 2),
+      m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+      s$i AS (
+        SELECT list_reduce(regexp_split_to_array(s, ' '), (acc, tk) ->
+          CASE WHEN regexp_extract(acc, '[^ ]+$$') = m$i.a AND tk = m$i.b
+            THEN substr(acc, 1, length(acc) - length(m$i.a)) || m$i.a || '+' || m$i.b
+            ELSE acc || ' ' || tk END) AS s
+        FROM s${i - 1}, m$i)"""
+    }
+    sb ++= (1 to m).map(i =>
+      s"\nSELECT $i AS step, a AS \"left\", b AS \"right\", CAST(c AS BIGINT) AS n_pairs FROM m$i")
+      .mkString("", "\nUNION ALL", "\nORDER BY step")
+    sb.result()
+  }
+
   private lazy val JlProjectOracleSql: String = {
     import graft.operators.Similarity
     val comps = (0 until 16).map { k =>
@@ -4845,6 +4936,7 @@ object Queries {
           CAST(sum(length(d)) AS BIGINT) AS chars_decomposed,
           CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
         FROM n GROUP BY 1 ORDER BY 1""",
+    "bpe_train" -> BpeTrainOracleSql,
     "weighted_sample" ->
       """SELECT doc_id, n_chars,
           round(ln(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ws') >> 11)::DOUBLE

@@ -154,6 +154,47 @@ class VectorExprSpec extends SparkSpec {
     assert(expr.eval(null).toString == "\u00e9")
   }
 
+  test("bpe_merge_step: greedy left-to-right, overlap rule, null-safe, eval == codegen") {
+    import graft.functions.VectorExpressions.bpe_merge_step
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c"),            // one merge at the front
+      Seq("a", "b", "a", "b"),       // two disjoint merges
+      Seq("x", "x", "x"),            // overlap: greedy merges (0,1), keeps trailing x
+      Seq("x", "x", "x", "x"),       // two non-overlapping merges
+      Seq("c", "a"),                 // right token never follows left: unchanged
+      Seq("a"),                      // too short
+      Seq.empty[String])
+    val want = Seq(
+      Seq("a+b", "c"),
+      Seq("a+b", "a+b"),
+      Seq("x+x", "x"),
+      Seq("x+x", "x+x"),
+      Seq("c", "a"),
+      Seq("a"),
+      Seq.empty[String])
+    def run(pair: (String, String)) = cases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), bpe_merge_step(col("t"), pair._1, pair._2).as("m"))
+      .orderBy("id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(run(("a", "b")).take(2) == want.take(2))
+    assert(run(("x", "x")).slice(2, 4) == want.slice(2, 4))
+    assert(run(("a", "b")).drop(4) == want.drop(4))
+    // null elements pass through and never match
+    val withNull = Seq((0L, Seq("a", null, "b"))).toDF("id", "t")
+      .select(bpe_merge_step(col("t"), "a", "b").as("m"))
+      .collect().head.getSeq[String](0).toSeq
+    assert(withNull == Seq("a", null, "b"))
+    // interpreted eval agrees with the dataframe (codegen) path
+    val expr = org.apache.spark.sql.graft.BpeMergeStep(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("x", "x", "x"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      "x", "x")
+    assert(expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq == Seq("x+x", "x"))
+  }
+
   test("expression compiles under whole-stage codegen (no fallback)") {
     // needs a real scan: a local relation of literals gets planned
     // without a WholeStageCodegen subtree at all
