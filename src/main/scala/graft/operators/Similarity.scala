@@ -35,6 +35,52 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine_similarity(a, b)
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+    * recipe). Scores every (x, y) pair with the RATIO margin —
+    * cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2) — and keeps MUTUAL
+    * best matches with margin >= threshold. The normalization demotes
+    * hub vectors (near everything, so their denominator inflates) that
+    * plain cosine top-1 would wrongly align to many partners.
+    *
+    * Inputs are two (id, v double[]) frames (see [[prepared]]); output
+    * is (x_id, y_id, margin), one row per mutual pair, margin rounded
+    * to 1e-6 (+0.0 canonicalizes -0.0) so the threshold boundary is
+    * libm-noise independent. The pair frame is a broadcast cross join
+    * — quadratic by contract, the bipartite sibling of
+    * [[exactCosinePairs]]; at 100 TB generate candidates with the
+    * ann_* paths and compute the margin over candidates instead.
+    * Per-side top-k averages run on the native TopKPerKey bounded
+    * heaps (no WindowExec); the forward/backward argmaxes are
+    * struct-max hash aggregates tie-broken by ascending partner id.
+    */
+  def marginBitext(x: DataFrame, y: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val xs = x.select(col("id").as("xid"), col("v").as("xv"))
+    val ys = y.select(col("id").as("yid"), col("v").as("yv"))
+    val sims = xs.crossJoin(broadcast(ys))
+      .select(col("xid"), col("yid"),
+        (round(cosine(col("xv"), col("yv")), 6) + lit(0.0)).as("sim"))
+    val kx = org.apache.spark.sql.graft.TopKPerKeyApi.topKPerKey(
+        sims, Seq("xid"), Seq("sim" -> false, "yid" -> true), k)
+      .groupBy(col("xid")).agg(avg(col("sim")).as("ax"))
+    val ky = org.apache.spark.sql.graft.TopKPerKeyApi.topKPerKey(
+        sims, Seq("yid"), Seq("sim" -> false, "xid" -> true), k)
+      .groupBy(col("yid")).agg(avg(col("sim")).as("ay"))
+    val m = sims.join(kx, "xid").join(ky, "yid")
+      .select(col("xid"), col("yid"),
+        (round(col("sim") / ((col("ax") + col("ay")) / 2), 6) + lit(0.0))
+          .as("margin"))
+    val fwd = m.groupBy(col("xid"))
+      .agg(max(struct(col("margin"), (-col("yid")).as("ny"))).as("b"))
+      .select(col("xid"), (-col("b.ny")).as("yid"), col("b.margin").as("margin"))
+    val bwd = m.groupBy(col("yid"))
+      .agg(max(struct(col("margin"), (-col("xid")).as("nx"))).as("b"))
+      .select(col("yid").as("byid"), (-col("b.nx")).as("bxid"))
+    fwd.join(bwd, fwd("xid") === col("bxid") && fwd("yid") === col("byid"))
+      .filter(col("margin") >= threshold)
+      .select(col("xid").as("x_id"), col("yid").as("y_id"), col("margin"))
+      .orderBy(col("x_id"))
+  }
+
   /** Sign-random-projection bucket id (K bits) per vector: explode to
     * (id, j, x), give each component its +/-1 weight per hyperplane
     * (a bit of xxhash64(k, j)), sum per plane in one groupBy, pack the

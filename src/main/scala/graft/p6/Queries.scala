@@ -2193,6 +2193,38 @@ object Queries {
       .limit(100)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    * recipe): mine cross-lingual training pairs by scoring every
+    * (en, de) embedding pair with the RATIO margin — cosine divided by
+    * the mean of both sides' average top-k cosines — and keeping
+    * MUTUAL best matches above a threshold. The margin normalization
+    * is the whole point vs plain cosine top-1: hub vectors that are
+    * near everything get their denominator inflated and stop
+    * swallowing the alignment.
+    *
+    * Shapes: sides are inner joins doc->embedding (vec_id = doc_id);
+    * the pair frame is a broadcast cross join (the smaller language
+    * side broadcasts) — quadratic by contract, the bipartite sibling
+    * of exact_cosine_pairs; at 100 TB the candidate set comes from the
+    * ann_* paths instead and the margin is computed over candidates.
+    * Per-side top-k averages use the native TopKPerKey bounded heaps
+    * (no WindowExec); forward/backward argmax are struct-max hash
+    * aggregates with yid/xid ascending tie-breaks. Cosines and margins
+    * round to 1e-6 (+0.0 canonicalizes a potential -0.0) so the
+    * mutual-best boundary is libm-noise independent; threshold 1.05
+    * binds at every observed SF.
+    */
+  private def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def side(lang: String) =
+      e.join(d.filter(col("lang") === lang), col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("id"), col("v"))
+    Similarity.marginBitext(side("en"), side("de"), k = 4, threshold = 1.05)
+  }
+
   /** BPE merge TRAINING (Sennrich et al. 2016, word-level): M
     * iterations of [count all adjacent token pairs over the corpus ->
     * take the most frequent pair (ties: count DESC, left ASC, right
@@ -3309,6 +3341,7 @@ object Queries {
     "text_normalize" -> (textNormalize _),
     "weighted_sample" -> (weightedSample _),
     "bpe_train" -> (bpeTrain _),
+    "bitext_mine" -> (bitextMine _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -3412,10 +3445,12 @@ object Queries {
   /** bpe_train oracle: replays all M merge rounds closed-form. Stage i
     * (i >= 1): p_i counts adjacent pairs over corpus s_{i-1}, m_i is
     * the 1-row argmax (count DESC, pair ASC), s_i rewrites every doc
-    * with DuckDB's list_reduce — the same greedy left-to-right fold as
-    * the Spark `aggregate` HOF (accumulator = rebuilt string; a merge
-    * replaces the accumulator's last token, which a just-merged '+'
-    * token can never re-match within the round).
+    * with DuckDB's list_reduce — the same greedy left-to-right scan
+    * as the Spark-side BpeMergeStep kernel, expressed as a string
+    * fold (accumulator = rebuilt string; a merge replaces the
+    * accumulator's last token, which a just-merged '+' token can
+    * never re-match within the round — identical to the kernel's
+    * skip-two rule).
     */
   private lazy val BpeTrainOracleSql: String = {
     val m = 6
@@ -4937,6 +4972,34 @@ object Queries {
           CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
         FROM n GROUP BY 1 ORDER BY 1""",
     "bpe_train" -> BpeTrainOracleSql,
+    // bitext_mine oracle: full bipartite recompute — exact cosines,
+    // per-side top-k averages, ratio margins, mutual-best via two
+    // row_number windows, same 1e-6 rounding (+0.0) and tie-breaks.
+    "bitext_mine" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT vec_id AS xid, v AS xv FROM e JOIN d ON d.doc_id = e.vec_id WHERE lang = 'en'),
+        y AS (SELECT vec_id AS yid, v AS yv FROM e JOIN d ON d.doc_id = e.vec_id WHERE lang = 'de'),
+        s AS (SELECT xid, yid,
+            round(list_dot_product(xv, yv) /
+              (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 6) + 0.0 AS sim
+          FROM x, y),
+        kx AS (SELECT xid, avg(sim) AS ax FROM (
+            SELECT xid, sim, row_number() OVER (PARTITION BY xid ORDER BY sim DESC, yid) AS rn FROM s)
+          WHERE rn <= 4 GROUP BY xid),
+        ky AS (SELECT yid, avg(sim) AS ay FROM (
+            SELECT yid, sim, row_number() OVER (PARTITION BY yid ORDER BY sim DESC, xid) AS rn FROM s)
+          WHERE rn <= 4 GROUP BY yid),
+        m AS (SELECT s.xid, s.yid, round(sim / ((ax + ay) / 2), 6) + 0.0 AS margin
+          FROM s JOIN kx ON kx.xid = s.xid JOIN ky ON ky.yid = s.yid),
+        fwd AS (SELECT xid, yid, margin,
+            row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS rf FROM m),
+        bwd AS (SELECT xid, yid,
+            row_number() OVER (PARTITION BY yid ORDER BY margin DESC, xid) AS rb FROM m)
+        SELECT f.xid AS x_id, f.yid AS y_id, f.margin
+        FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
+        WHERE f.rf = 1 AND b.rb = 1 AND f.margin >= 1.05
+        ORDER BY f.xid""",
     "weighted_sample" ->
       """SELECT doc_id, n_chars,
           round(ln(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ws') >> 11)::DOUBLE

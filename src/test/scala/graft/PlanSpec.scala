@@ -345,7 +345,11 @@ class PlanSpec extends SparkSpec {
       // exact all-pairs scaffolds, quadratic by contract over a
       // literal-capped doc set (ngram: doc_id < 200) or the cluster-
       // bounded semdedup oracle (subquadratic twin: semdedup_planted):
-      "ngram_jaccard_hist", "semdedup")
+      "ngram_jaccard_hist", "semdedup",
+      // bipartite all-pairs margin scoring (CCMatrix recipe): the
+      // en x de cross join is quadratic by contract — the ann_*
+      // candidate paths are the 100 TB shape (see bitextMine doc):
+      "bitext_mine")
     def boundedRows(p: SparkPlan): Boolean = p.exists {
       case a: HashAggregateExec       => a.groupingExpressions.isEmpty
       case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty

@@ -34,6 +34,53 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getDouble(1) == 1.0)
   }
 
+  test("marginBitext: hub vector wins raw cosine for EVERY query but margin recovers every true pair") {
+    // d=16: 5 x-vectors share a common direction c plus a small
+    // distinct component; each true partner y_i adds extra noise in a
+    // NON-x dimension so the hub (= c exactly) beats it on raw cosine
+    // for every x. The ratio margin inflates the hub's denominator
+    // (it is near everything) and picks the true partner back out.
+    val d = 16; val n = 5
+    val c = Array.fill(d)(1.0 / math.sqrt(d))
+    def unit(v: Array[Double]) = {
+      val nrm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nrm)
+    }
+    def basis(i: Int, w: Double) = Array.tabulate(d)(j => if (j == i) w else 0.0)
+    def plus(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (p, q) => p + q }
+    val xs = (0 until n).map(i => i.toLong -> unit(plus(c, basis(i, 0.3))))
+    val ys = (0 until n).map(i =>
+      (100L + i) -> unit(plus(plus(c, basis(i, 0.3)), basis(i + n, 0.45)))) :+
+      (199L -> c) // the hub
+    val xdf = xs.toDF("id", "v")
+    val ydf = ys.toDF("id", "v")
+    // precondition that makes the test bind: raw-cosine argmax = hub
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    xs.foreach { case (_, xv) =>
+      val best = ys.maxBy { case (_, yv) => cos(xv, yv) }
+      assert(best._1 == 199L, "construction broken: hub must win raw cosine")
+    }
+    val got = Similarity.marginBitext(xdf, ydf, k = 4, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // margin recovers exactly the 5 true pairs; the hub aligns to none
+    assert(got.map(p => (p._1, p._2)).toSeq ==
+      (0 until n).map(i => (i.toLong, 100L + i)))
+    // driver-side naive margin recompute (same rounding) agrees
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+    val sims = xs.map { case (xi, xv) =>
+      xi -> ys.map { case (yi, yv) => yi -> r6(cos(xv, yv)) }.toMap
+    }.toMap
+    val ax = xs.map { case (xi, _) =>
+      xi -> sims(xi).values.toSeq.sorted.reverse.take(4).sum / 4 }.toMap
+    val ay = ys.map { case (yi, _) =>
+      yi -> xs.map { case (xi, _) => sims(xi)(yi) }
+        .sorted.reverse.take(4).sum / 4 }.toMap
+    got.foreach { case (xi, yi, m) =>
+      assert(math.abs(m - r6(sims(xi)(yi) / ((ax(xi) + ay(yi)) / 2))) < 2e-6)
+    }
+  }
+
   test("exact cosine pairs: int8 prescreen + block join equal the unscreened brute force") {
     val emb = Tables(spark, sfDir, "embeddings")
     val prep = Similarity.prepared(emb, "vec_id", "embedding")
