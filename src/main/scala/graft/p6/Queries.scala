@@ -2081,6 +2081,73 @@ object Queries {
       .limit(10)
   }
 
+  /** MMR diversification (Carbonell & Goldstein 1998) over a BOUNDED
+    * retrieval candidate set — the third stage of the retrieval
+    * family (bm25_topk retrieves, hybrid_retrieval reranks by
+    * relevance, mmr_rerank trades relevance against redundancy):
+    * greedy picks maximize lambda*rel - (1-lambda)*maxSimToSelected,
+    * so near-duplicate hits cannot monopolize the final list. Greedy
+    * MMR is inherently sequential, so it runs DRIVER-SIDE over the
+    * candidate set — legitimate ONLY because the set is bounded (the
+    * PQ-codebook bounded-collect contract: <= 50 rows cross the
+    * driver); the corpus-scale work (BM25 scan, embedding join,
+    * relevance cosines) is all distributed first. diverse_sample is
+    * the fully-distributed surrogate when the input ISN'T bounded.
+    * Relevance and pairwise cosines round to 1e-6 (+0.0) with doc_id
+    * tie-breaks; driver-side rounding uses HALF_UP BigDecimal — the
+    * same rule as Spark's round() and DuckDB's round(). The oracle
+    * replays the greedy loop closed-form as chained CTEs (score CTE
+    * -> 1-row argmax CTE -> accumulated-selection CTE per pick, the
+    * bpe_train pattern).
+    */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    // both weights are explicit literals: `1 - 0.7` is
+    // 0.30000000000000004 in IEEE double and would diverge from the
+    // oracle's written 0.3
+    val lam = 0.7
+    val oneMinusLam = 0.3
+    val picks = 10
+    val cands = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val emb = e.join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (round(Similarity.cosine(col("v"), col("qv")), 6) + lit(0.0)).as("rel"),
+        col("v"))
+    // bounded: <= 50 candidate rows cross the driver
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    def cosine(a: Array[Double], b: Array[Double]): Double =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    val selected = Seq.newBuilder[(Int, Long, Double)]
+    var selIds = List.empty[Long]
+    var remaining = rows.map(r => (r._1, r._2)).sortBy(_._1).toList
+    for (rank <- 1 to math.min(picks, rows.length)) {
+      val (bestId, bestSc) = remaining.map { case (id, rel) =>
+        val maxSim = if (selIds.isEmpty) 0.0
+          else selIds.map(sid => cosine(vecs(id), vecs(sid))).max
+        (id, lam * rel - oneMinusLam * maxSim)
+      }.minBy { case (id, sc) => (-sc, id) } // max score, doc_id tie-break
+      selected += ((rank, bestId, r6(bestSc)))
+      selIds ::= bestId
+      remaining = remaining.filterNot(_._1 == bestId)
+    }
+    import s.implicits._
+    selected.result().toDF("rank", "doc_id", "mmr").orderBy(col("rank"))
+  }
+
   /** Asymmetric containment near-dup join (PPJoin-family prefix
     * filtering, Xiao et al. 2008): ordered pairs (a, b) where
     * C(a->b) = |sh(a) ∩ sh(b)| / |sh(a)| >= 0.8 over distinct 3-gram
@@ -3342,6 +3409,7 @@ object Queries {
     "weighted_sample" -> (weightedSample _),
     "bpe_train" -> (bpeTrain _),
     "bitext_mine" -> (bitextMine _),
+    "mmr_rerank" -> (mmrRerank _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -3466,8 +3534,8 @@ object Queries {
                 unnest(range(len(regexp_split_to_array(s, ' ')) - 1)) AS i
               FROM s${i - 1})
         GROUP BY 1, 2),
-      m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-      s$i AS (
+      m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+      s$i AS MATERIALIZED (
         SELECT list_reduce(regexp_split_to_array(s, ' '), (acc, tk) ->
           CASE WHEN regexp_extract(acc, '[^ ]+$$') = m$i.a AND tk = m$i.b
             THEN substr(acc, 1, length(acc) - length(m$i.a)) || m$i.a || '+' || m$i.b
@@ -3477,6 +3545,65 @@ object Queries {
     sb ++= (1 to m).map(i =>
       s"\nSELECT $i AS step, a AS \"left\", b AS \"right\", CAST(c AS BIGINT) AS n_pairs FROM m$i")
       .mkString("", "\nUNION ALL", "\nORDER BY step")
+    sb.result()
+  }
+
+  /** mmr_rerank oracle: BM25 top-50 (bm25_topk's CTEs), relevance and
+    * pairwise cosines rounded to 1e-6, then the greedy MMR loop
+    * replayed closed-form as chained CTEs — per pick i: sc_i scores
+    * every unselected candidate as 0.7*rel - 0.3*max(sim to acc_{i-1})
+    * (left join + coalesce makes pick 1 score 0.7*rel), pick_i is the
+    * 1-row argmax (score DESC, doc_id ASC), acc_i accumulates. Both
+    * weight literals are written as 0.7/0.3 to match the Spark side
+    * exactly (never `1 - 0.7`).
+    */
+  private lazy val MmrRerankOracleSql: String = {
+    val picks = 10
+    val sb = new StringBuilder
+    sb ++= """WITH docs AS (
+        SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1),
+      stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM docs),
+      postings AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'join', 'window', 'hash')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+      bm AS (
+        SELECT doc_id,
+          round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumdl))), 6) AS bm25
+        FROM postings JOIN dfs USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50),
+      qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      emb AS (SELECT bm.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id),
+      rel AS MATERIALIZED (SELECT doc_id,
+          round(list_dot_product(v, qv.qv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv.qv, qv.qv))), 6) + 0.0 AS rel
+        FROM emb, qv),
+      ps AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b,
+          round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) + 0.0 AS sim
+        FROM emb x JOIN emb y ON x.doc_id <> y.doc_id),
+      acc0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id, 0 AS rank, 0.0 AS mmr WHERE FALSE)"""
+    for (i <- 1 to picks) {
+      sb ++= s""",
+      sc$i AS (SELECT r.doc_id, 0.7 * r.rel - 0.3 * coalesce(m.ms, 0.0) AS sc
+        FROM rel r LEFT JOIN (
+          SELECT p.a AS doc_id, max(p.sim) AS ms
+          FROM ps p JOIN acc${i - 1} a ON p.b = a.doc_id GROUP BY p.a) m
+        USING (doc_id)
+        WHERE r.doc_id NOT IN (SELECT doc_id FROM acc${i - 1})),
+      pick$i AS (SELECT doc_id, $i AS rank, round(sc, 6) + 0.0 AS mmr
+        FROM sc$i ORDER BY sc DESC, doc_id LIMIT 1),
+      acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM pick$i)"""
+    }
+    sb ++= s"\nSELECT rank, doc_id, mmr FROM acc$picks ORDER BY rank"
     sb.result()
   }
 
@@ -4972,6 +5099,7 @@ object Queries {
           CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
         FROM n GROUP BY 1 ORDER BY 1""",
     "bpe_train" -> BpeTrainOracleSql,
+    "mmr_rerank" -> MmrRerankOracleSql,
     // bitext_mine oracle: full bipartite recompute — exact cosines,
     // per-side top-k averages, ratio margins, mutual-best via two
     // row_number windows, same 1e-6 rounding (+0.0) and tie-breaks.
