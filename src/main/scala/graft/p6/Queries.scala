@@ -2081,6 +2081,76 @@ object Queries {
       .limit(10)
   }
 
+  /** Weighted PageRank over the clickstream page graph — the classic
+    * web-corpus quality signal (CommonCrawl-style curation ranks
+    * pages by link importance before sampling). The graph is DERIVED
+    * distributed: per-user consecutive-visit edges (lead over a
+    * user-partitioned window ordered by ts, event_id — never a
+    * single-task window), multiplicity folded into edge weights, then
+    * 5 damped power iterations (d = 0.85) with proper dangling-mass
+    * redistribution. Each iteration is one keyed join + hash
+    * aggregate over the edge frame; edges/nodes localCheckpoint once
+    * and ranks re-checkpoint per iteration so iteration i never
+    * re-executes iterations 1..i-1 (the bpe_train pattern). The only
+    * driver crossings are N (one count) and the per-iteration
+    * dangling sum (five 1-row aggregates — the bounded-collect
+    * contract). Damping literals are written 0.85/0.15 on BOTH sides
+    * (`1 - 0.85` is 0.15000000000000002 in IEEE double); final ranks
+    * round to 1e-6 so cross-engine summation-order noise (~1e-15
+    * after 5 iterations) cannot flip the top-20 boundary, which also
+    * tie-breaks by page id. The DuckDB oracle replays the whole
+    * pipeline closed-form: same edge derivation, same 5 iterations as
+    * chained MATERIALIZED CTEs.
+    */
+  private def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val damp = 0.85
+    val oneMinusDamp = 0.15 // literal, never 1 - 0.85
+    val iters = 5
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        from_json(col("props"), lit("k INT")).getField("k").cast("long").as("page"),
+        col("ts"), col("event_id"))
+      .filter(col("page").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint() // reused by all 5 iterations
+    val nodes = ev.select(col("page")).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("page"), lit(1.0 / n).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(outw, ranks("page") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)))
+        .head().getDouble(0) // bounded: ONE row per iteration
+      val contribs = edges
+        .join(ranks, ranks("page") === edges("src"))
+        .join(outw, edges("src") === outw("src"))
+        .select(col("dst"), (col("r") / col("outw") * col("w")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      val next = nodes.join(contribs, nodes("page") === contribs("dst"), "left")
+        .select(nodes("page"),
+          (lit(oneMinusDamp / n) +
+            lit(damp) * (coalesce(col("cin"), lit(0.0)) + lit(dangling / n)))
+            .as("r"))
+        .localCheckpoint() // cut the iteration pyramid
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("page"), (round(col("r"), 6) + lit(0.0)).as("rank"))
+      .orderBy(col("rank").desc, col("page"))
+      .limit(20)
+    out
+  }
+
   /** MMR diversification (Carbonell & Goldstein 1998) over a BOUNDED
     * retrieval candidate set — the third stage of the retrieval
     * family (bm25_topk retrieves, hybrid_retrieval reranks by
@@ -3410,6 +3480,7 @@ object Queries {
     "bpe_train" -> (bpeTrain _),
     "bitext_mine" -> (bitextMine _),
     "mmr_rerank" -> (mmrRerank _),
+    "page_rank" -> (pageRank _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -3557,6 +3628,45 @@ object Queries {
     * weight literals are written as 0.7/0.3 to match the Spark side
     * exactly (never `1 - 0.7`).
     */
+  /** page_rank oracle: identical edge derivation (per-user lead
+    * window, ts + event_id order, self-loops dropped, multiplicity as
+    * weight), then 5 power iterations as chained MATERIALIZED CTEs —
+    * dangling mass via an anti-join sum, contributions via one
+    * join-aggregate, damping literals 0.85/0.15 exactly as the Spark
+    * side writes them.
+    */
+  private lazy val PageRankOracleSql: String = {
+    val iters = 5
+    val sb = new StringBuilder
+    sb ++= """WITH ev AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS page, ts, event_id
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      eg AS (SELECT page AS src,
+          lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM ev),
+      edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM eg WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      outw AS MATERIALIZED (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+      nodes AS MATERIALIZED (SELECT DISTINCT page FROM ev),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS MATERIALIZED (SELECT page, 1.0 / n AS r FROM nodes, nn)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+      dang$i AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS ds
+        FROM r${i - 1} a LEFT JOIN outw o ON o.src = a.page WHERE o.src IS NULL),
+      c$i AS (SELECT e.dst, sum(a.r / o.outw * e.w) AS cin
+        FROM edges e JOIN r${i - 1} a ON a.page = e.src JOIN outw o ON o.src = e.src
+        GROUP BY 1),
+      r$i AS MATERIALIZED (SELECT nd.page,
+          0.15 / nn.n + 0.85 * (coalesce(c.cin, 0.0) + dg.ds / nn.n) AS r
+        FROM nodes nd LEFT JOIN c$i c ON c.dst = nd.page, nn, dang$i dg)"""
+    }
+    sb ++= s"""
+      SELECT page, round(r, 6) + 0.0 AS rank FROM r$iters
+      ORDER BY rank DESC, page LIMIT 20"""
+    sb.result()
+  }
+
   private lazy val MmrRerankOracleSql: String = {
     val picks = 10
     val sb = new StringBuilder
@@ -5100,6 +5210,7 @@ object Queries {
         FROM n GROUP BY 1 ORDER BY 1""",
     "bpe_train" -> BpeTrainOracleSql,
     "mmr_rerank" -> MmrRerankOracleSql,
+    "page_rank" -> PageRankOracleSql,
     // bitext_mine oracle: full bipartite recompute — exact cosines,
     // per-side top-k averages, ratio margins, mutual-best via two
     // row_number windows, same 1e-6 rounding (+0.0) and tie-breaks.
