@@ -2092,9 +2092,10 @@ object Queries {
     * aggregate over the edge frame; edges/nodes localCheckpoint once
     * and ranks re-checkpoint per iteration so iteration i never
     * re-executes iterations 1..i-1 (the bpe_train pattern). The only
-    * driver crossings are N (one count) and the per-iteration
-    * dangling sum (five 1-row aggregates — the bounded-collect
-    * contract). Damping literals are written 0.85/0.15 on BOTH sides
+    * driver crossing is N (one count); the per-iteration dangling
+    * sum stays IN the plan as a 1-row broadcast cross join (a head()
+    * there costs a whole extra job per iteration for one double).
+    * Damping literals are written 0.85/0.15 on BOTH sides
     * (`1 - 0.85` is 0.15000000000000002 in IEEE double); final ranks
     * round to 1e-6 so cross-engine summation-order noise (~1e-15
     * after 5 iterations) cannot flip the top-20 boundary, which also
@@ -2125,19 +2126,22 @@ object Queries {
     var ranks = nodes.select(col("page"), lit(1.0 / n).as("r"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // dangling mass stays IN the plan as a 1-row broadcast (the
+      // benign bounded-build BNLJ shape): a driver-side head() here
+      // would cost a whole extra job per iteration for one double
       val dangling = ranks
         .join(outw, ranks("page") === outw("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0)))
-        .head().getDouble(0) // bounded: ONE row per iteration
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("ds"))
       val contribs = edges
         .join(ranks, ranks("page") === edges("src"))
         .join(outw, edges("src") === outw("src"))
         .select(col("dst"), (col("r") / col("outw") * col("w")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
       val next = nodes.join(contribs, nodes("page") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(nodes("page"),
           (lit(oneMinusDamp / n) +
-            lit(damp) * (coalesce(col("cin"), lit(0.0)) + lit(dangling / n)))
+            lit(damp) * (coalesce(col("cin"), lit(0.0)) + col("ds") / lit(n)))
             .as("r"))
         .localCheckpoint() // cut the iteration pyramid
       prev.foreach(_.unpersist())
