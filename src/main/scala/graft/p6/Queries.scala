@@ -2081,6 +2081,44 @@ object Queries {
       .limit(10)
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): pointwise mutual
+    * information over adjacent token pairs — the classic
+    * distributional signal for multi-word-expression discovery and
+    * tokenizer-vocab candidates (a high-PMI bigram is a merge the
+    * corpus "wants"). Two hash aggregates over one scan (unigram
+    * positions, adjacent bigrams), min-support cab >= 5 applied
+    * BEFORE the vocabulary joins, corpus totals folded in as 1-row
+    * broadcasts (benign bounded-build BNLJ). PMI is computed from
+    * integer-exact counts with the SAME operand order and explicit
+    * double casts on both engines — ln((cab*T*T)/(P*ca*cb)) — and
+    * rounds to 1e-6 with (a, b) tie-breaks so the top-30 boundary is
+    * libm-noise independent. All stages keyed/linear; the vocabulary
+    * join stays a shuffle join (vocab is corpus-sized at 100 TB —
+    * never broadcast it).
+    */
+  private def pmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+      .select(Dedup.tokens(col("text")).as("toks"))
+    val uni = tk.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).cast("double").as("t"))
+    val bi = tk.filter(size(col("toks")) >= 2)
+      .select(col("toks"), explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("toks")(col("i")).as("a"), col("toks")(col("i") + 1).as("b"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ptot = bi.agg(count(lit(1)).cast("double").as("p"))
+    bc.filter(col("cab") >= 5)
+      .join(uc.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(uc.select(col("w").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("a"), col("b"), col("cab").as("n_pair"),
+        (round(log((col("cab").cast("double") * col("t") * col("t")) /
+          (col("p") * col("ca").cast("double") * col("cb").cast("double"))), 6)
+          + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
   /** Weighted PageRank over the clickstream page graph — the classic
     * web-corpus quality signal (CommonCrawl-style curation ranks
     * pages by link importance before sampling). The graph is DERIVED
@@ -3485,6 +3523,7 @@ object Queries {
     "bitext_mine" -> (bitextMine _),
     "mmr_rerank" -> (mmrRerank _),
     "page_rank" -> (pageRank _),
+    "pmi_cooccur" -> (pmiCooccur _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -5215,6 +5254,26 @@ object Queries {
     "bpe_train" -> BpeTrainOracleSql,
     "mmr_rerank" -> MmrRerankOracleSql,
     "page_rank" -> PageRankOracleSql,
+    // PMI from integer-exact counts; same operand order and explicit
+    // double casts as the Spark side.
+    "pmi_cooccur" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE trim(text) <> ''),
+        uni AS (SELECT unnest(toks) AS w FROM tk),
+        uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM uni),
+        bi AS (SELECT toks[i+1] AS a, toks[i+2] AS b
+          FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM tk WHERE len(toks) >= 2)),
+        bc AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY 1, 2),
+        ptot AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM bi)
+        SELECT a, b, CAST(cab AS BIGINT) AS n_pair,
+          round(ln((CAST(cab AS DOUBLE) * t * t) /
+            (p * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) + 0.0 AS pmi
+        FROM bc JOIN uc ua ON ua.w = bc.a JOIN uc ub ON ub.w = bc.b
+        CROSS JOIN tot CROSS JOIN ptot
+        WHERE cab >= 5
+        ORDER BY pmi DESC, a, b LIMIT 30""",
     // bitext_mine oracle: full bipartite recompute — exact cosines,
     // per-side top-k averages, ratio margins, mutual-best via two
     // row_number windows, same 1e-6 rounding (+0.0) and tie-breaks.
