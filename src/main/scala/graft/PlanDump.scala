@@ -73,7 +73,13 @@ object PlanDump {
     "hybrid_retrieval" ->
       "Retrieve-then-rerank: BM25 postings agg -> TakeOrdered(50) candidates BROADCAST into the embedding join, 1-row query-vector BNLJ (the ann_cosine shape), TakeOrdered(10) rerank — the corpus is scanned once for BM25 and once for the 50-row hash join probe",
     "weighted_sample" ->
-      "Deterministic A-ES weighted sampling: md5_lower64 kernel + ln(u)/w key as ONE map-side projection on the scan, TakeOrderedAndProject(100) — zero exchanges in the whole plan")
+      "Deterministic A-ES weighted sampling: md5_lower64 kernel + ln(u)/w key as ONE map-side projection on the scan, TakeOrderedAndProject(100) — zero exchanges in the whole plan",
+    "bitext_mine" ->
+      "Margin-based bitext mining: broadcast bipartite cross join scores the pairs once, TopKPerKey bounded heaps feed both sides' top-k averages (no WindowExec), struct-max hash-aggregate argmaxes, mutual-best equi-join — the only BNLJ is the quadratic-by-contract pair frame",
+    "pmi_cooccur" ->
+      "PMI collocations: unigram and adjacent-bigram hash aggregates over ONE scan, min-support filter BEFORE the keyed vocabulary joins, 1-row total broadcasts, TakeOrderedAndProject(30)",
+    "dsir_sample" ->
+      "DSIR importance resampling: token explode -> fixed 4096-bucket hash aggregate (hashing trick: broadcastable at ANY corpus size) -> broadcast delta join -> per-doc mean + Gumbel key, TakeOrderedAndProject(50) — two exchanges total, both on the bucket/doc keys")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
