@@ -2081,6 +2081,49 @@ object Queries {
       .limit(10)
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995,
+    * Chen & Goodman 1999; absolute discount d = 0.75) — the quality
+    * filter one rung above unigram_lm_quality: a document full of
+    * individually-common words in UNSEEN orders scores low because
+    * the bigram term collapses to the continuation probability, which
+    * counts distinct CONTEXTS, not raw frequency. All model counts
+    * derive from the bigram-TYPE table in one pass (cw1 = sum of pair
+    * counts per left word, N1+(w1.) = its row count, N1+(.w2) = row
+    * count per right word, T = total types) — no countDistinct
+    * Expand, no second position scan. Per-doc score = mean ln p_KN
+    * over bigram positions; probabilities use the identical
+    * parenthesization in both engines and the result rounds to 1e-6
+    * with doc_id tie-breaks. Every stage is a keyed hash aggregate or
+    * keyed join on w1/w2/doc_id — linear, vocabulary never broadcast.
+    */
+  private def knBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = tk
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"), col("toks")(col("i")).as("w1"),
+        col("toks")(col("i") + 1).as("w2"))
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val c1 = cb.groupBy(col("w1")).agg(
+      sum(col("cab")).cast("double").as("cw1"),
+      count(lit(1)).cast("double").as("n1r"))
+    val c2 = cb.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1l"))
+    val tt = cb.agg(count(lit(1)).cast("double").as("t"))
+    val p = cb.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"),
+        ((col("cab").cast("double") - lit(0.75)) / col("cw1") +
+          ((lit(0.75) * col("n1r")) / col("cw1")) * (col("n1l") / col("t")))
+          .as("pkn"))
+    bi.join(p, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg((sum(log(col("pkn"))) / count(lit(1)).cast("double")).as("lp"))
+      .select(col("doc_id"), (round(col("lp"), 6) + lit(0.0)).as("mean_logp"))
+      .orderBy(col("mean_logp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** DSIR — data selection with importance resampling (Xie et al.
     * 2023): select raw-corpus documents that LOOK like a target
     * distribution, here defined by exemplar docs (any containing the
@@ -3583,6 +3626,7 @@ object Queries {
     "page_rank" -> (pageRank _),
     "pmi_cooccur" -> (pmiCooccur _),
     "dsir_sample" -> (dsirSample _),
+    "kn_bigram_lm" -> (knBigramLm _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -5313,6 +5357,26 @@ object Queries {
     "bpe_train" -> BpeTrainOracleSql,
     "mmr_rerank" -> MmrRerankOracleSql,
     "page_rank" -> PageRankOracleSql,
+    // Kneser-Ney: all counts from the bigram-type CTE, identical
+    // parenthesization of the interpolated probability.
+    "kn_bigram_lm" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2),
+        bi AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM tk)),
+        cb AS MATERIALIZED (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(cab) AS DOUBLE) AS cw1, CAST(count(*) AS DOUBLE) AS n1r
+          FROM cb GROUP BY 1),
+        c2 AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1l FROM cb GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cb),
+        p AS (SELECT cb.w1, cb.w2,
+            (CAST(cab AS DOUBLE) - 0.75) / cw1 + ((0.75 * n1r) / cw1) * (n1l / t) AS pkn
+          FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt)
+        SELECT doc_id, round(sum(ln(pkn)) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_logp
+        FROM bi JOIN p USING (w1, w2)
+        GROUP BY doc_id
+        ORDER BY mean_logp DESC, doc_id LIMIT 20""",
     // DSIR oracle: same hashed-bucket LMs (md5 low-64 & 4095, add-1
     // smoothing), same per-position delta sum, same md5-uniform
     // Gumbel keys; a - b == a + (-b) in IEEE so the key expression
