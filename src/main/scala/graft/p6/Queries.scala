@@ -2528,7 +2528,13 @@ object Queries {
     * Merged tokens join with '+' (corpus tokens never contain '+', so
     * merge products cannot collide with raw tokens).
     */
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE learn loop: returns the merge table, the fully-merged
+    * corpus (an unmaterialized kernel projection over the last
+    * checkpoint), and that last checkpoint so callers can unpersist
+    * it when done.
+    */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     val m = 6
     var corpus = t(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
@@ -2553,10 +2559,42 @@ object Queries {
       corpus = snap.select(
         graft.functions.VectorExpressions.bpe_merge_step(col("t"), a, b).as("t"))
     }
-    prev.foreach(_.unpersist())
+    (merges.result(), corpus, prev.get)
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _, last) = bpeLearn(s, dir)
+    last.unpersist()
     import s.implicits._
-    merges.result().toDF("step", "left", "right", "n_pairs")
+    merges.toDF("step", "left", "right", "n_pairs")
       .orderBy(col("step"))
+  }
+
+  /** The BPE APPLY path: re-learn the 6 merges (bpe_train's loop —
+    * nothing precomputed), rewrite the whole corpus through the
+    * merge-step kernel chain, and report the compression the learned
+    * table buys: token totals before/after and how many emitted
+    * tokens are merge products. The stats pass is ONE aggregate over
+    * the kernel projection (plus a 1-row broadcast of the pre-merge
+    * total); at 100 TB this is the shape of the real tokenizer-apply
+    * job — map-only rewrite, no shuffle of the text.
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, corpus, last) = bpeLearn(s, dir)
+    val before = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .agg(sum(size(Dedup.tokens(col("text")))).cast("long").as("tokens_before"))
+    val out = corpus
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).cast("long").as("tokens_after"),
+        sum(size(filter(col("t"), x => x.contains("+")))).cast("long")
+          .as("merged_tokens"))
+      .crossJoin(broadcast(before))
+      .select(col("n_docs"), col("tokens_before"), col("tokens_after"),
+        col("merged_tokens"))
+      .localCheckpoint() // materialize before unpersisting the chain
+    last.unpersist()
+    out
   }
 
   /** Diversity-aware curation: ONE best-quality document per
@@ -3627,6 +3665,7 @@ object Queries {
     "pmi_cooccur" -> (pmiCooccur _),
     "dsir_sample" -> (dsirSample _),
     "kn_bigram_lm" -> (knBigramLm _),
+    "bpe_encode" -> (bpeEncode _),
     "token_shard_assign" -> (tokenShardAssign _),
     "token_budget_pack" -> (tokenBudgetPack _),
     "diverse_sample" -> (diverseSample _),
@@ -3737,10 +3776,26 @@ object Queries {
     * never re-match within the round — identical to the kernel's
     * skip-two rule).
     */
-  private lazy val BpeTrainOracleSql: String = {
+  private lazy val BpeTrainOracleSql: String =
+    BpeOracleCtes + (1 to 6).map(i =>
+      s"\nSELECT $i AS step, a AS \"left\", b AS \"right\", CAST(c AS BIGINT) AS n_pairs FROM m$i")
+      .mkString("", "\nUNION ALL", "\nORDER BY step")
+
+  /** bpe_encode oracle: the same 6-round replay, finished with corpus
+    * compression stats over s0 (pre-merge) and s6 (post-merge).
+    */
+  private lazy val BpeEncodeOracleSql: String =
+    BpeOracleCtes + """
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_docs,
+        (SELECT CAST(sum(len(regexp_split_to_array(s, ' '))) AS BIGINT) FROM s0) AS tokens_before,
+        (SELECT CAST(sum(len(regexp_split_to_array(s, ' '))) AS BIGINT) FROM s6) AS tokens_after,
+        (SELECT CAST(sum(len(list_filter(regexp_split_to_array(s, ' '),
+             x -> contains(x, '+')))) AS BIGINT) FROM s6) AS merged_tokens"""
+
+  private lazy val BpeOracleCtes: String = {
     val m = 6
     val sb = new StringBuilder
-    sb ++= """WITH s0 AS (
+    sb ++= """WITH s0 AS MATERIALIZED (
         SELECT array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS s
         FROM documents WHERE trim(text) <> '')"""
     for (i <- 1 to m) {
@@ -3759,9 +3814,6 @@ object Queries {
             ELSE acc || ' ' || tk END) AS s
         FROM s${i - 1}, m$i)"""
     }
-    sb ++= (1 to m).map(i =>
-      s"\nSELECT $i AS step, a AS \"left\", b AS \"right\", CAST(c AS BIGINT) AS n_pairs FROM m$i")
-      .mkString("", "\nUNION ALL", "\nORDER BY step")
     sb.result()
   }
 
@@ -5355,6 +5407,7 @@ object Queries {
           CAST(sum(length(nd)) AS BIGINT) AS chars_nfc
         FROM n GROUP BY 1 ORDER BY 1""",
     "bpe_train" -> BpeTrainOracleSql,
+    "bpe_encode" -> BpeEncodeOracleSql,
     "mmr_rerank" -> MmrRerankOracleSql,
     "page_rank" -> PageRankOracleSql,
     // Kneser-Ney: all counts from the bigram-type CTE, identical

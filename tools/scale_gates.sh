@@ -29,7 +29,7 @@ if [ "$MODE" = "sf1" ]; then
   gen /root/repo/target/scale/sf1 10
   S=target/scale/verify_sf1_r12
   SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,hybrid_retrieval,text_normalize,weighted_sample,bpe_train,bitext_mine,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm \
+    SPARK_GRAFT_ONLY=q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,hybrid_retrieval,text_normalize,weighted_sample,bpe_train,bitext_mine,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm,bpe_encode \
     sbt -batch -mem 40960 "runMain graft.Verify target/scale/sf1 $S"
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -50,7 +50,7 @@ if [ "$MODE" = "sf1" ]; then
     p6_workbooks_distributed p6_phenopacket_json semdedup_planted \
     token_budget_pack jl_project corpus_diff diverse_sample media_phash ann_ivfpq_topk ann_ivfpq_warm ann_ivfpq_batch_topk \
     boilerplate_strip bm25_topk hybrid_retrieval text_normalize weighted_sample bpe_train \
-    bitext_mine mmr_rerank page_rank pmi_cooccur dsir_sample kn_bigram_lm
+    bitext_mine mmr_rerank page_rank pmi_cooccur dsir_sample kn_bigram_lm bpe_encode
   # bitext_mine's all-pairs oracle is quadratic by contract: feasible
   # at sf1 (~22M pairs), excluded at sf10 (~2.2B) — the
   # exact_cosine_pairs policy.
