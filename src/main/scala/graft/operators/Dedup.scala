@@ -548,4 +548,121 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.VectorExpressions.simhash64(
         tokens(col(textCol)), md5Basis).as("sig"))
+
+  /** Default per-shingle posting-list size above which the containment
+    * prefix join degrades to representative-star linking (see
+    * [[containmentPairs]]). Measured organic shingle document
+    * frequencies top out at 25 on the sf0.1 corpus (and stay there
+    * under ScaleUp's per-replica token renaming), so the cap is
+    * dormant on every oracle/gate corpus and fires only on
+    * boilerplate-degenerate data.
+    */
+  val DefaultMaxPosting = 1024
+
+  /** Sorted distinct shingle sets for [[containmentPairs]]: (doc_id,
+    * sh) with docs below `minShingles` distinct shingles dropped
+    * (containment against a near-empty set is noise, matching the
+    * brute-force oracle's filter).
+    */
+  def containmentShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minShingles: Int = 5): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.VectorExpressions.sorted_shingles(
+        tokens(col(textCol)), shingleLen).as("sh"))
+      .filter(size(col("sh")) >= minShingles)
+
+  /** Asymmetric containment near-dup pairs: (a, b, na, inter,
+    * containment) for every ordered pair with
+    * C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| >= 0.8 — the near-SUBSET
+    * relation Jaccard misses when a short doc is wholly embedded in a
+    * long one.
+    *
+    * PPJoin-family prefix filter: if C(a→b) >= 4/5 then a misses at
+    * most floor(|sh(a)|/5) of its own shingles in b, so ANY
+    * floor(|sh(a)|/5)+1 of a's shingles must hit b — we index a on its
+    * p RAREST shingles (global df order, which minimizes join fan-out)
+    * against b's full postings, then verify exactly with the codegen'd
+    * sorted-merge intersect. The 5·|sh(b)| >= 4·|sh(a)| length filter
+    * is exact integer math (a float ceil overshoots by 1 ulp at
+    * n%5==0 and would prune true boundary pairs).
+    *
+    * Hot-posting defense (the family-standard degenerate-corpus tier,
+    * mirroring [[cappedPairs]]): the prefix filter bounds candidates
+    * only while shingle document-frequencies VARY. On a
+    * boilerplate-degenerate corpus — N identical docs — every shingle
+    * has df=N, the rarest-df prefix still indexes ~0.2·|sh| shingles
+    * per doc, and each would join N full postings: ~0.2·|sh|·N²
+    * candidate rows. So a shingle whose posting list exceeds
+    * `maxPosting` leaves the prefix join entirely and instead emits
+    * star pairs against its min-id posting representative, BOTH
+    * orientations (containment is asymmetric), each passing the same
+    * exact verify: O(df) per hot shingle instead of O(df²). Below the
+    * cap the filter is LOSSLESS (the brute-force DuckDB oracle proves
+    * it per corpus); above it, member-member pairs whose every shared
+    * shingle is hot are traded for the linear bound — reachable only
+    * via the representative, audited by [[hotPostingReport]], and
+    * stress-pinned by ScaleStressSpec's boiler_containment scenario.
+    *
+    * Scale shape: every stage is a keyed shuffle (df agg on g, per-doc
+    * rank window, postings join on the rare g, verify joins on doc
+    * ids); nothing is quadratic in the corpus.
+    * ref: the reference has no containment operator — §7.4 expansion.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minShingles: Int = 5,
+      maxPosting: Int = DefaultMaxPosting): DataFrame = {
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    val sh = containmentShingles(df, idCol, textCol, shingleLen, minShingles)
+    val posts = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    // min over (doc_id, nsh) structs orders by doc_id first: the
+    // representative is the posting's minimum id, its nsh rides along
+    // for the star tier's length filter.
+    val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("nsh"))).as("rep"))
+    val prefix = posts.join(dfTab.select(col("g"), col("df")), Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= floor(col("nsh") / 5) + 1)
+      .select(col("doc_id").as("a"), col("nsh").as("nsha"), col("g"), col("df"))
+    val coldCand = prefix.filter(col("df") <= maxPosting)
+      .join(posts.select(col("doc_id").as("b"), col("nsh").as("nshb"), col("g")),
+        Seq("g"))
+      .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
+      .select(col("a"), col("b"))
+    val hot = posts.join(dfTab.filter(col("df") > maxPosting), Seq("g"))
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+    // star orientation 1: rep contained in member (a=rep, b=member)
+    val starA = hot.filter(col("nsh") * 5 >= col("rep.nsh") * 4)
+      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"))
+    // star orientation 2: member contained in rep (a=member, b=rep)
+    val starB = hot.filter(col("rep.nsh") * 5 >= col("nsh") * 4)
+      .select(col("doc_id").as("a"), col("rep.doc_id").as("b"))
+    val cand = coldCand.unionByName(starA).unionByName(starB).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"))
+      .filter(col("inter") / col("na") >= 0.8)
+      .select(col("a"), col("b"), col("na"), col("inter"),
+        (col("inter") / col("na")).as("containment"))
+  }
+
+  /** Shingles whose posting list exceeds `maxPosting` and the number
+    * of ordered candidate pairs the star degradation skipped for each
+    * (full bidirectional clique df·(df−1) minus the 2·(df−1) star) —
+    * the queryable audit trail for [[containmentPairs]], analogous to
+    * [[hotBucketReport]]. Empty on a corpus with no hot shingles.
+    */
+  def hotPostingReport(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minShingles: Int = 5,
+      maxPosting: Int = DefaultMaxPosting): DataFrame =
+    containmentShingles(df, idCol, textCol, shingleLen, minShingles)
+      .select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPosting)
+      .select(col("g"), col("df"),
+        ((col("df") - 1) * (col("df") - 2)).cast("long").as("skipped_pairs"))
 }

@@ -2366,54 +2366,22 @@ object Queries {
     * C(a->b) = |sh(a) ∩ sh(b)| / |sh(a)| >= 0.8 over distinct 3-gram
     * shingles — catches near-SUBSET duplication (quotes, excerpts, a
     * doc embedded in a longer one) that symmetric Jaccard dedup
-    * misses (C can be 1.0 while J is tiny). The filter is LOSSLESS:
-    * if C(a->b) >= t then a misses at most floor((1-t)|a|) of its own
-    * shingles in b, so ANY floor((1-t)|a|)+1 of a's shingles must hit
-    * b — we index a on its p RAREST shingles (global df order, which
-    * minimizes join fan-out) against b's full postings, then verify
-    * exactly with the codegen'd sorted-merge intersect. Because the
-    * filter is lossless, the DuckDB oracle is plain brute force over
-    * shingle-sharing pairs — the hash gate itself proves no pair was
-    * lost. Scale shape: every stage is a keyed shuffle (df agg on g,
-    * per-doc rank window, postings join on the rare g, verify joins
-    * on doc ids); nothing is quadratic in the corpus.
+    * misses (C can be 1.0 while J is tiny). Delegates to
+    * [[Dedup.containmentPairs]]: the prefix filter is LOSSLESS while
+    * shingle dfs stay under [[Dedup.DefaultMaxPosting]] (true of every
+    * oracle/gate corpus — organic dfs top out at 25), so the DuckDB
+    * oracle is plain brute force over shingle-sharing pairs and the
+    * hash gate itself proves no pair was lost; a boilerplate-degenerate
+    * corpus instead takes the hot-posting star tier (audited by
+    * [[Dedup.hotPostingReport]], stress-pinned by ScaleStressSpec's
+    * boiler_containment_50k). PPJoin length filter prunes 31% of raw
+    * candidates at sf0.1 before the distinct.
     */
-  private def containmentNearDup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorExpressions.{sorted_shingles, sorted_intersect_size}
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"),
-        sorted_shingles(Dedup.tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) >= 5)
-    val posts = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("g"))
-    val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefix = posts.join(dfTab, Seq("g"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rk") <= floor(col("nsh") * 0.2) + 1)
-      .select(col("doc_id").as("a"), col("nsh").as("nsha"), col("g"))
-    // PPJoin length filter: C(a->b) >= 4/5 forces |sh(b)| >= |∩| >=
-    // 4/5*|sh(a)|, i.e. 5*|sh(b)| >= 4*|sh(a)| in exact integer math
-    // (a float ceil(0.8*n) overshoots by 1 ulp at n%5==0 and would
-    // prune true boundary pairs). Measured: prunes 31% of raw
-    // candidates at sf0.1 before the distinct.
-    val cand = prefix
-      .join(posts.select(col("doc_id").as("b"), col("nsh").as("nshb"), col("g")),
-        Seq("g"))
-      .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
-      .select(col("a"), col("b")).distinct()
-    cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .select(col("a"), col("b"),
-        sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"))
-      .filter(col("inter") / col("na") >= 0.8)
+  private def containmentNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
       .select(col("a"), col("b"), col("na"), col("inter"),
-        round(col("inter") / col("na"), 4).as("containment"))
+        round(col("containment"), 4).as("containment"))
       .orderBy(col("a"), col("b"))
-  }
 
   /** Unicode NFC normalization pass (pre-dedup hygiene): the same
     * text arrives composed ("é") and decomposed ("e" + U+0301) from

@@ -627,4 +627,56 @@ class DedupSpec extends SparkSpec {
       .filter(col("sa") =!= col("sb")).count()
     assert(cross == 0L)
   }
+
+  test("containmentPairs: prefix filter is lossless vs brute force while the posting cap is dormant") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // brute force: all ordered pairs sharing >= 1 shingle, exact verify
+    val sh = Dedup.containmentShingles(docs, "doc_id", "text")
+    val brute = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("shb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorExpressions.sorted_intersect_size(
+          col("sha"), col("shb")).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"))
+      .filter(col("inter") / col("na") >= 0.8)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.hotPostingReport(docs, "doc_id", "text").count() == 0L)
+    assert(got == brute, s"capped-dormant containment diverged from brute force: " +
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("containmentPairs: hot postings degrade to star pairs; cold pairs unaffected") {
+    val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+    val hot = spark.range(20).select(col("id").as("doc_id"), lit(boiler).as("text"))
+    // an organic near-subset pair OUTSIDE the hot block: 9002 wholly
+    // contains 9001's shingles plus a suffix
+    val organic = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val corpus = hot.unionByName(organic)
+
+    val report = Dedup.hotPostingReport(corpus, "doc_id", "text", maxPosting = 8)
+      .collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Long]("df") == 20L))
+    assert(report.forall(_.getAs[Long]("skipped_pairs") == 19L * 18L))
+
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", maxPosting = 8)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot block: exactly the bidirectional star around min-id rep 0
+    val hotPairs = pairs.filter(p => p._1 < 9000L && p._2 < 9000L)
+    val expectedStar = (1L until 20L).flatMap(x => Seq((0L, x), (x, 0L))).toSet
+    assert(hotPairs == expectedStar, s"hot block pairs: $hotPairs")
+    // organic containment found via the cold prefix path: 9001 ⊆ 9002
+    assert(pairs.contains((9001L, 9002L)))
+    assert(!pairs.contains((9002L, 9001L))) // asymmetric: 9002 not ⊆ 9001
+  }
 }
