@@ -59,6 +59,20 @@ object VectorExpressions {
     ColumnBridge.column(
       org.apache.spark.sql.graft.Md5Lower64(ColumnBridge.expression(s)))
 
+  /** Whole GA4GH phenopacket rendered as JSON in one codegen'd pass
+    * over the patient's bundle arrays — the non-HOF replacement for
+    * `to_json(struct(...transform×5...))`, byte-identical to it
+    * (AssembleSpec pins equality). Genotype records must carry the
+    * pre-shuffle `gnorm`/`genocode` render columns (see
+    * [[graft.p6.Assemble.withPacketRenderCols]]).
+    */
+  def phenopacket_json(patientId: Column, phen: Column, geno: Column,
+      dis: Column, meas: Column, bios: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.PhenopacketJson(
+        Seq(patientId, phen, geno, dis, meas, bios)
+          .map(ColumnBridge.expression)))
+
   /** Unicode NFC normalization, codegen'd (DuckDB `nfc_normalize`
     * twin); fast-paths already-composed text with zero allocation.
     */

@@ -150,6 +150,39 @@ object Assemble {
         biosamples.as("biosamples")).as("packet"))
   }
 
+  /** Per-row packet render columns, appended to the GENOTYPE record
+    * frame BEFORE the bundle shuffle: `gnorm` (F8 normalized g.
+    * expression) and `genocode` (F12 GENO allelic-state code). On the
+    * narrow pre-collect frame these are plain codegen'd column
+    * expressions; inside the post-collect `transform` lambdas of
+    * [[phenopackets]] the same logic runs interpreted per array
+    * element (the round-12 flagship CPU term). Appending AFTER the
+    * existing columns preserves [[groupByPatient]]'s canonical sort
+    * order: both are functions of earlier fields (hgvsg, zygosity),
+    * so they can never decide a comparison the prefix left tied.
+    */
+  def withPacketRenderCols(genotypes: DataFrame): DataFrame =
+    genotypes
+      .withColumn("gnorm", P6Functions.normalizeGExpression(col("hgvsg")))
+      .withColumn("genocode", P6Functions.genoAllelicState(col("zygosity")))
+
+  /** A2 + JSON serialization in ONE native kernel
+    * ([[graft.functions.VectorExpressions.phenopacket_json]]): returns
+    * (patient_id, packet_json), byte-identical to
+    * `phenopackets(bundles).select(to_json(col("packet")))` (AssembleSpec
+    * pins it) without the interpreted HOF/to_json projection. Bundles
+    * must come from [[groupByPatient]] with genotype records carrying
+    * [[withPacketRenderCols]]'s gnorm/genocode.
+    */
+  def phenopacketsJson(bundles: DataFrame): DataFrame =
+    bundles.select(
+      col("patient_id"),
+      graft.functions.VectorExpressions.phenopacket_json(
+        col("patient_id"), col("phenotype_records"),
+        col("genotype_records"), col("disease_records"),
+        col("measurement_records"), col("biosample_records"))
+        .as("packet_json"))
+
   /** S4 sink: one JSON document per patient under `outDir`. The
     * reference numbers files 1.json..N.json in iteration order
     * (src/P6/__main__.py:200-212); we honor that naming for parity at

@@ -396,8 +396,9 @@ object Queries {
     // input from 14-field genotype structs to 4 (r11's probe attributed
     // the sf10 entry's dominant +31 s to that projection).
     val canon = Assemble.groupByPatient(
-      g.records.select("genotype_patient_ID", "contact_email", "hgvsg",
-        "zygosity", "gene_symbol"),
+      Assemble.withPacketRenderCols(
+        g.records.select("genotype_patient_ID", "contact_email", "hgvsg",
+          "zygosity", "gene_symbol")),
       p.records,
       d.records.select("patient_ID", "disease_term", "disease_label"),
       m.records.select("patient_ID", "measurement_type"),
@@ -405,15 +406,19 @@ object Queries {
       canonical = true)
     // Sort the BUNDLES, then project: a global orderBy runs a range-
     // partitioning sampling job that re-executes everything above the
-    // last exchange — with the sort placed after the Janino-heavy
-    // packet projection that doubled the whole projection (measured
-    // 111.6 s vs 51.0 s unsorted at 100x, BASELINE.md round 11).
-    // Sorting the bundle frame instead samples above the bundle agg's
-    // own exchange (reused, cheap) and the deterministic projection
-    // preserves the ordering, so rows come out identically ordered
-    // with the projection executed ONCE.
-    Assemble.phenopackets(canon.orderBy(col("patient_id")))
-      .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
+    // last exchange — with the sort placed after the packet projection
+    // that doubled the whole projection (measured 111.6 s vs 51.0 s
+    // unsorted at 100x, BASELINE.md round 11). Sorting the bundle
+    // frame instead samples above the bundle agg's own exchange
+    // (reused, cheap) and the deterministic projection preserves the
+    // ordering, so rows come out identically ordered with the
+    // projection executed ONCE. The projection itself is the round-13
+    // non-HOF kernel: gnorm/genocode are codegen'd per-ROW pre-shuffle
+    // (withPacketRenderCols), and the whole packet renders in one
+    // native phenopacket_json pass — replacing the
+    // CodegenFallback-interpreted to_json + 5 HOF transforms that were
+    // the registry's largest sf10 CPU term (BASELINE.md round 12).
+    Assemble.phenopacketsJson(canon.orderBy(col("patient_id")))
   }
 
   /** Synthetic ontology over the part keys: term HP:%07d per key,

@@ -104,6 +104,52 @@ class PipelineSpec extends SparkSpec {
       s"packet JSON drifted from the golden bytes: md5 now $hex over ${rows.length} packets")
   }
 
+  test("phenopacket_json kernel is byte-identical to the to_json + HOF projection") {
+    // Adversarial fixture the organic corpora never produce: JSON
+    // metacharacters (quotes, backslashes, control chars, non-ASCII),
+    // null fields everywhere to_json would omit them, unparseable and
+    // empty hgvsg (expressions:[] branch), unmapped zygosity (null
+    // genocode), patients missing entire record kinds, and multiple
+    // records per patient (index + comma logic).
+    val geno = Seq(
+      ("PA", "a@e.co", "chr16:g.100A>G", "heterozygous", "GENE\"quote\\"),
+      ("PA", "b@e.co", "not hgvs \n tab\t", "homozygous", "GÉNE✓"),
+      ("PA", "c@e.co", null, "weird_zyg", null),
+      ("PB", "d@e.co", "", "hemizygous", "G3"))
+      .toDF("genotype_patient_ID", "contact_email", "hgvsg", "zygosity",
+        "gene_symbol")
+    val phen = Seq(
+      ("PA", "HP:0000510", "T1", true),
+      ("PA", "HP:" + "\u0001" + "ctl", "T2", false),
+      ("PC", null.asInstanceOf[String], "T3", true))
+      .toDF("phenotype_patient_ID", "HPO_ID", "date_of_observation", "status")
+    val dis = Seq(
+      ("PA", "OMIM:1", "label \"x\""),
+      ("PB", "OMIM:2", null))
+      .toDF("patient_ID", "disease_term", "disease_label")
+    val meas = Seq(("PC", "weight \\ kg")).toDF("patient_ID", "measurement_type")
+    val bios = Seq(
+      ("PB", null.asInstanceOf[String], "blood"),
+      ("PB", "B2", null.asInstanceOf[String]))
+      .toDF("patient_ID", "biosample_id", "biosample_type")
+
+    val bundles = Assemble.groupByPatient(
+      Assemble.withPacketRenderCols(geno), phen, dis, meas, bios,
+      canonical = true).orderBy(col("patient_id"))
+    val viaHof = Assemble.phenopackets(bundles)
+      .select(col("patient_id"), to_json(col("packet")).as("packet_json"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val viaKernel = Assemble.phenopacketsJson(bundles)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(viaKernel.toSeq == viaHof.toSeq,
+      s"kernel diverged from to_json:\n${viaKernel.zip(viaHof)
+        .filter(p => p._1 != p._2).take(2).mkString("\n")}")
+    // sanity: the adversarial branches actually executed
+    val all = viaKernel.map(_._2).mkString
+    assert(all.contains("\\\"") && all.contains("\\\\") && all.contains("\\u0001"))
+    assert(all.contains("\"expressions\":[]"))
+  }
+
   test("genotype explode: multi-token zip truncation + row-scoped bail (ref test_mapper_parse_genotype_row)") {
     val geno = Seq(
       // two pairs -> two records
