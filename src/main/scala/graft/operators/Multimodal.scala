@@ -370,8 +370,12 @@ object Multimodal {
     * sums, and the comparison is done cross-multiplied
     * (cell_sum * n_pixels > total_sum * cell_n), so there is no float
     * division, no summation-order sensitivity, and a closed-form
-    * oracle replays every bit. (Bound: cell_sum <= 255 * 64M pixels
-    * times n <= 64M stays under 2^63 thanks to [[MaxDecodePixels]].)
+    * oracle replays every bit. (Bound: samples are CLAMPED to 8 bits
+    * — ImageIO can hand back 16-bit rasters whose raw samples would
+    * push cell_sum * n past 2^63 — so cell_sum <= 255 * 64M pixels
+    * times n <= 64M stays under 2^63 thanks to [[MaxDecodePixels]].
+    * The clamp saturates >8-bit samples at 255; hash bits for such
+    * images remain well-defined and deterministic, just coarser.)
     * The 64 bits ship as two non-negative 32-bit halves so neither
     * engine touches the sign bit. Undecodable payloads degrade to
     * (-1, -1, "pseudo") — the operator stays total. Band 0 only
@@ -398,7 +402,9 @@ object Multimodal {
               var x = 0
               while (x < w) {
                 val c = cy * 8 + x * 8 / w
-                val v = r.getSample(x, y, 0).toLong
+                // clamp to 8 bits: 16-bit sample models would overflow
+                // the cross-multiplied integer-exactness bound
+                val v = math.min(r.getSample(x, y, 0), 255).toLong
                 cellSum(c) += v
                 cellN(c) += 1
                 total += v

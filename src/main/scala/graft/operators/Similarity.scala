@@ -1034,15 +1034,17 @@ object Similarity {
       .orderBy(col("approx").desc, col("id"))
     val cand = encoded.join(broadcast(probes), "cid")
       .filter(col("id") =!= col("qid"))
-      // hoist the qid-keyed table to ONE map lookup per row (the
-      // transform lambda would otherwise re-look-up per code)
-      .select(col("qid"), col("id"), col("norm"), col("codes"),
-        col("__ipqc"), element_at(adcLit, col("qid")).as("__tbl"))
+      // ONE qid-keyed table lookup per row BY CONSTRUCTION: the table
+      // is zip_with's second ARGUMENT (evaluated once per row, before
+      // the lambda runs), not an aliased column the lambda reads — a
+      // hoisted two-step select would be re-merged by CollapseProject
+      // (single textual reference), landing the map lookup back inside
+      // the per-code lambda
       .select(col("qid"), col("id"),
         ((col("__ipqc") +
           aggregate(
-            transform(col("codes"), (c, mi) =>
-              element_at(element_at(col("__tbl"), mi + 1), c + 1)),
+            zip_with(col("codes"), element_at(adcLit, col("qid")),
+              (c, sub) => element_at(sub, c + 1)),
             lit(0.0), (acc, x) => acc + x))
           / (greatest(col("norm"), lit(1e-30))
             * element_at(qnLit, col("qid")))).as("approx"))

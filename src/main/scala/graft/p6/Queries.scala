@@ -2292,10 +2292,20 @@ object Queries {
       prev = Some(next)
       ranks = next
     }
+    // bpeEncode pattern: localCheckpoint the 20-row result, then
+    // unpersist the whole checkpointed chain — edges/nodes/outw and
+    // the final iteration would otherwise leak their blocks for the
+    // JVM's lifetime (bench harnesses run entries repeatedly in one
+    // session).
     val out = ranks
       .select(col("page"), (round(col("r"), 6) + lit(0.0)).as("rank"))
       .orderBy(col("rank").desc, col("page"))
       .limit(20)
+      .localCheckpoint()
+    prev.foreach(_.unpersist())
+    edges.unpersist()
+    nodes.unpersist()
+    outw.unpersist()
     out
   }
 
@@ -2514,7 +2524,9 @@ object Queries {
       .select(Dedup.tokens(col("text")).as("t"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var prev: Option[DataFrame] = None
-    for (step <- 1 to m) {
+    var step = 1
+    var exhausted = false
+    while (step <= m && !exhausted) {
       val snap = corpus.localCheckpoint() // eager; frees the pyramid
       prev.foreach(_.unpersist())
       prev = Some(snap)
@@ -2526,11 +2538,21 @@ object Queries {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1)
-        .head() // bounded: ONE row per iteration
-      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step, a, b, c))
-      corpus = snap.select(
-        graft.functions.VectorExpressions.bpe_merge_step(col("t"), a, b).as("t"))
+        .collect().headOption // bounded: AT MOST one row per iteration;
+      // a degenerate corpus where every doc has collapsed to a single
+      // token leaves no adjacent pair — stop early and emit fewer than
+      // m merges instead of throwing on .head()
+      top match {
+        case Some(r) =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((step, a, b, c))
+          corpus = snap.select(
+            graft.functions.VectorExpressions.bpe_merge_step(col("t"), a, b).as("t"))
+        case None =>
+          corpus = snap
+          exhausted = true
+      }
+      step += 1
     }
     (merges.result(), corpus, prev.get)
   }
@@ -3431,19 +3453,17 @@ object Queries {
     * SF); WorkbookFuzzSpec separately pins distributed == per-file
     * loop and the corrupt-file degradation.
     *
-    * FIXTURE LOCALITY: the fixtures are written to driver-local
-    * tmpdir, so this ENTRY (not the operator) requires a filesystem
-    * shared between driver and executors — true for local[N] and
-    * local-cluster[...] (same box), NOT for a multi-node cluster.
-    * There, point `readWorkbooks` at a shared path (HDFS/S3/NFS); the
-    * operator itself is location-agnostic (any Hadoop-FS URI). The
-    * fixture dir is keyed on a full SHA-256 of the data dir so two
-    * concurrent gates over different dirs can never collide and
-    * delete each other's files mid-write.
+    * FIXTURE LOCALITY: the fixtures are written THROUGH THE HADOOP FS
+    * API (FileSystem.create against a resolved URI) — here a
+    * `file:`-scheme root under tmpdir, but the identical code runs
+    * against hdfs:/s3a: by changing the root string, so the gate
+    * itself is multi-node honest (the operator always was: any
+    * Hadoop-FS URI). The fixture dir is keyed on a full SHA-256 of
+    * the data dir so two concurrent gates over different dirs can
+    * never collide and delete each other's files mid-write.
     */
   private def p6WorkbooksDistributed(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{WorkbookFixtures, WorkbookSource}
-    import scala.jdk.CollectionConverters._
     val buckets = 8
     val rows = t(s, dir, "customer")
       .filter(col("c_custkey") <= 12000)
@@ -3453,22 +3473,20 @@ object Queries {
       .sortBy(_._1)
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_wb_" + sha)
-    if (java.nio.file.Files.isDirectory(out)) {
-      val ls = java.nio.file.Files.list(out)
-      try ls.iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally ls.close()
-    }
-    java.nio.file.Files.createDirectories(out)
+    val root = new org.apache.hadoop.fs.Path(
+      "file:" + System.getProperty("java.io.tmpdir"), "graft_wb_" + sha)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
     (0 until buckets).foreach { b =>
       val grid = Seq(Seq("Customer ID", "Name", "Segment")) ++
         rows.filter(_._1 % buckets == b)
           .map(r => Seq(r._1.toString, r._2, r._3))
-      WorkbookFixtures.writeXlsx(out.resolve(s"wb$b.xlsx"),
+      WorkbookFixtures.writeXlsx(
+        fs.create(new org.apache.hadoop.fs.Path(root, s"wb$b.xlsx"), true),
         Seq("Customers" -> grid))
     }
-    val corpus = WorkbookSource.readWorkbooks(s, out.toString)
+    val corpus = WorkbookSource.readWorkbooks(s, root.toString)
     corpus.sheets("customers")
       .groupBy(regexp_extract(col("source_file"), "wb(\\d+)\\.xlsx", 1)
         .cast("int").as("bucket"))

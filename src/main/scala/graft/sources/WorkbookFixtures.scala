@@ -14,8 +14,17 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object WorkbookFixtures {
 
-  def writeXlsx(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
-    val zip = new ZipOutputStream(Files.newOutputStream(path))
+  def writeXlsx(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit =
+    writeXlsx(Files.newOutputStream(path), sheets)
+
+  /** Stream variant: lets callers target any filesystem — notably the
+    * Hadoop FS API (`FileSystem.create`), so fixture synthesis works
+    * against file:/hdfs:/s3a: URIs identically (the
+    * p6_workbooks_distributed gate writes through it; a multi-node
+    * cluster just changes the root URI). Closes `out`.
+    */
+  def writeXlsx(out: java.io.OutputStream, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val zip = new ZipOutputStream(out)
     def entry(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(content.getBytes(StandardCharsets.UTF_8))

@@ -475,6 +475,30 @@ class DedupSpec extends SparkSpec {
     val bad = Multimodal.perceptualHash(
       Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")).collect().head
     assert(bad.codec == "pseudo" && bad.phash_hi == -1L && bad.phash_lo == -1L)
+    // 16-bit raster: raw samples up to 65535 would break the
+    // cross-multiplied integer-exactness bound — the kernel clamps to
+    // 255, so the hash equals the clamped closed form (here: a left
+    // half at 65535 and a right half at 100 both clamp vs the clamped
+    // global mean) instead of silently overflowing
+    val img16 = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img16.getRaster.setSample(x, y, 0, if (x < 8) 65535 else 100)
+    val png16 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img16, "png", bos)
+      bos.toByteArray
+    }
+    val h16 = Multimodal.perceptualHash(
+      Seq((9L, png16)).toDF("doc_id", "media")).collect().head
+    assert(h16.codec == "imageio")
+    // clamped: left cells mean 255 > global mean (255+100)/2, right
+    // cells 100 below it -> bit c set iff cell column < 4
+    var expHi = 0L; var expLo = 0L
+    for (c <- 0 until 64 if c % 8 < 4)
+      if (c < 32) expLo |= 1L << c else expHi |= 1L << (c - 32)
+    assert(h16.phash_hi == expHi && h16.phash_lo == expLo,
+      s"16-bit clamp hash: (${h16.phash_hi},${h16.phash_lo}) want ($expHi,$expLo)")
   }
 
   test("real WAV decode: javax.sound recovers closed-form format and mean amplitude") {

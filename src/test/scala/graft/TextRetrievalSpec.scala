@@ -23,6 +23,21 @@ class TextRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bpe_train: single-token corpus exhausts pairs — fewer merges, no throw") {
+    // Every doc is one token: round 1 finds no adjacent pair, the
+    // learner must stop early and emit ZERO merges (previously a
+    // NoSuchElementException from .head() on the empty argmax frame).
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    assert(entry("bpe_train", docs).isEmpty)
+    // and a corpus that exhausts after ONE merge emits exactly one:
+    // "a a" has pair (a,a) once; after merging, every doc is single-token
+    val docs2 = Seq((1L, "a a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val merges = entry("bpe_train", docs2)
+    assert(merges.length == 1 &&
+      merges(0).getString(1) == "a" && merges(0).getString(2) == "a")
+  }
+
   test("boilerplate_strip: hand-built corpus — planted 3-gram crosses the df floor, unique text does not") {
     // K = max(5, ceil(0.004 * 7)) = 5; "the end of" appears in docs
     // 0-4 (df 5, boilerplate), "a b c" in docs 0-3 (df 4, below K).
