@@ -3637,6 +3637,7 @@ object Queries {
     "ann_ivfpq_warm" -> (annIvfPqWarm _),
     "jl_project" -> (jlProjectEntry _),
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
+    "ann_ivfpq_batch_warm" -> (annIvfPqBatchWarm _),
     "fuzzy_join" -> (fuzzyJoin _),
     "simhash_neardup_pairs" -> (simhashNearDup _),
     "q45_typed_agg" -> (q45TypedAgg _),
@@ -3717,6 +3718,58 @@ object Queries {
     val n = prep.count()
     val (cents, _, cb, encoded) = Similarity.ivfPqIndex(prep, nlist = 32,
       m = 16, ksub = 64, iters = 2, knownCount = n)
+    val ann = Similarity.ivfPqSearchBatch(prep, encoded, cents, cb,
+      queryIds = 0L until 20L, k = 10, nprobe = 8,
+      rerank = math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt))
+    val qids = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+    annRecallBatchSummary(
+      Similarity.bruteTopKBatch(e, "vec_id", "embedding", qids, k = 10),
+      ann, k = 10, minHitsPerQuery = 4, minMeanRecall = 0.8)
+  }
+
+  /** WARM batch IVF-PQ (VERDICT r12 #4): [[annIvfPqBatchTopK]] with
+    * the index side amortized away — the coarse centroids, trained
+    * codebooks, and cid-partitioned encoded codes come from the SAME
+    * [[graft.sources.WarmStore]] artifact [[annIvfPqWarm]] persists
+    * (one index per corpus serves both the single-query and the batch
+    * query pattern, the production shape), so a batch run pays only
+    * the driver ADC tables, the partition-pruned encoded scan against
+    * the broadcast probe frame, and the qid-windowed rerank. The IVF
+    * twin proved the amortization at 100x (ann_ivf_batch_warm: 12.4
+    * -> 5.8 s). Deterministic seeds make the stored index identical
+    * to the cold entry's, so the recall contract and DuckDB oracle
+    * are shared verbatim with ann_ivfpq_batch_topk.
+    */
+  private def annIvfPqBatchWarm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.sources.WarmStore
+    val e = t(s, dir, "embeddings")
+    val prep = Similarity.prepared(e, "vec_id", "embedding")
+    val (store, ready) = WarmStore.resolve(dir, "embeddings",
+      "graft_ivfpq_idx_", extraKey = "nl32_m16_k64_i2",
+      successMarker = "_READY")
+    if (!ready)
+      WarmStore.publish(store, extraKey = "nl32_m16_k64_i2") { tmp =>
+        val (cents, assign, cb, encoded) = Similarity.ivfPqIndex(prep,
+          nlist = 32, m = 16, ksub = 64, iters = 2)
+        cents.write.mode("overwrite")
+          .parquet(tmp.resolve("centroids").toString)
+        assign.write.mode("overwrite")
+          .parquet(tmp.resolve("assign").toString)
+        encoded.write.mode("overwrite").partitionBy("cid")
+          .parquet(tmp.resolve("encoded").toString)
+        Similarity.codebookToDf(s, cb).write.mode("overwrite")
+          .parquet(tmp.resolve("codebook").toString)
+        java.nio.file.Files.writeString(tmp.resolve("_READY"), "ok")
+      }
+    WarmStore.markSource(store, dir)
+    val cb = Similarity.codebookFromDf(
+      s.read.parquet(store.resolve("codebook").toString))
+    val encoded = s.read.parquet(store.resolve("encoded").toString)
+      .select(col("id"), col("cid").cast("long").as("cid"), col("codes"),
+        col("norm"))
+    val cents = s.read.parquet(store.resolve("centroids").toString)
+    val n = prep.count()
     val ann = Similarity.ivfPqSearchBatch(prep, encoded, cents, cb,
       queryIds = 0L until 20L, k = 10, nprobe = 8,
       rerank = math.max(100, (4.0 * math.sqrt(n.toDouble)).ceil.toInt))
@@ -4933,6 +4986,7 @@ object Queries {
     "ann_lsh_batch_topk" -> AnnBatchOracleSql,
     "ann_ivf_batch_topk" -> AnnBatchOracleSql,
     "ann_ivfpq_batch_topk" -> AnnBatchOracleSql,
+    "ann_ivfpq_batch_warm" -> AnnBatchOracleSql,
     // Closed-form hash-basis oracles (round 9): the LSH hyperplane
     // matrix is a data-independent constant (inlined), and the simhash
     // entries run the md5-low-64 token-hash basis DuckDB can recompute.
