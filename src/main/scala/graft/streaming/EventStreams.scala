@@ -423,6 +423,105 @@ object EventStreams {
     * StreamingSpec pins the multi-batch pair set == the batch
     * formulation token-for-token, planted cross-batch dups included.
     */
+  /** Seed the persisted incremental-dedup store with an
+    * already-deduped base corpus: survivors' (id, text) and their
+    * MinHash signatures land under `batch=base` partition dirs, the
+    * layout [[streamingDedupIncrement]] grows batch by batch. The
+    * signature parquet is what makes increments cheap: each
+    * micro-batch only signatures ITS OWN docs and joins base state
+    * through the banded bucket index, never the base text (the
+    * [[graft.operators.Dedup.dedupIncrement]] baseSigs contract).
+    */
+  def seedDedupBase(base: DataFrame, idCol: String, textCol: String,
+      storeDir: String, shingleLen: Int = 3, numPerm: Int = 32): Unit = {
+    val docs = base.select(col(idCol), col(textCol))
+    docs.write.mode("overwrite").parquet(s"$storeDir/docs/batch=base")
+    graft.operators.Dedup
+      .minhashSignaturesFast(docs, idCol, textCol, shingleLen, numPerm)
+      .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=base")
+  }
+
+  /** The deduped corpus so far: every batch partition of the store
+    * (base + each micro-batch's survivors), with the `batch` partition
+    * column kept for provenance.
+    */
+  def dedupStoreDocs(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs")
+
+  /** One micro-batch of [[streamingDedupIncrement]], factored out so
+    * specs can drive it directly. IDEMPOTENT under at-least-once
+    * replay: outputs go to DETERMINISTIC per-batch partition dirs
+    * (`batch=b<id>`) with overwrite mode, and the base read EXCLUDES
+    * the current batch id — a replayed batch overwrites its own
+    * partial output instead of double-appending or self-deduping.
+    */
+  private[graft] def dedupIncrementBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, idCol: String, textCol: String,
+      jaccardThreshold: Double, shingleLen: Int, numPerm: Int,
+      bands: Int, maxBucket: Int): Unit = {
+    val spark = batch.sparkSession
+    val part = s"b$batchId"
+    val baseDocs = spark.read.parquet(s"$storeDir/docs")
+      .filter(col("batch") =!= part)
+      .select(col(idCol), col(textCol))
+    val baseSigs = spark.read.parquet(s"$storeDir/sigs")
+      .filter(col("batch") =!= part)
+      .select(col("id"), col("sig"))
+    val survivors = graft.operators.Dedup.dedupIncrement(
+        baseDocs, batch.select(col(idCol), col(textCol)), idCol, textCol,
+        jaccardThreshold, shingleLen, numPerm, bands, maxBucket,
+        baseSigs = Some(baseSigs))
+      .persist() // written twice (docs + sigs); run the verify once
+    try {
+      survivors.write.mode("overwrite")
+        .parquet(s"$storeDir/docs/batch=$part")
+      graft.operators.Dedup
+        .minhashSignaturesFast(survivors, idCol, textCol, shingleLen, numPerm)
+        .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$part")
+    } finally { survivors.unpersist(false); () }
+  }
+
+  /** CONTINUOUS incremental near-dup dedup — the Structured Streaming
+    * shape of the batch [[graft.operators.Dedup.dedupIncrement]] +
+    * WarmStore pair (periodic ingestion's production form, VERDICT r12
+    * #5): each micro-batch is an increment resolved against the
+    * persisted store with base-wins semantics, and its SURVIVORS (and
+    * their signatures) become base for every later micro-batch. Doc
+    * death rules per batch are exactly the batch operator's: near-dup
+    * of any store doc ⇒ dies (base wins); within the micro-batch, min
+    * id wins via connected components.
+    *
+    * Equivalence with ONE batch dedupIncrement over the concatenated
+    * increments holds whenever cross-micro-batch near-dup chains pass
+    * through SURVIVORS (StreamingSpec pins it, planted cross-batch
+    * dups included). The one divergence, inherent to continuous
+    * resolution: an increment doc whose ONLY near-dup is a
+    * base-killed doc from an EARLIER micro-batch survives here (the
+    * dead doc left no trace in the store), while the batch operator —
+    * which builds intra-increment components before the anti join —
+    * would kill it. Continuous semantics are the production contract;
+    * the store never contains two near-dups either way.
+    *
+    * Restart-safe: the checkpoint replays the last uncommitted batch
+    * into [[dedupIncrementBatch]]'s deterministic overwrite dirs
+    * (idempotent), and committed batches never re-fire.
+    */
+  def streamingDedupIncrement(docs: DataFrame, storeDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", jaccardThreshold: Double = 0.7,
+      shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        dedupIncrementBatch(batch, batchId, storeDir, idCol, textCol,
+          jaccardThreshold, shingleLen, numPerm, bands, maxBucket)
+      }
+      .start()
+
   def streamingNearDup(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
       : Dataset[NearDupPair] = {

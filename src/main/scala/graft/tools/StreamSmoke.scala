@@ -93,6 +93,34 @@ object StreamSmoke {
       sess.exists(s => s.n_events == 2L)
     }
 
+    check("foreachBatch_dedupIncrement") {
+      // streaming incremental dedup: store writes + the banded
+      // candidate join + connected components all cross real process
+      // boundaries here
+      val root = java.nio.file.Files.createTempDirectory("sm_sdedup").toFile
+      val store = new java.io.File(root, "store").getAbsolutePath
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      EventStreams.seedDedupBase(
+        Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store)
+      val stream = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingDedupIncrement(
+        stream.toDF().toDF("doc_id", "text"), store, ckpt,
+        jaccardThreshold = 0.5)
+      stream.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dups base
+        (11L, "totally new content nine ten eleven twelve thirteen"))
+      q.processAllAvailable()
+      stream.addData(
+        (20L, "totally new content nine ten eleven twelve thirteen")) // dups 11
+      q.processAllAvailable()
+      q.stop()
+      val stored = EventStreams.dedupStoreDocs(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      stored == Set(1L, 11L)
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
     println("STREAMSMOKE ALL PASS")

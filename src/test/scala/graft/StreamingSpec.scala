@@ -591,6 +591,84 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0))))
   }
 
+  test("streaming incremental dedup: multi-batch equals one batch dedupIncrement; base wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def doc(id: Long, text: String) = (id, text)
+    val base = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    // micro-batch 1: 10 dups base 1 (dies), 11 novel (lives),
+    // 12 dups 11 (dies, min id in batch wins)
+    val b1 = Seq(
+      doc(10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(11L, "totally new content nine ten eleven twelve thirteen"),
+      doc(12L, "totally new content nine ten eleven twelve thirteen"))
+    // micro-batch 2: 20 dups base 2 (dies), 21 dups 11 — an EARLIER
+    // MICRO-BATCH's survivor, now base (dies: base wins), 22 novel
+    val b2 = Seq(
+      doc(20L, "one two three four five six seven eight"),
+      doc(21L, "totally new content nine ten eleven twelve thirteen"),
+      doc(22L, "fresh words fourteen fifteen sixteen seventeen eighteen"))
+
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingDedupIncrement(
+      stream.toDF().toDF("doc_id", "text"), store, ckpt,
+      jaccardThreshold = 0.5)
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 11L, 22L), s"store: $stored")
+
+    // multi-batch == ONE batch dedupIncrement over the concatenation
+    val oneShot = graft.operators.Dedup.dedupIncrement(base,
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        jaccardThreshold = 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stored -- Set(1L, 2L) == oneShot,
+      s"stream survivors ${stored -- Set(1L, 2L)} != batch $oneShot")
+  }
+
+  test("streaming incremental dedup: stop + restart from checkpoint — store state carries, committed batches never re-fire") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_r").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    val stream = MemoryStream[(Long, String)]
+    def start() = EventStreams.streamingDedupIncrement(
+      stream.toDF().toDF("doc_id", "text"), store, ckpt,
+      jaccardThreshold = 0.5)
+    val q1 = start()
+    stream.addData((10L, "brand new document words aaa bbb ccc ddd")) // lives
+    q1.processAllAvailable(); q1.stop()
+    // data lands while the query is DOWN; restart must resolve it
+    // against the state batch 0 left behind (10 is now base)
+    stream.addData(
+      (20L, "brand new document words aaa bbb ccc ddd"), // dups 10 -> dies
+      (21L, "another novel doc eee fff ggg hhh iii"))     // lives
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val stored = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id"), col("batch")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored.keySet == Set(1L, 10L, 21L), s"store: $stored")
+    // provenance: batch 0's survivor stayed in its partition (the
+    // restart did NOT re-fire the committed batch over it)
+    assert(stored(10L) == "b0" && stored(1L) == "base")
+  }
+
   test("streaming curation: quality gate + cross-batch near-dup drop + stable split") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
