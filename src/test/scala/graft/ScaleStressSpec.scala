@@ -201,6 +201,56 @@ class ScaleStressSpec extends SparkSpec {
     assert(viaDriver.count(_._2 == 0L) >= 4999)
   }
 
+  // ---------------------------------------------------------------- B2
+  // Retrieval-block adversary (VERDICT r12 #7): a corpus where the
+  // query term "spark" appears in 90% of 50k docs — the posting
+  // explode's hottest possible key. Expected fine by construction
+  // (the scan-side isin filter is linear, partial aggregation absorbs
+  // the skewed term's 45k rows before the df shuffle, the hot term's
+  // ~0.1 idf cannot drown the ranking) — this scenario PROVES it with
+  // wall-time + row-count + ranking assertions instead of reading the
+  // plan. Embeddings ship alongside so the hybrid and MMR stages run
+  // their real rerank path over the skewed candidates.
+  private lazy val retrSkewDir: String = {
+    val p = scratch.resolve("retr_skew")
+    if (!java.nio.file.Files.exists(
+        p.resolve("documents.parquet").resolve("_SUCCESS"))) {
+      val filler = array_join(transform(sequence(lit(0), lit(25)),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(5000)))), " ")
+      spark.range(50000L).select(
+        col("id").as("doc_id"),
+        when(col("id") < 100L,
+          concat(lit("join window hash spark spark spark "), filler))
+          .when(col("id") < 45000L, concat(lit("spark spark spark "), filler))
+          .otherwise(filler).as("text"))
+        .write.mode("overwrite").parquet(p.resolve("documents.parquet").toString)
+      spark.range(50000L).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          j => (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 500.0
+            - 1.0).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(p.resolve("embeddings.parquet").toString)
+    }
+    p.toString
+  }
+
+  test("retrieval skew: a 90%-df query term leaves bm25/hybrid/mmr linear and correctly ranked") {
+    val (bm25, hybrid, mmr) = timed("retr_skew_50k") {
+      val b = graft.p6.Queries.all("bm25_topk")(spark, retrSkewDir).collect()
+      val h = graft.p6.Queries.all("hybrid_retrieval")(spark, retrSkewDir).collect()
+      val m = graft.p6.Queries.all("mmr_rerank")(spark, retrSkewDir).collect()
+      (b, h, m)
+    }
+    assert(bm25.length == 15 && hybrid.length == 10 && mmr.length == 10)
+    // the rare terms (df=100, idf ~6.2) dominate the hot term (idf
+    // ~0.105): every top-15 doc is one of the 100 rare-term docs —
+    // the hot posting cannot drown the ranking
+    assert(bm25.forall(_.getLong(0) < 100L),
+      s"hot-term docs leaked into top-15: ${bm25.map(_.getLong(0)).mkString(",")}")
+    assert(hybrid.forall(_.getLong(0) < 100L))
+    assert(mmr.forall(_.getLong(1) < 100L)) // (rank, doc_id, mmr)
+  }
+
   // ---------------------------------------------------------------- C
   // 50,000 rows; domain "mega" holds 45,000 (90%), 50 tail domains
   // hold 100 each.
