@@ -33,7 +33,7 @@ object PlanDump {
     "ann_lsh_topk" ->
       "Multi-table multi-probe LSH ANN: one scan builds all 8 tables' membership, broadcast probe list, semi-join-pruned exact rerank",
     "p6_phenopacket_json" ->
-      "A2 packet assembly: five tables union into nullable struct slots, ONE groupBy on patient_id collects all bundles, nested-struct to_json projection",
+      "A2 packet assembly: five tables union into nullable struct slots, ONE groupBy on patient_id collects all bundles, then a single native phenopacket_json projection (no to_json, no HOF lambdas; gnorm/genocode computed per-row pre-shuffle)",
     "q52_range_agg_pushdown" ->
       "Aggregate pushdown through a bin-aligned range join: events collapse to per-day partials BEFORE the join — same oracle answer as q17 at 1/9 the cost",
     "chunk_dedup" ->

@@ -616,29 +616,48 @@ object Dedup {
     val posts = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     // min over (doc_id, nsh) structs orders by doc_id first: the
-    // representative is the posting's minimum id, its nsh rides along
-    // for the star tier's length filter.
+    // representative is the posting's minimum id, its nsh riding
+    // along for the star tier's length filters.
     val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
       min(struct(col("doc_id"), col("nsh"))).as("rep"))
     val prefix = posts.join(dfTab.select(col("g"), col("df")), Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rk") <= floor(col("nsh") / 5) + 1)
-      .select(col("doc_id").as("a"), col("nsh").as("nsha"), col("g"), col("df"))
-    val coldCand = prefix.filter(col("df") <= maxPosting)
+      .filter(col("rk") <= floor(col("nsh") / 5) + 1 &&
+        col("df") <= maxPosting)
+      .select(col("doc_id").as("a"), col("nsh").as("nsha"), col("g"))
+    // PPJoin length filter: C(a->b) >= 4/5 forces 5|sh(b)| >= 4|sh(a)|
+    // in exact integer math (a float ceil(0.8n) overshoots by 1 ulp
+    // at n%5==0 and would prune true boundary pairs).
+    val coldCand = prefix
       .join(posts.select(col("doc_id").as("b"), col("nsh").as("nshb"), col("g")),
         Seq("g"))
       .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
       .select(col("a"), col("b"))
-    val hot = posts.join(dfTab.filter(col("df") > maxPosting), Seq("g"))
+    // Star tier: one MAP-ONLY pass (posts against the broadcast hot
+    // set — empty on organic corpora) emitting BOTH orientations from
+    // a single consumer via explode. Earlier cuts of this defense
+    // that routed the cold b-side or a fwd/rev union through shared
+    // join frames re-evaluated the shingle-explode lineage or the
+    // prefix rank window per consumer — measured 2-4x the whole entry
+    // at sf0.1; this shape leaves the lossless cold plan byte-
+    // identical to the pre-defense original plus one broadcast probe.
+    val idT = sh.schema("doc_id").dataType.catalogString
+    val pairT = s"array<struct<a:$idT,b:$idT>>"
+    val hotMembers = posts
+      .join(broadcast(dfTab.filter(col("df") > maxPosting)), Seq("g"))
       .filter(col("doc_id") =!= col("rep.doc_id"))
-    // star orientation 1: rep contained in member (a=rep, b=member)
-    val starA = hot.filter(col("nsh") * 5 >= col("rep.nsh") * 4)
-      .select(col("rep.doc_id").as("a"), col("doc_id").as("b"))
-    // star orientation 2: member contained in rep (a=member, b=rep)
-    val starB = hot.filter(col("rep.nsh") * 5 >= col("nsh") * 4)
-      .select(col("doc_id").as("a"), col("rep.doc_id").as("b"))
-    val cand = coldCand.unionByName(starA).unionByName(starB).distinct()
+    val stars = hotMembers.select(explode(concat(
+        // orientation 1: rep contained in member (a=rep, b=member)
+        when(col("nsh") * 5 >= col("rep.nsh") * 4,
+          array(struct(col("rep.doc_id").as("a"), col("doc_id").as("b"))))
+          .otherwise(array().cast(pairT)),
+        // orientation 2: member contained in rep (a=member, b=rep)
+        when(col("rep.nsh") * 5 >= col("nsh") * 4,
+          array(struct(col("doc_id").as("a"), col("rep.doc_id").as("b"))))
+          .otherwise(array().cast(pairT)))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cand = coldCand.unionByName(stars).distinct()
     cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))

@@ -233,6 +233,17 @@ object Assemble {
     packets.select(col("patient_id"), to_json(col("packet")).as("json"))
       .write.mode("overwrite").partitionBy("patient_id").text(outDir)
 
+  /** The 100 TB sink shape: [[phenopacketsJson]]'s (patient_id,
+    * packet_json) written partitionBy(patient_id) — same layout as
+    * [[writePartitioned]] but the JSON comes from the native kernel
+    * instead of the interpreted to_json projection (byte-identical;
+    * at scale the projection was the flagship path's largest CPU
+    * term, BASELINE.md round 13).
+    */
+  def writePartitionedJson(packetJson: DataFrame, outDir: String): Unit =
+    packetJson.select(col("patient_id"), col("packet_json").as("json"))
+      .write.mode("overwrite").partitionBy("patient_id").text(outDir)
+
   /** A3: run statistics (ref: src/P6/mapper.py:176-185) computed in ONE
     * job over a unioned, tagged count — not five separate actions.
     */
