@@ -612,7 +612,22 @@ object Dedup {
       shingleLen: Int = 3, minShingles: Int = 5,
       maxPosting: Int = DefaultMaxPosting): DataFrame = {
     import graft.functions.VectorExpressions.sorted_intersect_size
+    // The plan consumes the shingle table five times (two posting
+    // joins, the df aggregate, two verify joins) and the df aggregate
+    // twice (prefix filter + hot-set probe). Declaratively that
+    // re-ran the scan+tokenize+shingle lineage SEVEN times per
+    // execution, and Catalyst's per-consumer column pruning made the
+    // two dfTab aggregates structurally different, so ReuseExchange
+    // never fired (attributed round 14, BASELINE.md). Persisting sh
+    // computes the shingles ONCE — at 100 TB the tokenize+shingle
+    // pass over the corpus is the dominant CPU term, so 5x of it is
+    // exactly what a multi-pass similarity join must not pay; the df
+    // aggregate stays unpersisted (two cheap aggs over the cache
+    // beat a third cache's build/read stage — measured). The
+    // harness/caller unpersists after the action (Bench does; same
+    // contract as dedupIncrement's store).
     val sh = containmentShingles(df, idCol, textCol, shingleLen, minShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posts = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     // min over (doc_id, nsh) structs orders by doc_id first: the
@@ -620,7 +635,16 @@ object Dedup {
     // along for the star tier's length filters.
     val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
       min(struct(col("doc_id"), col("nsh"))).as("rep"))
-    val prefix = posts.join(dfTab.select(col("g"), col("df")), Seq("g"))
+    // Join strategies are pinned scale-invariant: post-explode size
+    // estimates undershoot (the 0.6 MB sf0.1 parquet footprint made
+    // the planner BROADCAST the exploded posting table and the full
+    // shingle-array table — four corpus-sized broadcast builds per
+    // execution, the entry's driver-context sensitivity), and at
+    // 100 TB none of these sides fits a broadcast anyway. The only
+    // broadcast left is the df>cap hot set, bounded by construction
+    // at |corpus|/maxPosting representatives.
+    val prefix = posts
+      .join(dfTab.select(col("g"), col("df")).hint("shuffle_hash"), Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("rk") <= floor(col("nsh") / 5) + 1 &&
@@ -629,7 +653,7 @@ object Dedup {
     // PPJoin length filter: C(a->b) >= 4/5 forces 5|sh(b)| >= 4|sh(a)|
     // in exact integer math (a float ceil(0.8n) overshoots by 1 ulp
     // at n%5==0 and would prune true boundary pairs).
-    val coldCand = prefix
+    val coldCand = prefix.hint("shuffle_hash")
       .join(posts.select(col("doc_id").as("b"), col("nsh").as("nshb"), col("g")),
         Seq("g"))
       .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
@@ -640,8 +664,8 @@ object Dedup {
     // that routed the cold b-side or a fwd/rev union through shared
     // join frames re-evaluated the shingle-explode lineage or the
     // prefix rank window per consumer — measured 2-4x the whole entry
-    // at sf0.1; this shape leaves the lossless cold plan byte-
-    // identical to the pre-defense original plus one broadcast probe.
+    // at sf0.1; with sh persisted the probe re-aggregates from the
+    // cache instead of re-shingling the corpus.
     val idT = sh.schema("doc_id").dataType.catalogString
     val pairT = s"array<struct<a:$idT,b:$idT>>"
     val hotMembers = posts
@@ -657,8 +681,20 @@ object Dedup {
           array(struct(col("doc_id").as("a"), col("rep.doc_id").as("b"))))
           .otherwise(array().cast(pairT)))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val cand = coldCand.unionByName(stars).distinct()
-    cand
+    // The star branch carries an always-on observed metric: zero rows
+    // on organic corpora, and any nonzero count is the signal that
+    // the output is star-linked rather than complete above the df cap
+    // (the audit detail lives in [[hotPostingReport]]). observe() is
+    // computed inline during the action — no extra job — and a
+    // session-level listener logs it so a degraded production corpus
+    // is visible without the consumer asking.
+    val observedStars = observeStarPairs(stars)
+    val cand = coldCand.unionByName(observedStars).distinct()
+    // Verify joins are doc-id equi-joins where BOTH sides are
+    // contractually unbounded (cand is quadratic on degenerate
+    // corpora, sh is the corpus): sort-merge, never a broadcast of
+    // the shingle table.
+    cand.hint("merge")
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
@@ -667,6 +703,44 @@ object Dedup {
       .filter(col("inter") / col("na") >= 0.8)
       .select(col("a"), col("b"), col("na"), col("inter"),
         (col("inter") / col("na")).as("containment"))
+  }
+
+  private val starObservationId = new java.util.concurrent.atomic.AtomicLong()
+  private val starListenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Wrap the star-tier branch of [[containmentPairs]] in a named
+    * `observe` (unique per call — CollectMetrics names must not
+    * collide inside one query) and register, once per session, a
+    * QueryExecutionListener that WARN-logs whenever the metric is
+    * nonzero: the consumer's signal that hot postings fired and the
+    * pair set is star-linked above the df cap, without paying an
+    * extra job for [[hotPostingReport]] on every healthy run.
+    */
+  private def observeStarPairs(stars: DataFrame): DataFrame = {
+    val session = stars.sparkSession
+    if (starListenerSessions.put(session, java.lang.Boolean.TRUE) == null) {
+      session.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("containment_hot_") && row.getLong(0) > 0L)
+                log.warn(s"containmentPairs: hot-posting star tier emitted " +
+                  s"${row.getLong(0)} pairs ($name) — output is star-linked, " +
+                  "not complete, above the posting cap; run hotPostingReport " +
+                  "for the per-shingle audit")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+    stars.observe(s"containment_hot_${starObservationId.incrementAndGet()}",
+      count(lit(1)).as("star_pairs"))
   }
 
   /** Shingles whose posting list exceeds `maxPosting` and the number

@@ -393,6 +393,14 @@ object Multimodal {
             val r = img.getRaster
             val w = img.getWidth
             val h = img.getHeight
+            // >8-bit rasters downscale by bit depth (sample >> extra
+            // bits) instead of clamping at 255: a clamp saturates
+            // typical 16-bit content (most samples >> 255) to a
+            // uniform raster, so unrelated bright images would all
+            // hash to the same degenerate value and falsely pair in
+            // phash near-dup matching; the shift preserves both the
+            // 8-bit overflow bound and relative brightness.
+            val shift = math.max(0, r.getSampleModel.getSampleSize(0) - 8)
             val cellSum = new Array[Long](64)
             val cellN = new Array[Long](64)
             var total = 0L
@@ -402,9 +410,7 @@ object Multimodal {
               var x = 0
               while (x < w) {
                 val c = cy * 8 + x * 8 / w
-                // clamp to 8 bits: 16-bit sample models would overflow
-                // the cross-multiplied integer-exactness bound
-                val v = math.min(r.getSample(x, y, 0), 255).toLong
+                val v = math.min(r.getSample(x, y, 0) >> shift, 255).toLong
                 cellSum(c) += v
                 cellN(c) += 1
                 total += v

@@ -174,7 +174,20 @@ object Assemble {
     * must come from [[groupByPatient]] with genotype records carrying
     * [[withPacketRenderCols]]'s gnorm/genocode.
     */
-  def phenopacketsJson(bundles: DataFrame): DataFrame =
+  def phenopacketsJson(bundles: DataFrame): DataFrame = {
+    // The kernel hard-codes ignoreNullFields=true rendering (null
+    // fields omitted). A session running with
+    // spark.sql.jsonGenerator.ignoreNullFields=false would expect
+    // to_json to EMIT nulls, silently breaking the byte-compat
+    // contract (and the AssembleSpec equality pin, which only runs
+    // under the default) — fail loudly instead of diverging.
+    val conf = bundles.sparkSession.conf
+      .get("spark.sql.jsonGenerator.ignoreNullFields", "true")
+    require(conf.toBoolean,
+      "phenopacketsJson renders with ignoreNullFields=true semantics; " +
+        "session sets spark.sql.jsonGenerator.ignoreNullFields=false, " +
+        "which the native kernel does not honor — unset it or use " +
+        "phenopackets(bundles) + to_json for that layout")
     bundles.select(
       col("patient_id"),
       graft.functions.VectorExpressions.phenopacket_json(
@@ -182,6 +195,7 @@ object Assemble {
         col("genotype_records"), col("disease_records"),
         col("measurement_records"), col("biosample_records"))
         .as("packet_json"))
+  }
 
   /** S4 sink: one JSON document per patient under `outDir`. The
     * reference numbers files 1.json..N.json in iteration order

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Liveness + compaction for the persisted streaming-dedup store
+  * ([[EventStreams.streamingDedupIncrement]]'s `storeDir`).
+  *
+  * Why: continuous ingestion appends one `docs/batch=bN` +
+  * `sigs/batch=bN` parquet dir per micro-batch forever; at 100 TB
+  * micro-batching that is thousands of small-file partitions on the
+  * LSH join's build side (the r13 VERDICT's named unbounded term).
+  * Compaction folds every committed batch partition up to a watermark
+  * into ONE consolidated `base-g<gen>` partition, after which the
+  * store read is a handful of dirs again.
+  *
+  * Crash-safety protocol (no transactional FS assumed — works on
+  * local FS, HDFS, and object stores with directory semantics):
+  *
+  *   - A consolidated partition `batch=base-g<g>` is VISIBLE to
+  *     readers only once `manifest-g<g>.txt` exists: readers compute
+  *     maxGen = max published manifest generation and treat
+  *     `base-g<k>` with k > maxGen as not-yet-published (a compaction
+  *     that crashed after writing data but before its manifest leaves
+  *     the store exactly as it was).
+  *   - The manifest is immutable and versioned (`manifest-g<g>.txt`,
+  *     line 1 = generation, remaining lines = TOMBSTONED partition
+  *     names); readers take the highest generation's tombstone set.
+  *     Publication is write-tmp + rename — and if the rename loses to
+  *     an identical earlier attempt, the content was deterministic,
+  *     so the loser just deletes its tmp.
+  *   - Source partitions are deleted only AFTER the manifest commits,
+  *     and deletion is best-effort: a tombstoned-but-undeleted dir is
+  *     ignored by every reader and swept by the next compaction.
+  *
+  * Re-running `compact(upTo)` at any point is therefore idempotent:
+  * before the manifest commit it rewrites the same deterministic
+  * `base-g<g>` dirs; after, it no-ops (generation already published).
+  *
+  * Watermark contract: `upToBatchId` must not exceed the stream's
+  * last COMMITTED micro-batch ([[lastCommittedBatch]] reads it from
+  * the checkpoint) — an uncommitted batch can replay after a restart,
+  * and a replay overwrites its own `batch=bN` dirs assuming the store
+  * still holds them; folding it into base first would double its docs
+  * and self-dedup the replay to nothing.
+  */
+object DedupStore {
+
+  private val ManifestRe = "manifest-g(\\d+)\\.txt".r
+  private val BaseGenRe = "base-g(\\d+)".r
+  private val BatchRe = "b(\\d+)".r
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (maxGen, tombstoned partition names) from the highest published
+    * manifest; (-1, empty) for a store that has never compacted.
+    */
+  private[graft] def manifest(spark: SparkSession, storeDir: String): (Long, Set[String]) = {
+    val f = fs(spark, storeDir)
+    val root = new Path(storeDir)
+    if (!f.exists(root)) return (-1L, Set.empty)
+    val gens = f.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(g) => Some(g.toLong)
+        case _ => None
+      }
+    }
+    if (gens.isEmpty) return (-1L, Set.empty)
+    val g = gens.max
+    val in = f.open(new Path(root, s"manifest-g$g.txt"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    (g, lines.drop(1).map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  /** Partition names physically present under `storeDir/docs`. */
+  private def physicalParts(spark: SparkSession, storeDir: String): Seq[String] = {
+    val f = fs(spark, storeDir)
+    val docs = new Path(s"$storeDir/docs")
+    if (!f.exists(docs)) Seq.empty
+    else f.listStatus(docs).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+  }
+
+  /** The partitions a reader may see: physical, not tombstoned, and
+    * consolidated partitions only up to the published generation.
+    */
+  private[graft] def liveParts(spark: SparkSession, storeDir: String): Seq[String] = {
+    val (maxGen, dead) = manifest(spark, storeDir)
+    physicalParts(spark, storeDir).filter {
+      case p if dead(p) => false
+      case BaseGenRe(g) => g.toLong <= maxGen
+      case _ => true
+    }
+  }
+
+  /** `storeDir/docs` (or sigs) restricted to live partitions — the
+    * read every store consumer must use once compaction exists.
+    * Partition pruning keeps tombstoned dirs zero-IO.
+    */
+  private[graft] def readLive(spark: SparkSession, storeDir: String,
+      sub: String): DataFrame = {
+    val live = liveParts(spark, storeDir)
+    spark.read.parquet(s"$storeDir/$sub")
+      .filter(col("batch").isin(live: _*))
+  }
+
+  /** Highest micro-batch id the checkpoint has COMMITTED — the safe
+    * compaction watermark. None before the first commit.
+    */
+  def lastCommittedBatch(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val f = fs(spark, checkpointDir)
+    val commits = new Path(s"$checkpointDir/commits")
+    if (!f.exists(commits)) None
+    else f.listStatus(commits).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption).maxOption
+  }
+
+  /** Fold every live `batch=bN` with N <= upToBatchId, plus the seed
+    * `base` and any previous `base-g<k>`, into `base-g<upToBatchId>`
+    * for both docs and sigs; publish; then sweep the sources. No-op
+    * when the published generation already covers upToBatchId or
+    * there is nothing to fold. See the object doc for the
+    * crash-safety protocol and the watermark contract.
+    */
+  def compact(spark: SparkSession, storeDir: String, upToBatchId: Long): Unit = {
+    val (maxGen, dead) = manifest(spark, storeDir)
+    if (upToBatchId <= maxGen) return
+    val phys = physicalParts(spark, storeDir)
+    val live = phys.filter {
+      case p if dead(p) => false
+      case BaseGenRe(g) => g.toLong <= maxGen
+      case _ => true
+    }
+    val toFold = live.filter {
+      case "base" => true
+      case BaseGenRe(_) => true
+      case BatchRe(n) => n.toLong <= upToBatchId
+      case _ => false
+    }
+    // Nothing to consolidate: a lone already-consolidated base (or an
+    // empty store) gains nothing from a rewrite; skip WITHOUT
+    // publishing a generation so the cheap no-op stays a no-op.
+    if (toFold.size <= 1) return
+    val gen = s"base-g$upToBatchId"
+    for (sub <- Seq("docs", "sigs")) {
+      spark.read.parquet(s"$storeDir/$sub")
+        .filter(col("batch").isin(toFold: _*))
+        .drop("batch")
+        .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$gen")
+    }
+    // Publish: the manifest names the consumed partitions (previous
+    // tombstones ride along so a single read of the latest manifest
+    // suffices), via tmp + rename.
+    val f = fs(spark, storeDir)
+    val tmp = new Path(storeDir, s".manifest-g$upToBatchId.tmp")
+    val dst = new Path(storeDir, s"manifest-g$upToBatchId.txt")
+    val out = f.create(tmp, true)
+    try out.write((upToBatchId.toString +: (dead ++ toFold).toSeq.sorted)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, dst)) {
+      // lost to an identical earlier attempt — deterministic content,
+      // so the publication already happened
+      f.delete(tmp, false); ()
+    }
+    // Sweep (best-effort: tombstoned dirs are invisible regardless)
+    for (sub <- Seq("docs", "sigs"); p <- toFold)
+      try { f.delete(new Path(s"$storeDir/$sub/batch=$p"), true); () }
+      catch { case _: java.io.IOException => () }
+  }
+}

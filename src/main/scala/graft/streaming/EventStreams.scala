@@ -441,13 +441,16 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=base")
   }
 
-  /** The deduped corpus so far: every batch partition of the store
-    * (base + each micro-batch's survivors), with the `batch` partition
-    * column kept for provenance.
+  /** The deduped corpus so far: every LIVE batch partition of the
+    * store (seed base or consolidated base, plus each uncompacted
+    * micro-batch's survivors), with the `batch` partition column kept
+    * for provenance. Liveness comes from [[DedupStore]]'s manifest so
+    * a crashed-mid-compaction store reads exactly as before the
+    * attempt.
     */
   def dedupStoreDocs(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/docs")
+    DedupStore.readLive(spark, storeDir, "docs")
 
   /** One micro-batch of [[streamingDedupIncrement]], factored out so
     * specs can drive it directly. IDEMPOTENT under at-least-once
@@ -462,10 +465,10 @@ object EventStreams {
       bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
     val part = s"b$batchId"
-    val baseDocs = spark.read.parquet(s"$storeDir/docs")
+    val baseDocs = DedupStore.readLive(spark, storeDir, "docs")
       .filter(col("batch") =!= part)
       .select(col(idCol), col(textCol))
-    val baseSigs = spark.read.parquet(s"$storeDir/sigs")
+    val baseSigs = DedupStore.readLive(spark, storeDir, "sigs")
       .filter(col("batch") =!= part)
       .select(col("id"), col("sig"))
     val survivors = graft.operators.Dedup.dedupIncrement(

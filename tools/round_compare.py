@@ -11,19 +11,62 @@ tracks the batch-average box speed). When either side lacks a
 calibration block (pre-round-11 JSONs), only raw ratios print.
 
 Each side may be a comma-separated list of bench JSONs (e.g. the
-3-run cold batches); per-query and calibration values are medians
+4-run cold boards); per-query and calibration values are medians
 across the runs.
 
-Usage: python3 tools/round_compare.py OLD.json[,OLD2...] NEW.json[,NEW2...]
+Usage:
+  round_compare.py OLD.json[,OLD2...] NEW.json[,NEW2...]
+  round_compare.py NEW.json[,NEW2...]
+      OLD defaults to the ROUND-13 DEFINITIVE COLD BOARD
+      (bench_r13_cold{1..4}.json — the 2x-contract reference since
+      r13; BASELINE.md "Round-13 definitive baseline"). Round-2
+      numbers are history only.
+  round_compare.py --driver DRIVER.json [BOARD.json,...]
+      Driver-vs-board outlier audit: per-entry driver/board ratios
+      against the seeded board (default: the r13 cold board), sorted
+      worst-first, EXIT 1 if any entry exceeds 2x — so a
+      driver-context inflation like r12/r13's containment_neardup is
+      instrument-caught, not judge-caught. DRIVER.json may be a
+      canonical bench_full.json or a driver BENCH_rN.json artifact
+      (whose 2000-char "tail" holds only part of the map — the
+      parseable suffix is recovered and the audit runs on it).
 """
-import sys, json, statistics
+import sys, json, os, re, statistics
+
+R13_BOARD = ",".join(
+    os.path.join(os.path.dirname(__file__) or ".", "..",
+                 f"bench_r13_cold{i}.json") for i in range(1, 5))
+
+
+def parse_run(path):
+    """One run -> (queries dict, calibration dict|None). Accepts the
+    canonical Bench line, the compact summary line (slowest-only), or
+    a driver BENCH_rN.json whose truncated tail is regex-recovered."""
+    d = json.load(open(path))
+    if "queries" in d:
+        return d["queries"], d.get("calibration")
+    if "slowest" in d:  # compact summary line: partial by design
+        return d["slowest"], d.get("calibration")
+    if "parsed" in d and d["parsed"]:
+        p = d["parsed"]
+        return p.get("queries", p.get("slowest", {})), p.get("calibration")
+    if "tail" in d:
+        qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])}
+        qs.pop("pre", None); qs.pop("post", None)
+        for k in ("value", "sf"): qs.pop(k, None)
+        return qs, None
+    sys.exit(f"{path}: no queries/slowest/tail to read")
 
 
 def load(paths):
-    runs = [json.load(open(p)) for p in paths.split(",")]
-    queries = {k: statistics.median(r["queries"][k] for r in runs)
-               for k in runs[0]["queries"]}
-    cals = [r.get("calibration") for r in runs]
+    runs = [parse_run(p) for p in paths.split(",")]
+    shared_keys = set(runs[0][0])
+    for q, _ in runs[1:]:
+        shared_keys &= set(q)
+    queries = {k: statistics.median(q[k] for q, _ in runs)
+               for k in shared_keys}
+    cals = [c for _, c in runs]
     cal = None
     if all(c and c.get("pre") and c.get("post") for c in cals):
         cal = statistics.median(
@@ -31,8 +74,48 @@ def load(paths):
     return queries, cal
 
 
-old, cal_old = load(sys.argv[1])
-new, cal_new = load(sys.argv[2])
+def driver_audit(driver_path, board_paths):
+    drv, _ = load(driver_path)
+    board, _ = load(board_paths)
+    shared = sorted(set(drv) & set(board))
+    if not shared:
+        sys.exit("no shared queries between driver and board")
+    rows = sorted(((q, drv[q], board[q],
+                    drv[q] / board[q] if board[q] else float("inf"))
+                   for q in shared), key=lambda r: -r[3])
+    w = max(len(q) for q, *_ in rows)
+    print(f"driver-vs-board audit over {len(rows)} shared entries "
+          f"(board = {board_paths})")
+    print(f"{'query':<{w}}  {'driver':>8}  {'board':>8}  {'ratio':>6}")
+    for q, dv, bv, r in rows[:25]:
+        print(f"{q:<{w}}  {dv:8.2f}  {bv:8.2f}  {r:6.2f}")
+    if len(rows) > 25:
+        print(f"... {len(rows) - 25} more (all below {rows[24][3]:.2f}x)")
+    ratios = [r[3] for r in rows]
+    print(f"\nmedian driver/board ratio: {statistics.median(ratios):.3f}")
+    bad = [(q, r) for q, _, _, r in rows if r > 2.0]
+    if bad:
+        print("FAIL: entries >2x their board median (driver-context "
+              "inflation — attribute before shipping):")
+        for q, r in bad:
+            print(f"  {q}: {r:.2f}x")
+        sys.exit(1)
+    print("OK: no entry exceeds 2x its board median")
+
+
+args = sys.argv[1:]
+if args and args[0] == "--driver":
+    driver_audit(args[1], args[2] if len(args) > 2 else R13_BOARD)
+    sys.exit(0)
+
+if len(args) == 1:
+    old_paths, new_paths = R13_BOARD, args[0]
+    print("old side defaulted to the r13 definitive cold board")
+else:
+    old_paths, new_paths = args[0], args[1]
+
+old, cal_old = load(old_paths)
+new, cal_new = load(new_paths)
 shared = sorted(set(old) & set(new))
 if not shared:
     sys.exit("no shared queries between the two sides")
