@@ -58,6 +58,8 @@ object PlanDump {
       "Exact cosine pair mining: int8-quantized prescreen rows meet in a triangle block-pair EQUI-join (never a cartesian), ByteDot upper-bound filter inside the join, exact double-vector verify only for survivors",
     "bucketed_join" ->
       "Storage-layout co-location: both fact scans carry the catalog bucket spec, so the sort-merge join, the bucket-key aggregation, and the TakeOrderedAndProject top-100 all run with ZERO exchanges — the one shuffle was paid at layout-write time",
+    "containment_neardup" ->
+      "PPJoin containment join, scale-invariant shape: the shingle table is computed ONCE into an InMemoryRelation (five consumers), every corpus-sized join is a pinned shuffle_hash/merge (static post-explode estimates would otherwise broadcast the corpus at small SF), and the only broadcast is the bounded df>cap hot set; the star tier carries an observe() metric that logs when the degradation fires",
     "duplicate_spans_sampled" ->
       "Content-defined window sampling: the mod-8 md5-prefix filter sits map-side BEFORE the dup-content aggregate, so the exchange carries ~1/8 of the windows; merge window stays doc_id-partitioned",
     "cdc_chunk_dedup" ->
@@ -68,8 +70,6 @@ object PlanDump {
       "Token-budget packing: map-only hashed-linear scoring on the scan, ONE range exchange (what any global sort costs) feeding the native PrefixScanExec running sum, keep-filter + final aggregate map-side — no single-task WindowExec anywhere",
     "ann_pq_topk" ->
       "Product-quantization ANN recall summary (the operator side — pq_encode kernel as ONE projection on the scan, map-side ADC scores, TakeOrdered candidate bound, exact rescore of candidates only — executes under the summary's localCheckpoint, so this dump shows the contract join over its pinned <=k rows: Scan ExistingRDD)",
-    "containment_neardup" ->
-      "Lossless prefix-filtered containment join: df agg on the shingle, per-doc rarest-p window (doc_id-partitioned, never global), prefix-vs-full-postings equi-join with the integer length filter, sorted-merge exact verify — every stage a keyed exchange, nothing quadratic",
     "hybrid_retrieval" ->
       "Retrieve-then-rerank: BM25 postings agg -> TakeOrdered(50) candidates BROADCAST into the embedding join, 1-row query-vector BNLJ (the ann_cosine shape), TakeOrdered(10) rerank — the corpus is scanned once for BM25 and once for the 50-row hash join probe",
     "weighted_sample" ->

@@ -696,6 +696,7 @@ object Dedup {
     // the shingle table.
     cand.hint("merge")
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .hint("merge") // a hint is consumed by ONE join: re-pin for the b side
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),

@@ -514,7 +514,8 @@ object EventStreams {
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", jaccardThreshold: Double = 0.7,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
+      compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -522,6 +523,17 @@ object EventStreams {
           batchId: Long) =>
         dedupIncrementBatch(batch, batchId, storeDir, idCol, textCol,
           jaccardThreshold, shingleLen, numPerm, bands, maxBucket)
+        // Periodic in-stream compaction: every k-th micro-batch folds
+        // the COMMITTED prefix (ids < batchId — the current batch is
+        // still uncommitted while foreachBatch runs, so it is never
+        // folded and its replay stays idempotent) into one base
+        // partition. Crash anywhere inside = the DedupStore manifest
+        // protocol's crash window, already pinned by StreamingSpec;
+        // the re-fired batch simply re-runs the compaction.
+        compactEvery.foreach { k =>
+          if (batchId > 0 && batchId % k == 0)
+            DedupStore.compact(batch.sparkSession, storeDir, batchId - 1)
+        }
       }
       .start()
 

@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bundle join chain reappeared")
   }
 
+  test("p6_phenopacket_json: the native kernel renders the packet — no to_json, no codegen fallback on the projection") {
+    // The byte pin (AssembleSpec: kernel == old to_json form) and the
+    // shuffle pin above both SURVIVE a silent fallback to the
+    // interpreted HOF + StructsToJson path — which would re-pay the
+    // 2.2x sf10 cost while staying green. Assert the plan actually
+    // CONTAINS the kernel expression and none of the old shapes.
+    val p = plan("p6_phenopacket_json")
+    assert(p.contains("phenopacket_json("),
+      "the native PhenopacketJson kernel is gone from the physical plan")
+    assert(!p.contains("to_json") && !p.contains("StructsToJson"),
+      "interpreted StructsToJson rendering reappeared")
+    // the packet projection must be codegen'd: CodegenFallback
+    // expressions print inside the final Project in sparkPlan only
+    // when Catalyst couldn't compile them
+    assert(!p.contains("CodegenFallback"),
+      "packet projection fell back to interpreted evaluation")
+  }
+
   test("bm25_topk: top-k is a TakeOrderedAndProject over broadcast stats — no global sort, no shuffle join") {
     val p = plan("bm25_topk")
     assert(p.contains("TakeOrderedAndProject(limit=15"),

@@ -669,6 +669,211 @@ class StreamingSpec extends SparkSpec {
     assert(stored(10L) == "b0" && stored(1L) == "base")
   }
 
+  test("dedup store compaction: folds committed batches into one base; reads, later batches, and sweep all agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_c").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val twin = new java.io.File(root, "twin").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val ckptTwin = new java.io.File(root, "ckpt_twin").getAbsolutePath
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dups base -> dies
+      (11L, "totally new content nine ten eleven twelve thirteen"))
+    val b2 = Seq(
+      (20L, "fresh words fourteen fifteen sixteen seventeen eighteen"))
+    // the post-compaction increment: 30 dups b1's survivor (must die
+    // against the CONSOLIDATED base), 31 novel
+    val b3 = Seq(
+      (30L, "totally new content nine ten eleven twelve thirteen"),
+      (31L, "late arrival nineteen twenty twentyone twentytwo twentythree"))
+
+    // one MemoryStream per checkpoint: a restarted query must find
+    // the committed offsets in its source
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    val s = MemoryStream[(Long, String)]
+    def start() = EventStreams.streamingDedupIncrement(
+      s.toDF().toDF("doc_id", "text"), store, ckpt, jaccardThreshold = 0.5)
+    val q = start()
+    Seq(b1, b2).foreach { b => s.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val before = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    val upTo = graft.streaming.DedupStore.lastCommittedBatch(spark, ckpt).get
+    graft.streaming.DedupStore.compact(spark, store, upTo)
+
+    // same docs, consolidated layout, sources swept
+    val after = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id"), col("batch")).collect()
+    assert(after.map(_.getLong(0)).toSet == before, s"docs changed: $before -> ${after.toSeq}")
+    val parts = after.map(_.getString(1)).toSet
+    assert(parts == Set(s"base-g$upTo"), s"not consolidated: $parts")
+    val physical = new java.io.File(s"$store/docs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(physical == Set(s"batch=base-g$upTo"), s"sources not swept: $physical")
+    // the SIGS side compacted in lockstep: same live layout, one
+    // signature row per surviving doc (a mis-folded signature store
+    // would silently degrade every future micro-batch's dedup)
+    val sigs = graft.streaming.DedupStore.readLive(spark, store, "sigs")
+      .select(col("id"), col("batch")).collect()
+    assert(sigs.map(_.getLong(0)).toSet == before,
+      s"sigs ids diverged from docs: ${sigs.toSeq}")
+    assert(sigs.map(_.getString(1)).toSet == Set(s"base-g$upTo"))
+    // compaction is idempotent and a covered re-request no-ops
+    graft.streaming.DedupStore.compact(spark, store, upTo)
+    assert(EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == before)
+
+    // a later micro-batch resolves against the compacted store exactly
+    // as the uncompacted twin does
+    val q2 = start()
+    s.addData(b3: _*); q2.processAllAvailable(); q2.stop()
+    EventStreams.seedDedupBase(base, "doc_id", "text", twin)
+    val sTwin = MemoryStream[(Long, String)]
+    val qTwin = EventStreams.streamingDedupIncrement(
+      sTwin.toDF().toDF("doc_id", "text"), twin, ckptTwin, jaccardThreshold = 0.5)
+    Seq(b1, b2, b3).foreach { b => sTwin.addData(b: _*); qTwin.processAllAvailable() }
+    qTwin.stop()
+    val compacted = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val uncompacted = EventStreams.dedupStoreDocs(spark, twin)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(compacted == uncompacted,
+      s"post-compaction increment diverged: $compacted != $uncompacted")
+  }
+
+  test("dedup store compaction: crash after data write but before manifest publish leaves the store untouched; retry converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_x").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    val s = MemoryStream[(Long, String)]
+    def start() = EventStreams.streamingDedupIncrement(
+      s.toDF().toDF("doc_id", "text"), store, ckpt, jaccardThreshold = 0.5)
+    val q = start()
+    s.addData((10L, "brand new document words aaa bbb ccc ddd"))
+    q.processAllAvailable()
+    s.addData((20L, "another novel doc eee fff ggg hhh iii"))
+    q.processAllAvailable()
+    q.stop()
+    val upTo = graft.streaming.DedupStore.lastCommittedBatch(spark, ckpt).get
+
+    // simulate the crash window: the consolidated partitions exist on
+    // disk (the exact write compact() performs) but no manifest was
+    // published — readers must see the store EXACTLY as before
+    for (sub <- Seq("docs", "sigs"))
+      spark.read.parquet(s"$store/$sub").drop("batch")
+        .write.mode("overwrite").parquet(s"$store/$sub/batch=base-g$upTo")
+    val docs = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id"), col("batch")).collect()
+    assert(docs.map(_.getLong(0)).toSet == Set(1L, 10L, 20L),
+      s"unpublished base-g leaked into reads: ${docs.toSeq}")
+    assert(!docs.map(_.getString(1)).toSet.contains(s"base-g$upTo"))
+    // a micro-batch arriving INSIDE the crash window still resolves
+    // against the pre-compaction base only (no double-counted docs)
+    val q2 = start()
+    s.addData(
+      (30L, "brand new document words aaa bbb ccc ddd"), // dups 10 -> dies
+      (31L, "yet another unseen doc jjj kkk lll mmm nnn")) // lives
+    q2.processAllAvailable(); q2.stop()
+
+    // the retry (same watermark) converges: consolidated base +
+    // the crash-window batch, same doc set
+    graft.streaming.DedupStore.compact(spark, store, upTo)
+    val after = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id"), col("batch")).collect()
+    assert(after.map(_.getLong(0)).toSet == Set(1L, 10L, 20L, 31L),
+      s"retry diverged: ${after.toSeq}")
+    val parts = after.map(_.getString(1)).toSet
+    assert(parts == Set(s"base-g$upTo", "b2"), s"layout after retry: $parts")
+  }
+
+  test("streaming dedup with in-stream periodic compaction: doc set equals the uncompacted twin, layout stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_p").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val twin = new java.io.File(root, "twin").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 5).map { b =>
+      Seq((100L + b, s"novel doc for micro batch $b with words w${b}a w${b}b w${b}c"),
+        (200L + b, "alpha beta gamma delta epsilon zeta eta theta")) // dups base every batch
+    }
+    def drive(storeDir: String, ckptName: String, every: Option[Int]): Unit = {
+      EventStreams.seedDedupBase(base, "doc_id", "text", storeDir)
+      val s = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingDedupIncrement(
+        s.toDF().toDF("doc_id", "text"), storeDir,
+        new java.io.File(root, ckptName).getAbsolutePath,
+        jaccardThreshold = 0.5, compactEvery = every)
+      batches.foreach { b => s.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    drive(store, "ckpt", Some(2))
+    drive(twin, "ckpt_twin", None)
+    val got = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = EventStreams.dedupStoreDocs(spark, twin)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"compacted stream diverged: $got != $want")
+    // batch 4 fired the last compaction at watermark 3: everything
+    // before it is one consolidated partition; only b4 rides uncompacted
+    val parts = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    assert(parts == Set("base-g3", "b4"), s"layout: $parts")
+  }
+
+  test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    // base doc B; batch-1 doc X near-dups B (dies, base wins, leaves
+    // no trace in the store); batch-2 doc Y near-dups X but NOT B.
+    // Streaming: Y survives (X is gone). Batch over the concatenated
+    // increments: {X, Y} form one intra-increment component anchored
+    // to base -> Y dies. EventStreams.scala documents this divergence;
+    // this pins its exact extent: the planted doc and nothing else.
+    // 3-gram shingle math at J>=0.5: J(X,B)=6/8=0.75 (X = B + two
+    // words), J(Y,X)=6/10=0.6 (Y = X's tail + middle), J(Y,B)=4/10=0.4
+    // — below threshold. 16 bands of 2 rows make both true pairs
+    // near-certain LSH candidates (seeded minhash is deterministic;
+    // verification is exact so the J=0.4 candidate is rejected).
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val y = "gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val fill1 = (11L, "independent filler content one two three four five")
+    val fill2 = (21L, "more filler prose six seven eight nine ten eleven")
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    val s = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingDedupIncrement(
+      s.toDF().toDF("doc_id", "text"), store, ckpt,
+      jaccardThreshold = 0.5, bands = 16)
+    s.addData((10L, x), fill1)
+    q.processAllAvailable()
+    s.addData((20L, y), fill2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- Set(1L)
+    val batch = graft.operators.Dedup.dedupIncrement(base,
+        Seq((10L, x), fill1, (20L, y), fill2).toDF("doc_id", "text"),
+        "doc_id", "text", jaccardThreshold = 0.5, bands = 16)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // sanity: the scenario actually fired — X died to base in stream
+    assert(!streamed.contains(10L), s"X survived, scenario did not fire: $streamed")
+    val divergent = (streamed -- batch) ++ (batch -- streamed)
+    assert(divergent == Set(20L),
+      s"divergence set is not exactly the planted doc: streamed=$streamed batch=$batch")
+  }
+
   test("streaming curation: quality gate + cross-batch near-dup drop + stable split") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704067200000L
