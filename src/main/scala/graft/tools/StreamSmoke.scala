@@ -121,6 +121,38 @@ object StreamSmoke {
       stored == Set(1L, 11L)
     }
 
+    check("dedupStore_compaction") {
+      // in-stream periodic compaction: the consolidated rewrite, the
+      // manifest publish, and every manifest-gated readLive cross real
+      // process boundaries here (executors write the parquet, the
+      // driver publishes the manifest)
+      val root = java.nio.file.Files.createTempDirectory("sm_sdedupc").toFile
+      val store = new java.io.File(root, "store").getAbsolutePath
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      EventStreams.seedDedupBase(
+        Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store)
+      val stream = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingDedupIncrement(
+        stream.toDF().toDF("doc_id", "text"), store, ckpt,
+        jaccardThreshold = 0.5, compactEvery = Some(2))
+      (0 until 5).foreach { b =>
+        stream.addData(
+          (100L + b, s"novel doc for micro batch $b with words w${b}a w${b}b w${b}c"),
+          (200L + b, "alpha beta gamma delta epsilon zeta eta theta")) // dups base
+        q.processAllAvailable()
+      }
+      q.stop()
+      // last compaction fired inside batch 4 at watermark 3: all of
+      // base..b3 is one consolidated partition, only b4 uncompacted
+      val docs = EventStreams.dedupStoreDocs(spark, store)
+        .select("doc_id", "batch").collect()
+      docs.map(_.getLong(0)).toSet ==
+        Set(1L, 100L, 101L, 102L, 103L, 104L) &&
+        docs.map(_.getString(1)).toSet == Set("base-g3", "b4")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
     println("STREAMSMOKE ALL PASS")
