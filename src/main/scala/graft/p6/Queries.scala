@@ -2398,6 +2398,21 @@ object Queries {
         round(col("containment"), 4).as("containment"))
       .orderBy(col("a"), col("b"))
 
+  /** The containment hot-posting audit as a first-class queryable:
+    * every shingle whose posting list exceeds the cap, its df, and the
+    * ordered pairs the star tier skips for it — the report a consumer
+    * runs when [[Dedup.containmentPairs]]'s observed star metric fires
+    * (a degraded corpus under-reports member-member pairs; this names
+    * the shingles responsible and the skipped volume). The cap here is
+    * deliberately LOW (4, vs the production default 1024) so the audit
+    * itself is oracle-gated on organic corpora at every SF — at the
+    * default cap the organic hot set is empty by construction.
+    */
+  private def containmentHotAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.hotPostingReport(t(s, dir, "documents"), "doc_id", "text",
+        maxPosting = 4)
+      .orderBy(col("g"))
+
   /** Unicode NFC normalization pass (pre-dedup hygiene): the same
     * text arrives composed ("é") and decomposed ("e" + U+0301) from
     * different provenances, and every downstream exact/shingle dedup
@@ -3647,6 +3662,7 @@ object Queries {
     "boilerplate_strip" -> (boilerplateStrip _),
     "bm25_topk" -> (bm25TopK _),
     "containment_neardup" -> (containmentNearDup _),
+    "containment_hot_audit" -> (containmentHotAudit _),
     "hybrid_retrieval" -> (hybridRetrieval _),
     "text_normalize" -> (textNormalize _),
     "weighted_sample" -> (weightedSample _),
@@ -5410,6 +5426,19 @@ object Queries {
         JOIN good gb ON gb.doc_id = cand.b
         WHERE len(list_intersect(ga.s, gb.s))::DOUBLE / len(ga.s) >= 0.8
         ORDER BY a, b""",
+    "containment_hot_audit" ->
+      """WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+            i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+          FROM tk WHERE len(toks) >= 3),
+        good AS (SELECT doc_id, s FROM sh WHERE len(s) >= 5),
+        inv AS (SELECT doc_id, unnest(s) AS g FROM good),
+        df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY g)
+        SELECT g, df, CAST((df - 1) * (df - 2) AS BIGINT) AS skipped_pairs
+        FROM df WHERE df > 4 ORDER BY g""",
     "hybrid_retrieval" ->
       """WITH docs AS (
           SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,

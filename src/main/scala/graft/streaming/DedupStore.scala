@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * Crash-safety protocol (no transactional FS assumed — works on
   * local FS, HDFS, and object stores with directory semantics):
   *
-  *   - A consolidated partition `batch=base-g<g>` is VISIBLE to
-  *     readers only once `manifest-g<g>.txt` exists: readers compute
-  *     maxGen = max published manifest generation and treat
-  *     `base-g<k>` with k > maxGen as not-yet-published (a compaction
+  *   - A consolidated partition `batch=base-g<g>` (or a minor
+  *     `batch=delta-g<g>`) is VISIBLE to readers only once
+  *     `manifest-g<g>.txt` exists: readers compute maxGen = max
+  *     published manifest generation and treat `base-g<k>` /
+  *     `delta-g<k>` with k > maxGen as not-yet-published (a compaction
   *     that crashed after writing data but before its manifest leaves
   *     the store exactly as it was).
   *   - The manifest is immutable and versioned (`manifest-g<g>.txt`,
@@ -49,6 +50,7 @@ object DedupStore {
 
   private val ManifestRe = "manifest-g(\\d+)\\.txt".r
   private val BaseGenRe = "base-g(\\d+)".r
+  private val DeltaGenRe = "delta-g(\\d+)".r
   private val BatchRe = "b(\\d+)".r
 
   private def fs(spark: SparkSession, dir: String) =
@@ -92,6 +94,7 @@ object DedupStore {
     physicalParts(spark, storeDir).filter {
       case p if dead(p) => false
       case BaseGenRe(g) => g.toLong <= maxGen
+      case DeltaGenRe(g) => g.toLong <= maxGen
       case _ => true
     }
   }
@@ -118,25 +121,41 @@ object DedupStore {
       .flatMap(st => st.getPath.getName.toLongOption).maxOption
   }
 
-  /** Fold every live `batch=bN` with N <= upToBatchId, plus the seed
-    * `base` and any previous `base-g<k>`, into `base-g<upToBatchId>`
-    * for both docs and sigs; publish; then sweep the sources. No-op
-    * when the published generation already covers upToBatchId or
-    * there is nothing to fold. See the object doc for the
-    * crash-safety protocol and the watermark contract.
+  /** Fold live store partitions up to the watermark; publish; then
+    * sweep the sources. No-op when the published generation already
+    * covers upToBatchId or there is nothing to fold. See the object
+    * doc for the crash-safety protocol and the watermark contract.
+    *
+    * Two modes, the minor/major split of any LSM-shaped store:
+    *   - `foldBase = true` (MAJOR, default): base + every prior
+    *     generation + batches <= watermark -> `base-g<upTo>`. One
+    *     consolidated partition, but the rewrite is O(store) — at
+    *     continuous-ingestion scale this must be RARE.
+    *   - `foldBase = false` (MINOR): ONLY `batch=bN` partitions
+    *     <= watermark -> `delta-g<upTo>`. Per-compaction IO is
+    *     O(new data since the last compaction), independent of store
+    *     size; deltas accumulate until the next major fold. This is
+    *     the steady-state cadence for 100 TB ingestion: minor often,
+    *     major rarely, read side bounded by #deltas + 1 instead of
+    *     #micro-batches.
+    * Both publish through the same versioned manifest, so generation
+    * gating and crash windows are identical.
     */
-  def compact(spark: SparkSession, storeDir: String, upToBatchId: Long): Unit = {
+  def compact(spark: SparkSession, storeDir: String, upToBatchId: Long,
+      foldBase: Boolean = true): Unit = {
     val (maxGen, dead) = manifest(spark, storeDir)
     if (upToBatchId <= maxGen) return
     val phys = physicalParts(spark, storeDir)
     val live = phys.filter {
       case p if dead(p) => false
       case BaseGenRe(g) => g.toLong <= maxGen
+      case DeltaGenRe(g) => g.toLong <= maxGen
       case _ => true
     }
     val toFold = live.filter {
-      case "base" => true
-      case BaseGenRe(_) => true
+      case "base" => foldBase
+      case BaseGenRe(_) => foldBase
+      case DeltaGenRe(_) => foldBase
       case BatchRe(n) => n.toLong <= upToBatchId
       case _ => false
     }
@@ -144,7 +163,7 @@ object DedupStore {
     // empty store) gains nothing from a rewrite; skip WITHOUT
     // publishing a generation so the cheap no-op stays a no-op.
     if (toFold.size <= 1) return
-    val gen = s"base-g$upToBatchId"
+    val gen = if (foldBase) s"base-g$upToBatchId" else s"delta-g$upToBatchId"
     for (sub <- Seq("docs", "sigs")) {
       spark.read.parquet(s"$storeDir/$sub")
         .filter(col("batch").isin(toFold: _*))

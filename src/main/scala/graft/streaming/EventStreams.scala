@@ -515,7 +515,8 @@ object EventStreams {
       textCol: String = "text", jaccardThreshold: Double = 0.7,
       shingleLen: Int = 3, numPerm: Int = 32, bands: Int = 8,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      minorEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -526,14 +527,21 @@ object EventStreams {
         // Periodic in-stream compaction: every k-th micro-batch folds
         // the COMMITTED prefix (ids < batchId — the current batch is
         // still uncommitted while foreachBatch runs, so it is never
-        // folded and its replay stays idempotent) into one base
-        // partition. Crash anywhere inside = the DedupStore manifest
-        // protocol's crash window, already pinned by StreamingSpec;
-        // the re-fired batch simply re-runs the compaction.
-        compactEvery.foreach { k =>
-          if (batchId > 0 && batchId % k == 0)
-            DedupStore.compact(batch.sparkSession, storeDir, batchId - 1)
-        }
+        // folded and its replay stays idempotent). `compactEvery` is
+        // the MAJOR cadence (full fold into one base — O(store)
+        // rewrite, run it rarely); `minorEvery` the MINOR one
+        // (batches-only fold into a delta — O(new data), the
+        // steady-state cadence at continuous-ingestion scale). When
+        // both fire on the same batch the major wins. Both key off
+        // batchId alone, so a replayed batch re-runs the SAME
+        // compaction (idempotent per the DedupStore manifest
+        // protocol); crash anywhere inside is the protocol's pinned
+        // crash window.
+        val major = compactEvery.exists(k => batchId > 0 && batchId % k == 0)
+        val minor = minorEvery.exists(k => batchId > 0 && batchId % k == 0)
+        if (major || minor)
+          DedupStore.compact(batch.sparkSession, storeDir, batchId - 1,
+            foldBase = major)
       }
       .start()
 

@@ -829,6 +829,62 @@ class StreamingSpec extends SparkSpec {
     assert(parts == Set("base-g3", "b4"), s"layout: $parts")
   }
 
+  test("minor (tiered) compaction: batches fold into deltas O(new data), base untouched; major folds everything; unpublished delta invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_t").toFile
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 5).map { b =>
+      Seq((100L + b, s"novel doc for micro batch $b with words w${b}a w${b}b w${b}c"),
+        (200L + b, "alpha beta gamma delta epsilon zeta eta theta")) // dups base every batch
+    }
+    def drive(name: String, major: Option[Int], minor: Option[Int]): String = {
+      val storeDir = new java.io.File(root, name).getAbsolutePath
+      EventStreams.seedDedupBase(base, "doc_id", "text", storeDir)
+      val s = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingDedupIncrement(
+        s.toDF().toDF("doc_id", "text"), storeDir,
+        new java.io.File(root, s"ckpt_$name").getAbsolutePath,
+        jaccardThreshold = 0.5, compactEvery = major, minorEvery = minor)
+      batches.foreach { b => s.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      storeDir
+    }
+    def docsAndParts(storeDir: String) = {
+      val rows = EventStreams.dedupStoreDocs(spark, storeDir)
+        .select(col("doc_id"), col("batch")).collect()
+      (rows.map(_.getLong(0)).toSet, rows.map(_.getString(1)).toSet)
+    }
+    val want = Set(1L, 100L, 101L, 102L, 103L, 104L)
+
+    // minor-only: batch 2 folds b0,b1 -> delta-g1; batch 4 folds
+    // b2,b3 -> delta-g3. The seed base is never rewritten.
+    val minorStore = drive("minor", None, Some(2))
+    val (minorDocs, minorParts) = docsAndParts(minorStore)
+    assert(minorDocs == want, s"minor diverged: $minorDocs")
+    assert(minorParts == Set("base", "delta-g1", "delta-g3", "b4"),
+      s"tiered layout: $minorParts")
+    // the sigs side folded in lockstep
+    val sigParts = graft.streaming.DedupStore
+      .readLive(spark, minorStore, "sigs")
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    assert(sigParts == minorParts, s"sigs layout diverged: $sigParts")
+
+    // an unpublished delta (crash after data write, before manifest)
+    // is invisible: reads see exactly the published layout
+    spark.read.parquet(s"$minorStore/docs").drop("batch")
+      .write.mode("overwrite").parquet(s"$minorStore/docs/batch=delta-g99")
+    val (crashDocs, crashParts) = docsAndParts(minorStore)
+    assert(crashDocs == want && crashParts == minorParts,
+      s"unpublished delta leaked: $crashParts")
+
+    // minor + major together: minors at 2 (delta-g1), major at 4
+    // folds base + delta-g1 + b2 + b3 -> base-g3
+    val (bothDocs, bothParts) = docsAndParts(drive("both", Some(4), Some(2)))
+    assert(bothDocs == want, s"minor+major diverged: $bothDocs")
+    assert(bothParts == Set("base-g3", "b4"), s"post-major layout: $bothParts")
+  }
+
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
