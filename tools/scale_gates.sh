@@ -21,7 +21,7 @@ gen() { # dir replicas
 }
 
 if [ ! -d "$SF01_OUT/corpus_diff" ]; then
-  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,hybrid_retrieval,text_normalize,weighted_sample \
+  SPARK_GRAFT_ONLY=q17_range_join,q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,containment_hot_audit,hybrid_retrieval,text_normalize,weighted_sample \
     sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $SF01_OUT"
 fi
 
@@ -29,7 +29,7 @@ if [ "$MODE" = "sf1" ]; then
   gen /root/repo/target/scale/sf1 10
   S=target/scale/verify_sf1_r12
   SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,hybrid_retrieval,text_normalize,weighted_sample,bpe_train,bitext_mine,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm,bpe_encode \
+    SPARK_GRAFT_ONLY=q44_salted_join,jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,ann_ivf_batch_topk,ann_lsh_batch_topk,ann_ivf_append,ann_ivf_batch_warm,p6_issue_channel,p6_phenopacket_json,bpe_token_stats,winnow_fingerprint,duplicate_spans,duplicate_spans_sampled,exact_cosine_pairs,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,semdedup,semdedup_planted,p6_workbooks_distributed,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,containment_hot_audit,hybrid_retrieval,text_normalize,weighted_sample,bpe_train,bitext_mine,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm,bpe_encode \
     sbt -batch -mem 40960 "runMain graft.Verify target/scale/sf1 $S"
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -49,7 +49,7 @@ if [ "$MODE" = "sf1" ]; then
     ann_lsh_batch_topk ann_ivf_append ann_ivf_batch_warm \
     p6_workbooks_distributed p6_phenopacket_json semdedup_planted \
     token_budget_pack jl_project corpus_diff diverse_sample media_phash ann_ivfpq_topk ann_ivfpq_warm ann_ivfpq_batch_topk ann_ivfpq_batch_warm \
-    boilerplate_strip bm25_topk hybrid_retrieval text_normalize weighted_sample bpe_train \
+    boilerplate_strip bm25_topk containment_hot_audit hybrid_retrieval text_normalize weighted_sample bpe_train \
     bitext_mine mmr_rerank page_rank pmi_cooccur dsir_sample kn_bigram_lm bpe_encode
   # bitext_mine's all-pairs oracle is quadratic by contract: feasible
   # at sf1 (~22M pairs), excluded at sf10 (~2.2B) — the
@@ -62,7 +62,7 @@ else
   gen /root/repo/target/scale/sf10 100
   S=target/scale/verify_sf10_r12
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE=128 \
-    SPARK_GRAFT_ONLY=jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,duplicate_spans_sampled,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,cdc_chunk_dedup,corpus_funnel,semdedup_planted,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,hybrid_retrieval,text_normalize,weighted_sample,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm \
+    SPARK_GRAFT_ONLY=jl_project,corpus_diff,diverse_sample,media_phash,ann_ivfpq_topk,ann_ivfpq_warm,ann_ivfpq_batch_topk,ann_ivfpq_batch_warm,dedup_corpus,dedup_increment,dedup_increment_warm,minhash_neardup,duplicate_spans,duplicate_spans_sampled,winnow_fingerprint,bpe_token_stats,p6_issue_channel,p6_workbooks_distributed,chunk_dedup,cdc_chunk_dedup,corpus_funnel,semdedup_planted,leakage_safe_split,token_budget_pack,boilerplate_strip,bm25_topk,containment_neardup,containment_hot_audit,hybrid_retrieval,text_normalize,weighted_sample,mmr_rerank,page_rank,pmi_cooccur,dsir_sample,kn_bigram_lm \
     sbt -batch -mem 49152 "runMain graft.Verify target/scale/sf10 $S"
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_corpus
   GRAFT_REPLICAS=100 python3 tools/sf1_invariant.py "$SF01_OUT" "$S" counts10x dedup_increment
@@ -78,6 +78,6 @@ else
     p6_workbooks_distributed p6_issue_channel chunk_dedup cdc_chunk_dedup corpus_funnel \
     bpe_token_stats winnow_fingerprint duplicate_spans duplicate_spans_sampled semdedup_planted \
     token_budget_pack jl_project corpus_diff diverse_sample media_phash ann_ivfpq_topk ann_ivfpq_warm ann_ivfpq_batch_topk ann_ivfpq_batch_warm \
-    boilerplate_strip bm25_topk hybrid_retrieval text_normalize weighted_sample mmr_rerank page_rank pmi_cooccur dsir_sample kn_bigram_lm
+    boilerplate_strip bm25_topk containment_hot_audit hybrid_retrieval text_normalize weighted_sample mmr_rerank page_rank pmi_cooccur dsir_sample kn_bigram_lm
 fi
 echo "ALL $MODE GATES GREEN"
