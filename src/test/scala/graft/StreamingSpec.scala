@@ -885,6 +885,57 @@ class StreamingSpec extends SparkSpec {
     assert(bothParts == Set("base-g3", "b4"), s"post-major layout: $bothParts")
   }
 
+  test("minor compaction across a query restart: later batches resolve against the delta store exactly as the uncompacted twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_tr").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val twin = new java.io.File(root, "twin").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 5).map { b =>
+      Seq((100L + b, s"novel doc for micro batch $b with words w${b}a w${b}b w${b}c"),
+        // dups batch 0's survivor: must die against the DELTA (not the
+        // seed base) after the restart
+        (300L + b, "novel doc for micro batch 0 with words w0a w0b w0c"))
+    }
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    // one MemoryStream across both query incarnations (the restarted
+    // query replays committed offsets from the same source)
+    val s = MemoryStream[(Long, String)]
+    def start() = EventStreams.streamingDedupIncrement(
+      s.toDF().toDF("doc_id", "text"), store, ckpt,
+      jaccardThreshold = 0.5, minorEvery = Some(2))
+    val q1 = start()
+    batches.take(3).foreach { b => s.addData(b: _*); q1.processAllAvailable() }
+    q1.stop() // stop AFTER batch 2 fired the minor fold (delta-g1)
+    val q2 = start()
+    batches.drop(3).foreach { b => s.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+
+    EventStreams.seedDedupBase(base, "doc_id", "text", twin)
+    val sTwin = MemoryStream[(Long, String)]
+    val qTwin = EventStreams.streamingDedupIncrement(
+      sTwin.toDF().toDF("doc_id", "text"), twin,
+      new java.io.File(root, "ckpt_twin").getAbsolutePath,
+      jaccardThreshold = 0.5)
+    batches.foreach { b => sTwin.addData(b: _*); qTwin.processAllAvailable() }
+    qTwin.stop()
+
+    val got = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = EventStreams.dedupStoreDocs(spark, twin)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"restarted tiered store diverged: $got != $want")
+    // 300 dies to min-id 100 inside batch 0; every later 300+b dies
+    // against stored 100 — post-restart batches via the delta
+    assert(got == Set(1L, 100L, 101L, 102L, 103L, 104L), s"survivors: $got")
+    val parts = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    assert(parts == Set("base", "delta-g1", "delta-g3", "b4"),
+      s"layout after restart: $parts")
+  }
+
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
