@@ -476,29 +476,40 @@ class DedupSpec extends SparkSpec {
       Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")).collect().head
     assert(bad.codec == "pseudo" && bad.phash_hi == -1L && bad.phash_lo == -1L)
     // 16-bit raster: raw samples up to 65535 would break the
-    // cross-multiplied integer-exactness bound — the kernel clamps to
-    // 255, so the hash equals the clamped closed form (here: a left
-    // half at 65535 and a right half at 100 both clamp vs the clamped
-    // global mean) instead of silently overflowing
-    val img16 = new java.awt.image.BufferedImage(
-      16, 16, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
-    for (y <- 0 until 16; x <- 0 until 16)
-      img16.getRaster.setSample(x, y, 0, if (x < 8) 65535 else 100)
-    val png16 = {
+    // cross-multiplied integer-exactness bound. The kernel DOWNSCALES
+    // by bit depth (sample >> 8 for 16-bit) rather than clamping at
+    // 255 — a clamp saturates typical bright 16-bit content to a
+    // uniform raster, so unrelated bright images would all hash to
+    // the same degenerate value. This image discriminates the two:
+    // halves at 60000/40000 shift to 234/156 (bit set iff cell column
+    // < 4 vs the 195 mean), while a clamp would flatten both halves
+    // to 255 and emit the all-zero hash.
+    def png16(left: Int, right: Int): Array[Byte] = {
+      val img16 = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img16.getRaster.setSample(x, y, 0, if (x < 8) left else right)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img16, "png", bos)
       bos.toByteArray
     }
     val h16 = Multimodal.perceptualHash(
-      Seq((9L, png16)).toDF("doc_id", "media")).collect().head
+      Seq((9L, png16(60000, 40000))).toDF("doc_id", "media")).collect().head
     assert(h16.codec == "imageio")
-    // clamped: left cells mean 255 > global mean (255+100)/2, right
-    // cells 100 below it -> bit c set iff cell column < 4
     var expHi = 0L; var expLo = 0L
     for (c <- 0 until 64 if c % 8 < 4)
       if (c < 32) expLo |= 1L << c else expHi |= 1L << (c - 32)
     assert(h16.phash_hi == expHi && h16.phash_lo == expLo,
-      s"16-bit clamp hash: (${h16.phash_hi},${h16.phash_lo}) want ($expHi,$expLo)")
+      s"16-bit shift hash: (${h16.phash_hi},${h16.phash_lo}) want ($expHi,$expLo)")
+    assert(!(h16.phash_hi == 0L && h16.phash_lo == 0L),
+      "degenerate all-zero hash: 16-bit raster was clamped, not downscaled")
+    // and two unrelated bright 16-bit images keep DISTINCT hashes
+    // (under clamping both would saturate to the same uniform raster)
+    val pair = Multimodal.perceptualHash(
+      Seq((10L, png16(60000, 40000)), (11L, png16(40000, 60000)))
+        .toDF("doc_id", "media"))
+      .collect().map(p => (p.phash_hi, p.phash_lo)).toSet
+    assert(pair.size == 2, s"bright 16-bit images collided: $pair")
   }
 
   test("real WAV decode: javax.sound recovers closed-form format and mean amplitude") {
