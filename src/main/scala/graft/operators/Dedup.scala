@@ -718,6 +718,14 @@ object Dedup {
     * nonzero: the consumer's signal that hot postings fired and the
     * pair set is star-linked above the df cap, without paying an
     * extra job for [[hotPostingReport]] on every healthy run.
+    *
+    * The metric counts the branch's PRE-dedup rows (one per member
+    * doc x hot shingle x orientation — an upper bound on distinct
+    * star pairs, exact when each hot member carries one hot shingle).
+    * observe() cannot host a DISTINCT aggregate and deduplicating the
+    * branch first would re-add an exchange to a deliberately map-only
+    * path, so the signal stays zero/nonzero + magnitude;
+    * [[hotPostingReport]] is the exact per-shingle audit.
     */
   private def observeStarPairs(stars: DataFrame): DataFrame = {
     val session = stars.sparkSession
@@ -731,8 +739,9 @@ object Dedup {
             qe.observedMetrics.foreach { case (name, row) =>
               if (name.startsWith("containment_hot_") && row.getLong(0) > 0L)
                 log.warn(s"containmentPairs: hot-posting star tier emitted " +
-                  s"${row.getLong(0)} pairs ($name) — output is star-linked, " +
-                  "not complete, above the posting cap; run hotPostingReport " +
+                  s"${row.getLong(0)} candidate rows ($name; pre-dedup upper " +
+                  "bound on star pairs) — output is star-linked, not " +
+                  "complete, above the posting cap; run hotPostingReport " +
                   "for the per-shingle audit")
             }
           override def onFailure(funcName: String,
@@ -741,7 +750,7 @@ object Dedup {
         })
     }
     stars.observe(s"containment_hot_${starObservationId.incrementAndGet()}",
-      count(lit(1)).as("star_pairs"))
+      count(lit(1)).as("star_rows"))
   }
 
   /** Shingles whose posting list exceeds `maxPosting` and the number

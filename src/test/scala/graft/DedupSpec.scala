@@ -713,5 +713,22 @@ class DedupSpec extends SparkSpec {
     // organic containment found via the cold prefix path: 9001 ⊆ 9002
     assert(pairs.contains((9001L, 9002L)))
     assert(!pairs.contains((9002L, 9001L))) // asymmetric: 9002 not ⊆ 9001
+
+    // the degradation is SURFACED, not silent: the star branch rides
+    // an observe() metric (CollectMetrics in the plan) whose executed
+    // value is the branch's pre-dedup row count — the zero/nonzero
+    // signal the session listener WARN-logs. Closed form here: 19
+    // members x 18 hot shingles x 2 orientations.
+    val df = Dedup.containmentPairs(corpus, "doc_id", "text", maxPosting = 8)
+    assert(df.queryExecution.optimizedPlan.toString.contains("CollectMetrics"),
+      "star-tier observe metric is gone from the plan")
+    df.collect() // executes THIS dataset's QueryExecution (a writer
+    // would spawn a fresh one and leave these metrics unpopulated)
+    val observed = df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("containment_hot") =>
+        row.getAs[Long]("star_rows")
+    }
+    assert(observed == Seq(19L * 18L * 2L),
+      s"observed star-row metric: $observed, want ${Seq(684L)}")
   }
 }
