@@ -686,6 +686,38 @@ class DedupSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("containmentPairs property: lossless vs brute force on random small-vocab corpora (boundary lengths included)") {
+    // Random corpora from a 12-token vocabulary force heavy shingle
+    // sharing and hit the integer length-filter boundary (n%5==0)
+    // cases the fixed-corpus pin cannot enumerate. Cap stays dormant
+    // (default 1024 >> 25 docs), so the contract is exact equality.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Array("ka", "ko", "ku", "ma", "mo", "mu",
+        "na", "no", "nu", "ra", "ro", "ru")
+      val docs = (1L to 25L).map { id =>
+        val n = 5 + rnd.nextInt(11) // 5..15 tokens -> 3..13 shingles
+        (id, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = Dedup.containmentShingles(docs, "doc_id", "text")
+      val brute = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+        .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("shb")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          graft.functions.VectorExpressions.sorted_intersect_size(
+            col("sha"), col("shb")).cast("long").as("inter"),
+          size(col("sha")).cast("long").as("na"))
+        .filter(col("inter") / col("na") >= 0.8)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.containmentPairs(docs, "doc_id", "text")
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"seed $seed diverged: " +
+        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
   test("containmentPairs: hot postings degrade to star pairs; cold pairs unaffected") {
     val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
     val hot = spark.range(20).select(col("id").as("doc_id"), lit(boiler).as("text"))
