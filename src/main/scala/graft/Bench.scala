@@ -19,9 +19,100 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // OBSERVED METRICS → artifact (r14 VERDICT #3): entries that carry
+    // an `observe` (the containment star tier's `star_rows` degradation
+    // signal) used to surface only as a WARN log; record every observed
+    // metric per entry so a degraded corpus in a driver run leaves a
+    // trace in bench_full.json. Dispatch is async on the listener bus,
+    // so the drain below flushes it before attributing.
+    val observedBuf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, Seq[(String, Any)])]()
+    val currentEntry = new java.util.concurrent.atomic.AtomicReference("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            observedBuf.add((currentEntry.get(), name,
+              row.schema.fieldNames.toSeq.zip(row.toSeq)))
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    // entry -> metric -> columns (metric names deduped of their
+    // per-call uniquifier suffix so keys are stable across rounds)
+    val observed = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Seq[(String, Any)]]]
+    def drainObserved(): Unit = {
+      org.apache.spark.sql.graft.ListenerFlush.flush(spark)
+      var e = observedBuf.poll()
+      while (e != null) {
+        val (entry, metric, cols) = e
+        if (entry.nonEmpty)
+          observed.getOrElseUpdate(entry,
+              scala.collection.mutable.LinkedHashMap.empty)
+            .update(metric.replaceAll("_\\d+$", ""), cols)
+        e = observedBuf.poll()
+      }
+    }
     // Warm up the session (codegen compiler, parquet footer reads, JIT)
     // so the first measured query doesn't absorb one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // UNRECORDED codegen warm-up (r14 VERDICT #1): the unseeded
+    // alphabetical driver marathon lands first-use Janino/JIT cost on
+    // whichever entries run at the head (r14: bm25_topk 1.97x its
+    // seeded-board median, ann_ivf_append 1.65x) — one box wobble from
+    // a false 2x driver-inflation alarm on a healthy plan. The probe
+    // above and the head entry only touch range+sum and that entry's
+    // own classes; this pass exercises the dominant codegen shapes the
+    // head of the registry actually hits — window top-k, hash-agg,
+    // sort-merge / shuffle-hash / broadcast joins, TakeOrdered, the
+    // text kernels (tokenize→shingle→minhash), and the vector kernels
+    // (cosine, sign-project) — over generated data, so it is
+    // input-independent and costs ~2 s once instead of inflating the
+    // first N measured entries.
+    locally {
+      import org.apache.spark.sql.functions._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val a = spark.range(0L, 400000L, 1L, 8)
+        .selectExpr("id % 5000 AS k", "id AS v", "cast(id % 97 AS double) AS d")
+      val b = spark.range(0L, 200000L, 1L, 8)
+        .selectExpr("id % 5000 AS k", "id AS w")
+      // hash-agg + window rank + TakeOrderedAndProject
+      noop(a.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k") % 16).orderBy(col("s").desc)))
+        .filter(col("r") <= 3).orderBy(col("s").desc).limit(20))
+      // the three join strategies the registry pins
+      noop(a.hint("merge").join(b, "k").groupBy("k").count())
+      noop(a.hint("shuffle_hash").join(b, "k").groupBy("k").count())
+      noop(a.join(broadcast(b.limit(200)), "k"))
+      // text kernels: tokenize → explode → agg (bm25 shape) and the
+      // native shingle/minhash expressions (dedup family)
+      val docs = spark.range(0L, 4000L, 1L, 8).selectExpr("id AS doc_id",
+        "concat('spark join window hash w', id % 97, ' w', id % 31, ' filler common tokens') AS text")
+      noop(docs
+        .select(col("doc_id"), explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc).limit(10))
+      noop(graft.operators.Dedup
+        .minhashSignaturesFast(docs, "doc_id", "text", 3, 16))
+      // vector kernels: cosine + sign-project over generated embeddings
+      val emb = spark.range(0L, 4000L, 1L, 8).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => (col("id") % 13 + i).cast("double")).as("v"))
+      noop(emb.crossJoin(broadcast(emb.limit(1).select(col("v").as("qv"))))
+        .select(col("vec_id"),
+          round(graft.operators.Similarity.cosine(col("v"), col("qv")), 4).as("sim"),
+          graft.functions.VectorExpressions.sign_project(col("v"), 6, 4).as("h"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // The noop sink consumes EVERY column of EVERY row: unlike count(),
     // which lets the optimizer prune final projections and sorts, this
     // times the plan users actually run. SPARK_GRAFT_BENCH_MODE:
@@ -32,6 +123,7 @@ object Bench {
     //            point where data work dwarfs compilation
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
     def run(name: String): Unit = {
+      currentEntry.set(name)
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (mode == "count") { df.count(); () }
       else df.write.format("noop").mode("overwrite").save()
@@ -98,16 +190,51 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = timed()
-      name -> (if (mode == "steady" && !errors.contains(name)) timed() else first)
+      val t = if (mode == "steady" && !errors.contains(name)) timed() else first
+      drainObserved()
+      name -> t
     }
     val calPost = calibration()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Observed metrics, full and nonzero-only views. Values are the
+    // Row's natural types — numbers print raw, anything else quoted.
+    def jv(v: Any): String = v match {
+      case n: Long => n.toString
+      case n: Int => n.toString
+      case n: Double => n.toString // Double.toString is locale-independent
+      case other => "\"" + String.valueOf(other).replaceAll("[\"\\\\]", " ") + "\""
+    }
+    def obsJson(m: scala.collection.Map[String,
+        scala.collection.mutable.LinkedHashMap[String, Seq[(String, Any)]]]): String =
+      m.map { case (entry, metrics) =>
+        "\"" + entry + "\":" + metrics.map { case (metric, cols) =>
+          "\"" + metric + "\":" + cols.map { case (c, v) => "\"" + c + "\":" + jv(v) }
+            .mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val obsFull = obsJson(observed)
+    def nonzero(v: Any): Boolean = v match {
+      case n: Long => n != 0L
+      case n: Int => n != 0
+      case n: Double => n != 0.0
+      case _ => true
+    }
+    // The degradation alarms alone (e.g. star_rows > 0): small enough
+    // for the tail-captured compact line, so a degraded corpus in a
+    // driver run is visible even if only the last 2000 chars survive.
+    val obsAlarms = obsJson(observed.collect {
+      case (entry, metrics) =>
+        entry -> metrics.collect {
+          case (metric, cols) if cols.exists { case (_, v) => nonzero(v) } =>
+            metric -> cols
+        }
+    }.filter(_._2.nonEmpty))
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"post":$calPost},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"post":$calPost},"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
     println(json)
     // The driver artifact keeps only the LAST 2000 CHARS of sbt stdout
     // (measured from BENCH_r13.json's "tail"), and the registry's query
@@ -120,10 +247,13 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () } // best-effort: never fail the bench
-    def r3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would print
+    // `0,919` and break the compact line's JSON parse downstream.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"slowest":$slowest,"errors":$errs,"queries_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"slowest":$slowest,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Entries that persist corpus-sized intermediates (containment's
+      // shingle table, fixpoint pins) delegate unpersist to the caller;
+      // in this ~150-entry marathon (and the sf1/sf10 scale gates that
+      // run through Verify) leaving them cached distorts memory for
+      // every later entry. Same sweep Bench does after each entry.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,10 +77,11 @@ object DedupStore {
     (g, lines.drop(1).map(_.trim).filter(_.nonEmpty).toSet)
   }
 
-  /** Partition names physically present under `storeDir/docs`. */
-  private def physicalParts(spark: SparkSession, storeDir: String): Seq[String] = {
+  /** Partition names physically present under `storeDir/<sub>`. */
+  private def physicalParts(spark: SparkSession, storeDir: String,
+      sub: String = "docs"): Seq[String] = {
     val f = fs(spark, storeDir)
-    val docs = new Path(s"$storeDir/docs")
+    val docs = new Path(s"$storeDir/$sub")
     if (!f.exists(docs)) Seq.empty
     else f.listStatus(docs).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
@@ -164,6 +165,22 @@ object DedupStore {
     // publishing a generation so the cheap no-op stays a no-op.
     if (toFold.size <= 1) return
     val gen = if (foldBase) s"base-g$upToBatchId" else s"delta-g$upToBatchId"
+    // ORPHAN SWEEP: a compaction that crashed after writing its data
+    // dir but before publishing left an UNPUBLISHED `base-g<k>` /
+    // `delta-g<k>` with k > maxGen. Today it is invisible (g > maxGen)
+    // — but the manifest THIS call is about to publish raises maxGen,
+    // and any orphan with k <= upToBatchId would flip to LIVE and
+    // duplicate every doc it holds (or expose a partial write). Such
+    // dirs are unpublished by definition, so tombstoning + deleting
+    // them is always safe. `gen` itself is excluded: that is the dir
+    // we are (re)writing.
+    val orphans = (physicalParts(spark, storeDir, "docs") ++
+        physicalParts(spark, storeDir, "sigs")).distinct.filter {
+      case p if p == gen => false
+      case BaseGenRe(g) => g.toLong > maxGen
+      case DeltaGenRe(g) => g.toLong > maxGen
+      case _ => false
+    }
     for (sub <- Seq("docs", "sigs")) {
       spark.read.parquet(s"$storeDir/$sub")
         .filter(col("batch").isin(toFold: _*))
@@ -172,12 +189,20 @@ object DedupStore {
     }
     // Publish: the manifest names the consumed partitions (previous
     // tombstones ride along so a single read of the latest manifest
-    // suffices), via tmp + rename.
+    // suffices), via tmp + rename. Ride-along tombstones are PRUNED to
+    // names still physically present on either side: a fully swept dir
+    // is invisible without a tombstone, and keeping its name forever
+    // (a) grows the set without bound and (b) silently blanks a future
+    // `batch=bN` written by a fresh-checkpoint restart that reuses the
+    // id (see the guard in EventStreams.dedupIncrementBatch).
     val f = fs(spark, storeDir)
+    val present = (physicalParts(spark, storeDir, "docs") ++
+      physicalParts(spark, storeDir, "sigs")).toSet
+    val tombstones = (dead.filter(present) ++ toFold ++ orphans).toSeq.sorted
     val tmp = new Path(storeDir, s".manifest-g$upToBatchId.tmp")
     val dst = new Path(storeDir, s"manifest-g$upToBatchId.txt")
     val out = f.create(tmp, true)
-    try out.write((upToBatchId.toString +: (dead ++ toFold).toSeq.sorted)
+    try out.write((upToBatchId.toString +: tombstones)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, dst)) {
@@ -186,7 +211,7 @@ object DedupStore {
       f.delete(tmp, false); ()
     }
     // Sweep (best-effort: tombstoned dirs are invisible regardless)
-    for (sub <- Seq("docs", "sigs"); p <- toFold)
+    for (sub <- Seq("docs", "sigs"); p <- toFold ++ orphans)
       try { f.delete(new Path(s"$storeDir/$sub/batch=$p"), true); () }
       catch { case _: java.io.IOException => () }
   }

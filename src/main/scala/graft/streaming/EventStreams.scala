@@ -465,6 +465,18 @@ object EventStreams {
       bands: Int, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
     val part = s"b$batchId"
+    // A FRESH checkpoint on an EXISTING compacted store restarts batch
+    // ids at 0 — and the old manifest may have tombstoned those names
+    // when it folded them, which would make this batch's output
+    // silently invisible to every reader (data loss, no error). Refuse
+    // loudly instead: the operator cannot tell new-b0 from replayed-b0,
+    // only the caller can (new storeDir, or keep the checkpoint).
+    val (_, dead) = DedupStore.manifest(spark, storeDir)
+    require(!dead(part),
+      s"batch partition '$part' is tombstoned in $storeDir's manifest: " +
+        "this stream is writing batch ids the store already compacted " +
+        "away (fresh checkpoint over an existing store?). Use a new " +
+        "storeDir or restart from the original checkpoint.")
     val baseDocs = DedupStore.readLive(spark, storeDir, "docs")
       .filter(col("batch") =!= part)
       .select(col(idCol), col(textCol))

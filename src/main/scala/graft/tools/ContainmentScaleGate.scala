@@ -73,7 +73,7 @@ object ContainmentScaleGate {
       rep.forall(_.getAs[Long]("df") == blockSize.toLong)
     val skipped = rep.map(_.getAs[Long]("skipped_pairs")).sum
 
-    println(s"""{"gate":"containment_sf10_boiler","sf":"$sfDir","organic_docs":${maxId + 1},"block":$blockSize,"organic_pairs":${organic.size},"block_pairs":${blockPairs.size},"expected_star":${expectedStar.size},"star_exact":$starExact,"organic_untouched":$organicUntouched,"cross_pairs":$crossPairs,"hot_shingles":${rep.length},"hot_shingles_ok":$hotShinglesOk,"skipped_pairs":$skipped,"organic_sec":${f"$tOrganic%.1f"},"attacked_sec":${f"$tAttacked%.1f"}}""")
+    println(s"""{"gate":"containment_sf10_boiler","sf":"$sfDir","organic_docs":${maxId + 1},"block":$blockSize,"organic_pairs":${organic.size},"block_pairs":${blockPairs.size},"expected_star":${expectedStar.size},"star_exact":$starExact,"organic_untouched":$organicUntouched,"cross_pairs":$crossPairs,"hot_shingles":${rep.length},"hot_shingles_ok":$hotShinglesOk,"skipped_pairs":$skipped,"organic_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(tOrganic))},"attacked_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(tAttacked))}}""")
     require(starExact, s"planted block did not star-degrade exactly: " +
       s"${blockPairs.size} pairs vs ${expectedStar.size} expected")
     require(organicUntouched, "defense perturbed the organic pair set")

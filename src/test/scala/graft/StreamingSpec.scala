@@ -885,6 +885,77 @@ class StreamingSpec extends SparkSpec {
     assert(bothParts == Set("base-g3", "b4"), s"post-major layout: $bothParts")
   }
 
+  test("compaction sweeps unpublished orphan generations: a crashed fold's base-g/delta-g never flips live when a later manifest publishes") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_o").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    def inc(id: Long, b: Long): Unit = EventStreams.dedupIncrementBatch(
+      Seq((id, s"novel doc for micro batch $b with words w${b}a w${b}b w${b}c"))
+        .toDF("doc_id", "text"),
+      b, store, "doc_id", "text", 0.5, 3, 32, 8,
+      graft.operators.Dedup.DefaultMaxBucket)
+    (0L to 2L).foreach(b => inc(100L + b, b))
+    // crashed minor fold at watermark 1: delta-g1 data (docs AND sigs)
+    // exists, manifest-g1 was never published — today it is invisible
+    // (g > maxGen). The r14 ADVICE hole: a LATER publish with
+    // maxGen >= 1 used to flip it LIVE and duplicate every doc in it.
+    for (sub <- Seq("docs", "sigs"))
+      spark.read.parquet(s"$store/$sub")
+        .filter(col("batch").isin("b0", "b1")).drop("batch")
+        .write.mode("overwrite").parquet(s"$store/$sub/batch=delta-g1")
+    graft.streaming.DedupStore.compact(spark, store, 2, foldBase = false)
+    val rows = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id"), col("batch")).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.sorted == ids.distinct.sorted && ids.toSet ==
+        Set(1L, 100L, 101L, 102L),
+      s"orphan generation leaked duplicates: ${rows.toSeq}")
+    assert(rows.map(_.getString(1)).toSet == Set("base", "delta-g2"),
+      s"layout after orphan sweep: ${rows.map(_.getString(1)).toSet}")
+    // swept physically too, on both sides
+    for (sub <- Seq("docs", "sigs"))
+      assert(!new java.io.File(s"$store/$sub/batch=delta-g1").exists(),
+        s"orphan $sub/batch=delta-g1 not swept")
+  }
+
+  test("fresh checkpoint over a compacted store fails loudly instead of writing tombstone-blanked batches; pruning then frees the names") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_f").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    EventStreams.seedDedupBase(base, "doc_id", "text", store)
+    def inc(id: Long, b: Long): Unit = EventStreams.dedupIncrementBatch(
+      Seq((id, s"novel doc number $id with words w${id}a w${id}b w${id}c"))
+        .toDF("doc_id", "text"),
+      b, store, "doc_id", "text", 0.5, 3, 32, 8,
+      graft.operators.Dedup.DefaultMaxBucket)
+    (0L to 1L).foreach(b => inc(100L + b, b))
+    graft.streaming.DedupStore.compact(spark, store, 1) // tombstones base,b0,b1
+    val (g1, dead1) = graft.streaming.DedupStore.manifest(spark, store)
+    assert(g1 == 1L && dead1 == Set("base", "b0", "b1"), s"manifest: $g1 $dead1")
+    // the silent-data-loss path (fresh checkpoint restarts ids at 0):
+    // the write must refuse, not produce an invisible partition
+    val e = intercept[IllegalArgumentException] { inc(999L, 0L) }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // tombstones are pruned to physically-present names at the next
+    // publish: base/b0/b1 were fully swept, so manifest-g3 drops them
+    (2L to 3L).foreach(b => inc(100L + b, b))
+    graft.streaming.DedupStore.compact(spark, store, 3, foldBase = false)
+    val (g3, dead3) = graft.streaming.DedupStore.manifest(spark, store)
+    assert(g3 == 3L && dead3 == Set("b2", "b3"),
+      s"stale tombstones not pruned: $dead3")
+    // with the name freed, a fresh stream's b0 is writable and LIVE
+    inc(500L, 0L)
+    val ids = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 100L, 101L, 102L, 103L, 500L),
+      s"post-pruning write invisible: $ids")
+  }
+
   test("minor compaction across a query restart: later batches resolve against the delta store exactly as the uncompacted twin") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_tr").toFile

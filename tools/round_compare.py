@@ -17,13 +17,13 @@ across the runs.
 Usage:
   round_compare.py OLD.json[,OLD2...] NEW.json[,NEW2...]
   round_compare.py NEW.json[,NEW2...]
-      OLD defaults to the ROUND-13 DEFINITIVE COLD BOARD
-      (bench_r13_cold{1..4}.json — the 2x-contract reference since
-      r13; BASELINE.md "Round-13 definitive baseline"). Round-2
-      numbers are history only.
+      OLD defaults to the ROUND-14B DEFINITIVE COLD BOARD
+      (bench_r14b_cold{1..4}.json — the first 147-entry board, on
+      final r14 code; BASELINE.md declares it the like-for-like base
+      from round 15 on). The r13 board stays on disk as history.
   round_compare.py --driver DRIVER.json [BOARD.json,...]
       Driver-vs-board outlier audit: per-entry driver/board ratios
-      against the seeded board (default: the r13 cold board), sorted
+      against the seeded board (default: the r14b cold board), sorted
       worst-first, EXIT 1 if any entry exceeds 2x — so a
       driver-context inflation like r12/r13's containment_neardup is
       instrument-caught, not judge-caught. DRIVER.json may be a
@@ -33,9 +33,9 @@ Usage:
 """
 import sys, json, os, re, statistics
 
-R13_BOARD = ",".join(
+DEFAULT_BOARD = ",".join(
     os.path.join(os.path.dirname(__file__) or ".", "..",
-                 f"bench_r13_cold{i}.json") for i in range(1, 5))
+                 f"bench_r14b_cold{i}.json") for i in range(1, 5))
 
 
 def parse_run(path):
@@ -51,8 +51,12 @@ def parse_run(path):
         p = d["parsed"]
         return p.get("queries", p.get("slowest", {})), p.get("calibration")
     if "tail" in d:
+        # Require a `,` or `}` after the number: a pair sitting exactly
+        # on the 2000-char cut boundary can be digit-truncated
+        # (`"q1":3.7` from 3.75) and would otherwise parse as a
+        # valid-looking float, silently skewing that entry's ratio.
         qs = {m.group(1): float(m.group(2)) for m in re.finditer(
-            r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])}
+            r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)(?=[,}])', d["tail"])}
         qs.pop("pre", None); qs.pop("post", None)
         for k in ("value", "sf"): qs.pop(k, None)
         return qs, None
@@ -105,12 +109,17 @@ def driver_audit(driver_path, board_paths):
 
 args = sys.argv[1:]
 if args and args[0] == "--driver":
-    driver_audit(args[1], args[2] if len(args) > 2 else R13_BOARD)
+    if len(args) < 2:
+        sys.exit("usage: round_compare.py --driver DRIVER.json [BOARD.json,...]")
+    driver_audit(args[1], args[2] if len(args) > 2 else DEFAULT_BOARD)
     sys.exit(0)
 
+if not args:
+    sys.exit(__doc__.strip())
+
 if len(args) == 1:
-    old_paths, new_paths = R13_BOARD, args[0]
-    print("old side defaulted to the r13 definitive cold board")
+    old_paths, new_paths = DEFAULT_BOARD, args[0]
+    print("old side defaulted to the r14b definitive cold board")
 else:
     old_paths, new_paths = args[0], args[1]
 
