@@ -727,7 +727,7 @@ object Dedup {
     * path, so the signal stays zero/nonzero + magnitude;
     * [[hotPostingReport]] is the exact per-shingle audit.
     */
-  private def observeStarPairs(stars: DataFrame): DataFrame = {
+  private[graft] def observeStarPairs(stars: DataFrame): DataFrame = {
     val session = stars.sparkSession
     if (starListenerSessions.put(session, java.lang.Boolean.TRUE) == null) {
       session.listenerManager.register(
@@ -752,6 +752,30 @@ object Dedup {
     stars.observe(s"containment_hot_${starObservationId.incrementAndGet()}",
       count(lit(1)).as("star_rows"))
   }
+
+  /** The floor(|sh|/5)+1-shingle PREFIX rows (a, nsha, g) for each doc
+    * in `sh`, rarest-first by the supplied (g, df) snapshot — the
+    * index side of [[containmentPairs]]'s PPJoin filter, factored out
+    * so the STREAMING shape can persist it: by the pigeonhole argument
+    * in [[containmentPairs]]'s scaladoc, ANY floor(n/5)+1-subset of
+    * a's shingles is lossless for the C >= 0.8 filter, so a prefix
+    * ranked against an OLDER df snapshot stays complete as the corpus
+    * grows — df-rarest ranking only minimizes join fan-out, never
+    * correctness. Shingles absent from the snapshot rank as df=0
+    * (rarest), which is exact for a snapshot covering the whole corpus
+    * at build time.
+    */
+  private[graft] def containmentPrefixRows(sh: DataFrame,
+      dfByG: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      .join(dfByG.select(col("g"), col("df")).hint("shuffle_hash"),
+        Seq("g"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(coalesce(col("df"), lit(0L)), col("g"))))
+      .filter(col("rk") <= floor(col("nsh") / 5) + 1)
+      .select(col("doc_id").as("a"), col("nsh").as("nsha"), col("g"))
 
   /** Shingles whose posting list exceeds `maxPosting` and the number
     * of ordered candidate pairs the star degradation skipped for each

@@ -1339,7 +1339,15 @@ object Queries {
       // racing JVM's loser build is discarded, readers never see a
       // half-written store
       WarmStore.publish(sigDir) { tmp =>
+        // Write shuffle-partitions-many files, not upstream's (often 1
+        // at sf0.1 — a 680K single file): a one-file store reads back
+        // as ONE partition, so every later batch's base-side band
+        // explode (8x rows, pre-shuffle) runs on a single task — at
+        // sf10 that is ~43M rows through one thread. File-read binning
+        // (maxPartitionBytes/openCost) re-coalesces small files, so
+        // small SFs lose nothing; the build is one-time by contract.
         Dedup.minhashSignaturesFast(base, "doc_id", "text")
+          .repartition(s.sessionState.conf.numShufflePartitions)
           .write.mode("overwrite").parquet(tmp.toString)
       }
     WarmStore.markSource(sigDir, dir)

@@ -143,7 +143,8 @@ object DedupStore {
     * gating and crash windows are identical.
     */
   def compact(spark: SparkSession, storeDir: String, upToBatchId: Long,
-      foldBase: Boolean = true): Unit = {
+      foldBase: Boolean = true,
+      subs: Seq[String] = Seq("docs", "sigs")): Unit = {
     val (maxGen, dead) = manifest(spark, storeDir)
     if (upToBatchId <= maxGen) return
     val phys = physicalParts(spark, storeDir)
@@ -174,18 +175,21 @@ object DedupStore {
     // dirs are unpublished by definition, so tombstoning + deleting
     // them is always safe. `gen` itself is excluded: that is the dir
     // we are (re)writing.
-    val orphans = (physicalParts(spark, storeDir, "docs") ++
-        physicalParts(spark, storeDir, "sigs")).distinct.filter {
+    val orphans = subs.flatMap(physicalParts(spark, storeDir, _)).distinct.filter {
       case p if p == gen => false
       case BaseGenRe(g) => g.toLong > maxGen
       case DeltaGenRe(g) => g.toLong > maxGen
       case _ => false
     }
-    for (sub <- Seq("docs", "sigs")) {
-      spark.read.parquet(s"$storeDir/$sub")
-        .filter(col("batch").isin(toFold: _*))
-        .drop("batch")
-        .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$gen")
+    for (sub <- subs) {
+      // a sub may lack some partitions (e.g. a pairs log with no seed
+      // entry): fold whatever of toFold exists there
+      val f0 = fs(spark, storeDir)
+      if (f0.exists(new Path(s"$storeDir/$sub")))
+        spark.read.parquet(s"$storeDir/$sub")
+          .filter(col("batch").isin(toFold: _*))
+          .drop("batch")
+          .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$gen")
     }
     // Publish: the manifest names the consumed partitions (previous
     // tombstones ride along so a single read of the latest manifest
@@ -196,8 +200,7 @@ object DedupStore {
     // `batch=bN` written by a fresh-checkpoint restart that reuses the
     // id (see the guard in EventStreams.dedupIncrementBatch).
     val f = fs(spark, storeDir)
-    val present = (physicalParts(spark, storeDir, "docs") ++
-      physicalParts(spark, storeDir, "sigs")).toSet
+    val present = subs.flatMap(physicalParts(spark, storeDir, _)).toSet
     val tombstones = (dead.filter(present) ++ toFold ++ orphans).toSeq.sorted
     val tmp = new Path(storeDir, s".manifest-g$upToBatchId.tmp")
     val dst = new Path(storeDir, s"manifest-g$upToBatchId.txt")
@@ -211,7 +214,7 @@ object DedupStore {
       f.delete(tmp, false); ()
     }
     // Sweep (best-effort: tombstoned dirs are invisible regardless)
-    for (sub <- Seq("docs", "sigs"); p <- toFold ++ orphans)
+    for (sub <- subs; p <- toFold ++ orphans)
       try { f.delete(new Path(s"$storeDir/$sub/batch=$p"), true); () }
       catch { case _: java.io.IOException => () }
   }

@@ -557,6 +557,189 @@ object EventStreams {
       }
       .start()
 
+  /** Seed the persisted incremental-CONTAINMENT store: the base
+    * corpus's sorted shingle sets land under `docs/batch=base`, its
+    * PPJoin prefix rows (the floor(n/5)+1 rarest shingles per doc —
+    * lossless for ANY subset choice, see
+    * [[graft.operators.Dedup.containmentPrefixRows]]) under
+    * `prefix/batch=base`, and (unless `minePairs = false`) the base
+    * corpus's own containment pairs — mined once with the batch
+    * operator — under `pairs/batch=base`. The persisted prefix is
+    * what makes increments cheap: each micro-batch joins the STORED
+    * index rows against its own postings instead of re-ranking every
+    * store doc's shingles per batch.
+    */
+  def seedContainmentBase(base: DataFrame, idCol: String, textCol: String,
+      storeDir: String, shingleLen: Int = 3, minShingles: Int = 5,
+      maxPosting: Int = graft.operators.Dedup.DefaultMaxPosting,
+      minePairs: Boolean = true): Unit = {
+    import graft.operators.Dedup
+    val sh = Dedup.containmentShingles(base, idCol, textCol,
+        shingleLen, minShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=base")
+      val dfByG = sh.select(explode(col("sh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      Dedup.containmentPrefixRows(sh, dfByG)
+        .write.mode("overwrite").parquet(s"$storeDir/prefix/batch=base")
+      if (minePairs)
+        Dedup.containmentPairs(base, idCol, textCol, shingleLen,
+            minShingles, maxPosting)
+          .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=base")
+    } finally { sh.unpersist(false); () }
+  }
+
+  /** All containment pairs mined so far: the live `pairs` log (seed
+    * batch + one partition per micro-batch). On an organic corpus the
+    * union over batches equals the batch operator run once on the
+    * concatenated corpus (StreamingSpec pins it token-for-token) —
+    * containment mines PAIRS without doc death, so unlike incremental
+    * dedup there is no ordering divergence to inherit.
+    */
+  def containmentStorePairs(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    DedupStore.readLive(spark, storeDir, "pairs")
+
+  /** One micro-batch of [[streamingContainment]]: mine every
+    * containment pair TOUCHING the new docs — a in new vs anyone
+    * (both directions of the prefix join), a in store vs b in new via
+    * the PERSISTED prefix index — then append the batch's shingles
+    * and prefix rows to the store. Idempotent under replay exactly as
+    * [[dedupIncrementBatch]]: deterministic per-batch partition dirs,
+    * overwrite mode, base read excludes the current batch id.
+    *
+    * Pair-set completeness across batches: a pair lands in exactly
+    * the batch its LATER doc arrives in (new-vs-new and new-vs-store
+    * both orientations are mined; store-vs-store pairs were mined
+    * when the younger side arrived). The hot-posting star tier runs
+    * per batch against the CURRENT global df (one O(store-postings)
+    * aggregate per batch — the same O(store)-read-per-batch contract
+    * as dedupIncrementBatch; compaction bounds the file count): new
+    * hot members pair with the current min-id representative. The one
+    * divergence from the batch operator, inherent to incremental
+    * resolution on a DEGENERATE corpus: members that arrived before
+    * the eventual min-id representative stay linked to the
+    * representative current at their arrival (the audit trail is
+    * [[graft.operators.Dedup.hotPostingReport]] over the store).
+    * Organic corpora (empty hot set) have exact twin parity.
+    */
+  private[graft] def containmentIncrementBatch(batch: DataFrame,
+      batchId: Long, storeDir: String, idCol: String, textCol: String,
+      shingleLen: Int, minShingles: Int, maxPosting: Int): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    val spark = batch.sparkSession
+    val part = s"b$batchId"
+    val (_, dead) = DedupStore.manifest(spark, storeDir)
+    require(!dead(part),
+      s"batch partition '$part' is tombstoned in $storeDir's manifest: " +
+        "this stream is writing batch ids the store already compacted " +
+        "away (fresh checkpoint over an existing store?). Use a new " +
+        "storeDir or restart from the original checkpoint.")
+    val newSh = Dedup.containmentShingles(batch, idCol, textCol,
+        shingleLen, minShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseSh = DedupStore.readLive(spark, storeDir, "docs")
+      .filter(col("batch") =!= part).select(col("doc_id"), col("sh"))
+    val basePrefix = DedupStore.readLive(spark, storeDir, "prefix")
+      .filter(col("batch") =!= part)
+      .select(col("a"), col("nsha"), col("g"))
+    // One persisted pass over the union corpus (same contract as the
+    // batch operator: the shingle table feeds the df aggregate, the
+    // posting join's b side, and both verify joins).
+    val allSh = baseSh.unionByName(newSh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val posts = allSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("nsh"))).as("rep"))
+      val dfByG = dfTab.select(col("g"), col("df"))
+      val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Cold tier: prefix rows re-filtered by the CURRENT df (a stored
+      // prefix shingle may have gone hot since ingestion — it must
+      // leave the equi-join for the star tier, same trade as batch).
+      def cold(pref: DataFrame, postsB: DataFrame) = pref
+        .join(dfByG.hint("shuffle_hash"), Seq("g"))
+        .filter(col("df") <= maxPosting)
+        .select(col("a"), col("nsha"), col("g"))
+        .hint("shuffle_hash")
+        .join(postsB.select(col("doc_id").as("b"), col("nsh").as("nshb"),
+          col("g")), Seq("g"))
+        .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
+        .select(col("a"), col("b"))
+      val coldCand = cold(prefixNew, posts)            // a in NEW vs anyone
+        .unionByName(cold(basePrefix, postsNew))       // a in STORE vs NEW
+      // Star tier: NEW members of hot shingles vs the current min-id
+      // representative, both orientations, map-only against the
+      // bounded broadcast hot set — the batch operator's construction
+      // restricted to this batch's postings.
+      val idT = allSh.schema("doc_id").dataType.catalogString
+      val pairT = s"array<struct<a:$idT,b:$idT>>"
+      val hotNewMembers = postsNew
+        .join(broadcast(dfTab.filter(col("df") > maxPosting)), Seq("g"))
+        .filter(col("doc_id") =!= col("rep.doc_id"))
+      val stars = Dedup.observeStarPairs(hotNewMembers.select(explode(concat(
+          when(col("nsh") * 5 >= col("rep.nsh") * 4,
+            array(struct(col("rep.doc_id").as("a"), col("doc_id").as("b"))))
+            .otherwise(array().cast(pairT)),
+          when(col("rep.nsh") * 5 >= col("nsh") * 4,
+            array(struct(col("doc_id").as("a"), col("rep.doc_id").as("b"))))
+            .otherwise(array().cast(pairT)))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")))
+      val cand = coldCand.unionByName(stars).distinct()
+      cand.hint("merge")
+        .join(allSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .hint("merge")
+        .join(allSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .select(col("a"), col("b"),
+          sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
+          size(col("sha")).cast("long").as("na"))
+        .filter(col("inter") / col("na") >= 0.8)
+        .select(col("a"), col("b"), col("na"), col("inter"),
+          (col("inter") / col("na")).as("containment"))
+        .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$part")
+      newSh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$part")
+      prefixNew.write.mode("overwrite")
+        .parquet(s"$storeDir/prefix/batch=$part")
+      prefixNew.unpersist(false); ()
+    } finally { allSh.unpersist(false); newSh.unpersist(false); () }
+  }
+
+  /** CONTINUOUS incremental containment mining — the Structured
+    * Streaming shape of [[graft.operators.Dedup.containmentPairs]]
+    * (r14 VERDICT #6): each micro-batch mines every containment pair
+    * touching its docs against the persisted shingle+prefix store and
+    * appends its own shingles/prefix for later batches. The live
+    * `pairs` log ([[containmentStorePairs]]) is the complete pair set
+    * so far. Same checkpoint/replay and compaction story as
+    * [[streamingDedupIncrement]] (compaction folds docs+prefix+pairs
+    * in lockstep through the shared manifest protocol).
+    */
+  def streamingContainment(docs: DataFrame, storeDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3, minShingles: Int = 5,
+      maxPosting: Int = graft.operators.Dedup.DefaultMaxPosting,
+      compactEvery: Option[Int] = None, minorEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        containmentIncrementBatch(batch, batchId, storeDir, idCol, textCol,
+          shingleLen, minShingles, maxPosting)
+        val major = compactEvery.exists(k => batchId > 0 && batchId % k == 0)
+        val minor = minorEvery.exists(k => batchId > 0 && batchId % k == 0)
+        if (major || minor)
+          DedupStore.compact(batch.sparkSession, storeDir, batchId - 1,
+            foldBase = major, subs = Seq("docs", "prefix", "pairs"))
+      }
+      .start()
+
   def streamingNearDup(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)
       : Dataset[NearDupPair] = {

@@ -11,12 +11,26 @@ import org.apache.spark.sql.functions._
   * the base) on twin stores, and prints the store doc counts so the
   * O(new data) vs O(store) claim is a measured ratio, not prose.
   *
+  * A second mode measures the READ side (r14 VERDICT #5): minor folds
+  * keep compaction WRITE cost flat, but every micro-batch's LSH build
+  * reads base + EVERY live delta + uncompacted batches — a long
+  * `delta-g*` chain between majors grows that read. `chain` mode
+  * builds stores whose live layout is base + {1,4,16} deltas (via the
+  * real compact() API, two batches per delta) and times ONE
+  * additional [[graft.streaming.EventStreams.dedupIncrementBatch]]
+  * against each — the steady-state per-micro-batch cost as a function
+  * of chain length — at the sfDir base size and a 10x id-shift
+  * replication of it. The output pins the `minorEvery`/`compactEvery`
+  * cadence guideline in BASELINE.md.
+  *
   * Run: sbt "runMain graft.tools.CompactionBench [sfDir] [batches] [batchDocs]"
+  *      sbt "runMain graft.tools.CompactionBench [sfDir] chain [batchDocs]"
   */
 object CompactionBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nBatches = if (args.length > 1) args(1).toInt else 8
+    val chainMode = args.length > 1 && args(1) == "chain"
+    val nBatches = if (!chainMode && args.length > 1) args(1).toInt else 8
     val batchDocs = if (args.length > 2) args(2).toInt else 200
     val spark = graft.ExecMode.builder()
       .config("spark.sql.shuffle.partitions",
@@ -29,6 +43,66 @@ object CompactionBench {
       .select(col("doc_id"), col("text"))
     val baseN = docs.count()
     val root = java.nio.file.Files.createTempDirectory("graft_cbench").toFile
+
+    if (chainMode) {
+      // base + exactly `deltas` live delta partitions, built through
+      // the real compact() protocol (two fresh batches per minor fold
+      // — a single-partition fold is a protocol no-op)
+      def buildChain(name: String, base: org.apache.spark.sql.DataFrame,
+          deltas: Int): String = {
+        val store = new java.io.File(root, name).getAbsolutePath
+        graft.streaming.EventStreams.seedDedupBase(base, "doc_id", "text", store)
+        (0 until deltas).foreach { d =>
+          (0 until 2).foreach { j =>
+            val b = 2 * d + j
+            val rows = spark.range(batchDocs).select(
+              (col("id") + 10000000L * (b + 1)).as("doc_id"),
+              concat(lit(s"novel batch $b doc "), col("id"),
+                lit(" alpha beta gamma delta epsilon")).as("text"))
+            rows.write.mode("overwrite").parquet(s"$store/docs/batch=b$b")
+            graft.operators.Dedup
+              .minhashSignaturesFast(rows, "doc_id", "text", 3, 32)
+              .write.mode("overwrite").parquet(s"$store/sigs/batch=b$b")
+          }
+          graft.streaming.DedupStore
+            .compact(spark, store, 2L * d + 1, foldBase = false)
+        }
+        store
+      }
+      def timedBatch(store: String, batchId: Long): Double = {
+        val rows = spark.range(batchDocs).select(
+          (col("id") + 900000000L).as("doc_id"),
+          concat(lit("probe doc "), col("id"),
+            lit(" zeta eta theta iota kappa")).as("text"))
+        val t0 = System.nanoTime()
+        graft.streaming.EventStreams.dedupIncrementBatch(rows, batchId,
+          store, "doc_id", "text", 0.7, 3, 32, 8,
+          graft.operators.Dedup.DefaultMaxBucket)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val results = for {
+        (label, base) <- Seq(
+          ("base_1x", docs),
+          ("base_10x", (0 until 10).map(r => docs.select(
+              (col("doc_id") + r.toLong * 100000000L).as("doc_id"),
+              col("text"))).reduce(_.unionByName(_))))
+        deltas <- Seq(1, 4, 16)
+      } yield {
+        val store = buildChain(s"chain_${label}_$deltas", base, deltas)
+        // JIT/plan warm-up batch, then the measured one
+        timedBatch(store, 1000L)
+        val sec = timedBatch(store, 1001L)
+        val live = graft.streaming.EventStreams
+          .dedupStoreDocs(spark, store).select(col("batch"))
+          .distinct().count()
+        s""""${label}_deltas$deltas":{"sec":$sec,"live_parts":$live}"""
+      }
+      println(results.mkString(
+        s"""{"metric":"chain_read","base_docs":$baseN,"batch_docs":$batchDocs,""",
+        ",", "}"))
+      spark.stop()
+      return
+    }
 
     def build(name: String): String = {
       val store = new java.io.File(root, name).getAbsolutePath

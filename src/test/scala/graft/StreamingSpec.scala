@@ -885,6 +885,57 @@ class StreamingSpec extends SparkSpec {
     assert(bothParts == Set("base-g3", "b4"), s"post-major layout: $bothParts")
   }
 
+  test("long delta chain: 6 minor folds with no major stay correct, and a final major collapses the chain losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_lc").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val twin = new java.io.File(root, "twin").getAbsolutePath
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // 12 micro-batches; each carries one novel doc and one dup of an
+    // EARLIER batch's survivor (b-2), so correctness depends on every
+    // delta in the chain staying readable
+    val batches = (0 until 12).map { b =>
+      val dupOf = math.max(0, b - 2)
+      Seq((100L + b, s"novel doc number $b with words w${b}a w${b}b w${b}c"),
+        (300L + b, s"novel doc number $dupOf with words w${dupOf}a w${dupOf}b w${dupOf}c"))
+    }
+    def drive(dir: String, minor: Option[Int]): Unit = {
+      EventStreams.seedDedupBase(base, "doc_id", "text", dir)
+      val s = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingDedupIncrement(
+        s.toDF().toDF("doc_id", "text"), dir,
+        new java.io.File(root, s"ckpt_${new java.io.File(dir).getName}").getAbsolutePath,
+        jaccardThreshold = 0.5, minorEvery = minor)
+      batches.foreach { b => s.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    drive(store, Some(2)) // minors at 2,4,6,8,10 -> delta-g{1,3,5,7,9}... and more
+    drive(twin, None)
+    def docs(dir: String) = EventStreams.dedupStoreDocs(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = docs(store)
+    assert(got == docs(twin), s"long-chain store diverged from twin: $got")
+    // b0/b1's 300-dups die against the 100-survivors of the SAME batch?
+    // no — 300+b dups batch b-2's survivor, which lives in an EARLIER
+    // delta; all of 300+2..300+11 must die through the chain. 300+0 and
+    // 300+1 dup their own batch's novel doc (dupOf==0,1 in-batch for
+    // b<=1? b=0: dupOf=0 -> dups 100 in-batch, min id 100 wins;
+    // b=1: dupOf=0 -> dups stored 100 -> dies).
+    assert(got == (Set(1L) ++ (0 until 12).map(100L + _)), s"survivors: $got")
+    val parts = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    val deltas = parts.count(_.startsWith("delta-g"))
+    assert(deltas >= 5 && parts.contains("base"),
+      s"expected a >=5-delta chain, got $parts")
+    // final major collapses the whole chain to one generation, lossless
+    graft.streaming.DedupStore.compact(spark, store, 11, foldBase = true)
+    assert(docs(store) == got, "major fold changed the doc set")
+    val after = EventStreams.dedupStoreDocs(spark, store)
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    assert(after == Set("base-g11"), s"post-major layout: $after")
+  }
+
   test("compaction sweeps unpublished orphan generations: a crashed fold's base-g/delta-g never flips live when a later manifest publishes") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_o").toFile
@@ -1005,6 +1056,98 @@ class StreamingSpec extends SparkSpec {
       .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
     assert(parts == Set("base", "delta-g1", "delta-g3", "b4"),
       s"layout after restart: $parts")
+  }
+
+  test("streaming containment: per-batch mined pairs across a restart equal the batch operator on the concatenated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def run(n: Int, toks: Range) = toks.map(i => s"$n$i").mkString(" ")
+    // doc 1 = t1..t12; contained docs are contiguous windows of it (a
+    // window's 3-shingles are a subset). Cross-batch structure:
+    //   batch0 doc 10 = t1..t7  -> (10,1)        [new vs base]
+    //   batch1 doc 21 = t2..t8  -> (21,1)        [new vs base]
+    //                            + (21,10)+(10,21) [C=4/5 both ways,
+    //                              new vs EARLIER BATCH, both orientations]
+    //   batch2 doc 30 = u3..u9  -> (30,20)       [new vs batch-1 doc]
+    // plus unrelated fillers that pair with nothing.
+    val base = Seq((1L, run(0, 1 to 12)), (2L, "fa fb fc fd fe ff fg fh"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((10L, run(0, 1 to 7)), (11L, "ga gb gc gd ge gf gg gh"))
+    val b1 = Seq((20L, run(9, 1 to 12)), (21L, run(0, 2 to 8)))
+    val b2 = Seq((30L, run(9, 3 to 9)), (31L, "ha hb hc hd he hf hg hh"))
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store)
+    val s = MemoryStream[(Long, String)]
+    def start() = EventStreams.streamingContainment(
+      s.toDF().toDF("doc_id", "text"), store, ckpt)
+    val q1 = start()
+    Seq(b0, b1).foreach { b => s.addData(b: _*); q1.processAllAvailable() }
+    q1.stop() // restart between batch 1 and batch 2
+    val q2 = start()
+    s.addData(b2: _*); q2.processAllAvailable(); q2.stop()
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), col("na"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = pairSet(EventStreams.containmentStorePairs(spark, store))
+    val full = base.unionByName((b0 ++ b1 ++ b2).toDF("doc_id", "text"))
+    val batchTwin = pairSet(
+      graft.operators.Dedup.containmentPairs(full, "doc_id", "text"))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(streamed == batchTwin,
+      s"streamed pair log diverged from the batch operator:\n" +
+        s"streamed-only: ${streamed -- batchTwin}\nbatch-only: ${batchTwin -- streamed}")
+    // sanity: the cross-batch scenarios actually fired
+    val ab = streamed.map(p => (p._1, p._2))
+    assert(Set((10L, 1L), (21L, 1L), (21L, 10L), (10L, 21L), (30L, 20L))
+      .subsetOf(ab), s"expected cross-batch pairs missing: $ab")
+  }
+
+  test("streaming containment: a planted hot block star-degrades per batch against the stable representative; organic pairs untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_h").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val boiler = (1 to 10).map(i => s"zzhot$i").mkString(" ")
+    // ids: seed boiler 1,2 (df=2 <= cap 4 at seed -> the seed pair is
+    // mined cold); each batch adds 3 boiler members (df 5 then 8,
+    // > cap -> star tier) and one organic contained pair per batch
+    val base = Seq((1L, boiler), (2L, boiler),
+      (3L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b0 = Seq((100L, boiler), (101L, boiler), (102L, boiler),
+      (110L, (1 to 7).map(i => s"t$i").mkString(" "))) // (110,3) organic
+    val b1 = Seq((200L, boiler), (201L, boiler), (202L, boiler))
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    val s = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingContainment(
+      s.toDF().toDF("doc_id", "text"), store, ckpt, maxPosting = 4)
+    Seq(b0, b1).foreach { b => s.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = EventStreams.containmentStorePairs(spark, store)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly: the cold seed pair, each later member <-> rep 1 (both
+    // orientations, identical docs), and the organic pair — NOT the
+    // 8x7 boiler clique
+    val members = Seq(2L, 100L, 101L, 102L, 200L, 201L, 202L)
+    val want = members.flatMap(m => Seq((1L, m), (m, 1L))).toSet + ((110L, 3L))
+    assert(got == want,
+      s"hot block did not star-degrade to the representative:\n" +
+        s"got-only: ${got -- want}\nwant-only: ${want -- got}")
+    // and the batch operator on the full corpus agrees here (the rep
+    // is the global min id from the seed on, so no rep-drift
+    // divergence in this construction)
+    val full = base.unionByName((b0 ++ b1).toDF("doc_id", "text"))
+    val twin = graft.operators.Dedup
+      .containmentPairs(full, "doc_id", "text", maxPosting = 4)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(got == twin, s"diverged from batch twin: ${got -- twin} / ${twin -- got}")
   }
 
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
