@@ -174,7 +174,19 @@ object Bench {
       case Some(sd) => new scala.util.Random(sd.toLong).shuffle(ordered)
       case None => ordered
     }
-    names.take(1).foreach(run)
+    // Unrecorded pass over the first TEN entries of the run order (was
+    // one): the r15 alpha-vs-board audits showed the synthetic kernel
+    // warm-up above cannot flatten the JIT ramp — even an entry
+    // re-timed immediately after its own unrecorded run stayed ~1.5x
+    // its seeded-board median (ann_batch_topk), because the cost is
+    // GLOBAL JVM warmth (C2 compiling Spark's hot paths across minutes
+    // of varied work), not that entry's Janino compile. Running the
+    // head entries unrecorded puts the timed pass past the ramp's
+    // steep start (r14 data: positions 0-11 inflated, 34 clean), and
+    // their own timed runs hit the codegen cache. ~15-25 s unrecorded
+    // per marathon; board and driver regimes both pay it, so medians
+    // stay comparable.
+    names.take(math.min(10, names.size)).foreach(run)
     val calPre = calibration()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
