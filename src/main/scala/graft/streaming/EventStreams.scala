@@ -651,63 +651,83 @@ object EventStreams {
     val allSh = baseSh.unionByName(newSh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val posts = allSh.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("g"))
-      val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("g"))
-      val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
-        min(struct(col("doc_id"), col("nsh"))).as("rep"))
-      val dfByG = dfTab.select(col("g"), col("df"))
+      val dfByG = allSh.select(explode(col("sh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
       val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Cold tier: prefix rows re-filtered by the CURRENT df (a stored
-      // prefix shingle may have gone hot since ingestion — it must
-      // leave the equi-join for the star tier, same trade as batch).
-      def cold(pref: DataFrame, postsB: DataFrame) = pref
-        .join(dfByG.hint("shuffle_hash"), Seq("g"))
-        .filter(col("df") <= maxPosting)
-        .select(col("a"), col("nsha"), col("g"))
-        .hint("shuffle_hash")
-        .join(postsB.select(col("doc_id").as("b"), col("nsh").as("nshb"),
-          col("g")), Seq("g"))
-        .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
-        .select(col("a"), col("b"))
-      val coldCand = cold(prefixNew, posts)            // a in NEW vs anyone
-        .unionByName(cold(basePrefix, postsNew))       // a in STORE vs NEW
-      // Star tier: NEW members of hot shingles vs the current min-id
-      // representative, both orientations, map-only against the
-      // bounded broadcast hot set — the batch operator's construction
-      // restricted to this batch's postings.
-      val idT = allSh.schema("doc_id").dataType.catalogString
-      val pairT = s"array<struct<a:$idT,b:$idT>>"
-      val hotNewMembers = postsNew
-        .join(broadcast(dfTab.filter(col("df") > maxPosting)), Seq("g"))
-        .filter(col("doc_id") =!= col("rep.doc_id"))
-      val stars = Dedup.observeStarPairs(hotNewMembers.select(explode(concat(
-          when(col("nsh") * 5 >= col("rep.nsh") * 4,
-            array(struct(col("rep.doc_id").as("a"), col("doc_id").as("b"))))
-            .otherwise(array().cast(pairT)),
-          when(col("rep.nsh") * 5 >= col("nsh") * 4,
-            array(struct(col("doc_id").as("a"), col("rep.doc_id").as("b"))))
-            .otherwise(array().cast(pairT)))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")))
-      val cand = coldCand.unionByName(stars).distinct()
-      cand.hint("merge")
-        .join(allSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-        .hint("merge")
-        .join(allSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-        .select(col("a"), col("b"),
-          sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
-          size(col("sha")).cast("long").as("na"))
-        .filter(col("inter") / col("na") >= 0.8)
-        .select(col("a"), col("b"), col("na"), col("inter"),
-          (col("inter") / col("na")).as("containment"))
+      containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew, maxPosting)
         .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$part")
       newSh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$part")
       prefixNew.write.mode("overwrite")
         .parquet(s"$storeDir/prefix/batch=$part")
       prefixNew.unpersist(false); ()
     } finally { allSh.unpersist(false); newSh.unpersist(false); () }
+  }
+
+  /** The pure per-batch pair-mining PLAN of [[containmentIncrementBatch]]
+    * (factored out so PlanSpec can pin its scale shape): cold tier =
+    * current-df-filtered prefix rows shuffle-hash-joined against
+    * postings (a in NEW vs anyone; a in STORE via the persisted prefix
+    * vs NEW); star tier = NEW members of hot shingles vs the current
+    * min-id representative against the BOUNDED broadcast hot set
+    * (the only broadcast in the plan); verify = sort-merge joins on
+    * doc ids (both sides contractually unbounded). Same output columns
+    * as the batch [[graft.operators.Dedup.containmentPairs]].
+    */
+  private[graft] def containmentIncrementPairs(allSh: DataFrame,
+      newSh: DataFrame, basePrefix: DataFrame, prefixNew: DataFrame,
+      maxPosting: Int): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.VectorExpressions.sorted_intersect_size
+    val posts = allSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("nsh"))).as("rep"))
+    val dfByG = dfTab.select(col("g"), col("df"))
+    // Cold tier: prefix rows re-filtered by the CURRENT df (a stored
+    // prefix shingle may have gone hot since ingestion — it must
+    // leave the equi-join for the star tier, same trade as batch).
+    def cold(pref: DataFrame, postsB: DataFrame) = pref
+      .join(dfByG.hint("shuffle_hash"), Seq("g"))
+      .filter(col("df") <= maxPosting)
+      .select(col("a"), col("nsha"), col("g"))
+      .hint("shuffle_hash")
+      .join(postsB.select(col("doc_id").as("b"), col("nsh").as("nshb"),
+        col("g")), Seq("g"))
+      .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
+      .select(col("a"), col("b"))
+    val coldCand = cold(prefixNew, posts)            // a in NEW vs anyone
+      .unionByName(cold(basePrefix, postsNew))       // a in STORE vs NEW
+    // Star tier: NEW members of hot shingles vs the current min-id
+    // representative, both orientations, map-only against the
+    // bounded broadcast hot set — the batch operator's construction
+    // restricted to this batch's postings.
+    val idT = allSh.schema("doc_id").dataType.catalogString
+    val pairT = s"array<struct<a:$idT,b:$idT>>"
+    val hotNewMembers = postsNew
+      .join(broadcast(dfTab.filter(col("df") > maxPosting)), Seq("g"))
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+    val stars = Dedup.observeStarPairs(hotNewMembers.select(explode(concat(
+        when(col("nsh") * 5 >= col("rep.nsh") * 4,
+          array(struct(col("rep.doc_id").as("a"), col("doc_id").as("b"))))
+          .otherwise(array().cast(pairT)),
+        when(col("rep.nsh") * 5 >= col("nsh") * 4,
+          array(struct(col("doc_id").as("a"), col("rep.doc_id").as("b"))))
+          .otherwise(array().cast(pairT)))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")))
+    val cand = coldCand.unionByName(stars).distinct()
+    cand.hint("merge")
+      .join(allSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .hint("merge")
+      .join(allSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"))
+      .filter(col("inter") / col("na") >= 0.8)
+      .select(col("a"), col("b"), col("na"), col("inter"),
+        (col("inter") / col("na")).as("containment"))
   }
 
   /** CONTINUOUS incremental containment mining — the Structured

@@ -478,4 +478,57 @@ class PlanSpec extends SparkSpec {
     val schemas = scanMeta("media_decode").map(_._2)
     assert(schemas.exists(_ == "struct<doc_id:bigint>"), schemas.mkString("; "))
   }
+
+  test("streaming containment per-batch plan: pinned shuffle_hash/merge joins, hot set is the only broadcast, no cartesian") {
+    // The plan one micro-batch of streamingContainment executes, built
+    // over representative inputs (any sizes — structure is what is
+    // asserted): corpus-sized sides must never broadcast (the sf0.1
+    // parquet footprint fools size estimates, the r14 containment
+    // lesson), so the cold/posting joins are hinted shuffle_hash, the
+    // verify joins merge, and the ONLY broadcast build is the
+    // contractually bounded df>cap hot set.
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, BroadcastNestedLoopJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to 11).map(j => s"w${(i + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val allSh = Dedup.containmentShingles(docs, "doc_id", "text")
+    val newSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") > 30), "doc_id", "text")
+    val dfByG = allSh.select(org.apache.spark.sql.functions.explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
+    val prefix = Dedup.containmentPrefixRows(allSh, dfByG)
+    val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
+    val p = graft.streaming.EventStreams
+      .containmentIncrementPairs(allSh, newSh, prefix, prefixNew,
+        maxPosting = Dedup.DefaultMaxPosting)
+      .queryExecution.sparkPlan
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "cartesian product in the streaming containment batch plan")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "BNLJ in the streaming containment batch plan")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size <= 1, s"expected at most the hot-set broadcast, got ${bhj.size}")
+    // every broadcast build side must sit on the df>cap aggregate
+    // (structurally: a filter on an aggregate), never a corpus table
+    bhj.foreach { j =>
+      val buildSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      val hasAgg = buildSide.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, "broadcast build side is not the bounded hot-set " +
+        "aggregate:\n" + buildSide.toString.take(800))
+    }
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.size >= 3,
+      "cold/posting joins lost their shuffle_hash pins")
+    assert(p.collect { case j: SortMergeJoinExec => j }.size >= 2,
+      "verify joins lost their merge pins")
+  }
 }
