@@ -57,12 +57,24 @@ class DedupStorePropertySpec extends SparkSpec {
               log ++= s" ${if (major) "major" else "minor"}($upTo)"
             }
           case 3 => // crashed compaction: data written, manifest never
-            // published — must be invisible to every reader forever
-            val ghostGen = 1000L + rnd.nextInt(100)
+            // published. Planted in the ACTIVATABLE range
+            // (maxGen, maxCommitted] when it exists — a later publish
+            // with m >= ghostGen used to flip these LIVE (the r14
+            // ADVICE hole; the orphan sweep now tombstones them at the
+            // next publish) — else far-future (stays unpublished).
+            val (mg, _) = DedupStore.manifest(spark, store)
+            val ghostGen =
+              if (maxCommitted > mg) mg + 1 + rnd.nextInt((maxCommitted - mg).toInt)
+              else 1000L + rnd.nextInt(100)
             val kind = if (rnd.nextBoolean()) "base-g" else "delta-g"
             Seq(doc(99999L)).toDF("doc_id", "text").write
               .mode("overwrite")
               .parquet(s"$store/docs/batch=$kind$ghostGen")
+            if (rnd.nextBoolean()) // crash can land between the two writes
+              graft.operators.Dedup.minhashSignaturesFast(
+                  Seq(doc(99999L)).toDF("doc_id", "text"), "doc_id", "text", 3, 32)
+                .write.mode("overwrite")
+                .parquet(s"$store/sigs/batch=$kind$ghostGen")
             log ++= s" crash($kind$ghostGen)"
         }
         // invariants after EVERY op
