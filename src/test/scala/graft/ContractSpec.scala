@@ -22,7 +22,10 @@ class ContractSpec extends AnyFunSuite {
 
   test("QUERIES.md inventory matches the registry (count + every name documented)") {
     // Three consecutive rounds of count drift — pin the doc to the code.
-    val md = scala.io.Source.fromFile("QUERIES.md")
+    // Explicit codec: the JVM default charset follows the shell locale, and
+    // a C-locale box (LANG unset) throws MalformedInputException on the
+    // doc's UTF-8 multibyte chars.
+    val md = scala.io.Source.fromFile("QUERIES.md")(scala.io.Codec.UTF8)
     val text = try md.mkString finally md.close()
     val header = """\((\d+) total: (\d+) oracle-backed, (\d+)\s*\nrows-only\)""".r
     val m = header.findFirstMatchIn(text)
