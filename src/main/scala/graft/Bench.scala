@@ -186,10 +186,24 @@ object Bench {
     // their own timed runs hit the codegen cache. ~15-25 s unrecorded
     // per marathon; board and driver regimes both pay it, so medians
     // stay comparable.
-    names.take(math.min(10, names.size)).foreach(run)
+    // Swallow warm-up failures: a failing entry at the head of a seeded
+    // order must not crash the bench before any artifact is written —
+    // the timed pass records the same failure into `errors`.
+    names.take(math.min(10, names.size)).foreach { n =>
+      try run(n) catch { case _: Throwable => () }
+    }
+    // Drain-and-discard the warm-up pass's observed metrics so only
+    // timed-pass events are attributed (an async listener dispatch from
+    // warm-up entry A can land after currentEntry advanced to B).
+    drainObserved(); observed.clear()
     val calPre = calibration()
+    // Mid-run probes every ~50 entries localize a box phase change
+    // (the r15 driver artifact was contaminated for part of its run;
+    // pre/post alone cannot say which part). ~2 s each, unrecorded.
+    val calMid = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, idx) =>
+      if (idx > 0 && idx % 50 == 0) calMid += calibration()
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(name) } catch {
@@ -207,6 +221,33 @@ object Bench {
       name -> t
     }
     val calPost = calibration()
+    // CALIBRATION-DRIFT ALARM (r15 VERDICT #2): the contaminated r15
+    // driver run read pre 4.35 s while the PRE probe reads 1.42-2.25 s
+    // on every clean run this box has ever recorded (r14/r14b/r15/r15b
+    // boards + alphas) — yet no alarm fired and the run became the
+    // round's artifact of record. The rule is tuned against that
+    // history to never flag a judge-graded-clean run: POST probes on
+    // clean marathons read as high as 6.55 s (end-of-run JVM debris,
+    // r15b_cold1), so post alone carries no signal, and a pre/post
+    // spread check would flag 12 clean historical runs. Alarm iff
+    //   (a) the pre probe leaves the pinned clean band, OR
+    //   (b) EVERY later probe (mids + post) exceeds the ceiling —
+    //       sustained slowness a single debris spike can't explain.
+    // Band is box-specific — override via SPARK_GRAFT_CAL_BAND=lo,hi on
+    // different hardware. round_compare.py --driver refuses an artifact
+    // carrying this alarm (override: --allow-drift normalizes instead).
+    val calBand = sys.env.get("SPARK_GRAFT_CAL_BAND")
+      .map(_.split(",").map(_.trim.toDouble)) match {
+        case Some(Array(lo, hi)) => (lo, hi)
+        case _ => (1.2, 3.0)
+      }
+    val calDriftReasons = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (calPre < calBand._1 || calPre > calBand._2) calDriftReasons +=
+      f"pre probe $calPre%.2fs outside clean band [${calBand._1}%.1f,${calBand._2}%.1f]"
+    val later = calMid.toSeq :+ calPost
+    if (later.nonEmpty && later.forall(_ > calBand._2)) calDriftReasons +=
+      f"all ${later.size} later probes (${later.map(p => f"$p%.2f").mkString("/")}s) above ${calBand._2}%.1fs"
+    val calDrift = calDriftReasons.nonEmpty
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Observed metrics, full and nonzero-only views. Values are the
@@ -215,7 +256,10 @@ object Bench {
       case n: Long => n.toString
       case n: Int => n.toString
       case n: Double => n.toString // Double.toString is locale-independent
-      case other => "\"" + String.valueOf(other).replaceAll("[\"\\\\]", " ") + "\""
+      // Same sanitization as the errors map: control chars (newline,
+      // tab) in a string metric would emit invalid JSON.
+      case other => "\"" + String.valueOf(other)
+        .replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     }
     def obsJson(m: scala.collection.Map[String,
         scala.collection.mutable.LinkedHashMap[String, Seq[(String, Any)]]]): String =
@@ -245,8 +289,11 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val calMidJson = calMid.map(_.toString).mkString("[", ",", "]")
+    val driftReasonJson = "\"" + calDriftReasons.mkString("; ")
+      .replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"post":$calPost},"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"mid":$calMidJson,"post":$calPost},"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
     println(json)
     // The driver artifact keeps only the LAST 2000 CHARS of sbt stdout
     // (measured from BENCH_r13.json's "tail"), and the registry's query
@@ -263,9 +310,16 @@ object Bench {
     // `0,919` and break the compact line's JSON parse downstream.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val slowest = results.sortBy(-_._2).take(20)
+    // Top-30 (was 20): the driver audit works off this map when only
+    // the tail survives — carry the entries it most needs to check.
+    val slowest = results.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"slowest":$slowest,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir"}""")
+    // calibration_drift sits AFTER slowest so the 2000-char tail window
+    // (which cuts the line's head, not its end) always carries it.
+    // nqueries repeats at the very end (duplicate key; JSON parsers keep
+    // the last) so the truncation-aware audit can compute coverage even
+    // when the line's head falls outside the tail window.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }

@@ -2,7 +2,9 @@
 """Round-over-round bench comparison, auto-normalized by the
 code-frozen calibration probe (graft.Bench runs the same pinned
 shuffle-agg first and last in every batch and reports it as
-"calibration": {"pre": s, "post": s}).
+"calibration": {"pre": s, "post": s} — since r16 with mid-run probes
+in "mid" and a "calibration_drift" alarm when any probe leaves the
+pinned clean band or the probes spread >1.5x).
 
 For each shared query: raw ratio = new/old, normalized ratio =
 raw / (cal_new / cal_old). The calibration factor is the geometric
@@ -17,39 +19,54 @@ across the runs.
 Usage:
   round_compare.py OLD.json[,OLD2...] NEW.json[,NEW2...]
   round_compare.py NEW.json[,NEW2...]
-      OLD defaults to the ROUND-14B DEFINITIVE COLD BOARD
-      (bench_r14b_cold{1..4}.json — the first 147-entry board, on
-      final r14 code; BASELINE.md declares it the like-for-like base
-      from round 15 on). The r13 board stays on disk as history.
+      OLD defaults to the ROUND-15B DEFINITIVE COLD BOARD
+      (bench_r15b_cold{1..4}.json — on final r15 code; BASELINE.md
+      declares it the like-for-like base from round 16 on). The r14b
+      board stays on disk as history.
   round_compare.py --driver DRIVER.json [BOARD.json,...]
       Driver-vs-board outlier audit: per-entry driver/board ratios
-      against the seeded board (default: the r14b cold board), sorted
+      against the seeded board (default: the r15b cold board), sorted
       worst-first, EXIT 1 if any entry exceeds 2x — so a
       driver-context inflation like r12/r13's containment_neardup is
       instrument-caught, not judge-caught. DRIVER.json may be a
       canonical bench_full.json or a driver BENCH_rN.json artifact
       (whose 2000-char "tail" holds only part of the map — the
-      parseable suffix is recovered and the audit runs on it).
+      parseable suffix is recovered, the audit runs on it, and the
+      recovered/registry coverage is printed with an explicit SKIPPED
+      count when partial).
+      An artifact carrying calibration_drift=true is REFUSED (exit 2):
+      the r15 driver run measured its own box 2.3x off mid-run and
+      still became the artifact of record. --allow-drift overrides by
+      normalizing every ratio through the calibration factor instead.
 """
 import sys, json, os, re, statistics
 
 DEFAULT_BOARD = ",".join(
     os.path.join(os.path.dirname(__file__) or ".", "..",
-                 f"bench_r14b_cold{i}.json") for i in range(1, 5))
+                 f"bench_r15b_cold{i}.json") for i in range(1, 5))
 
 
 def parse_run(path):
-    """One run -> (queries dict, calibration dict|None). Accepts the
-    canonical Bench line, the compact summary line (slowest-only), or
-    a driver BENCH_rN.json whose truncated tail is regex-recovered."""
+    """One run -> dict with queries, calibration|None, drift flag|None,
+    nqueries|None. Accepts the canonical Bench line, the compact
+    summary line (slowest-only), or a driver BENCH_rN.json whose
+    truncated tail is regex-recovered."""
     d = json.load(open(path))
+    meta = {"drift": None, "nqueries": None, "partial": False}
     if "queries" in d:
-        return d["queries"], d.get("calibration")
+        meta.update(drift=d.get("calibration_drift"),
+                    nqueries=len(d["queries"]))
+        return d["queries"], d.get("calibration"), meta
     if "slowest" in d:  # compact summary line: partial by design
-        return d["slowest"], d.get("calibration")
+        meta.update(drift=d.get("calibration_drift"),
+                    nqueries=d.get("nqueries"), partial=True)
+        return d["slowest"], d.get("calibration"), meta
     if "parsed" in d and d["parsed"]:
         p = d["parsed"]
-        return p.get("queries", p.get("slowest", {})), p.get("calibration")
+        meta.update(drift=p.get("calibration_drift"),
+                    nqueries=p.get("nqueries"),
+                    partial="queries" not in p)
+        return p.get("queries", p.get("slowest", {})), p.get("calibration"), meta
     if "tail" in d:
         # Require a `,` or `}` after the number: a pair sitting exactly
         # on the 2000-char cut boundary can be digit-truncated
@@ -59,38 +76,77 @@ def parse_run(path):
             r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)(?=[,}])', d["tail"])}
         qs.pop("pre", None); qs.pop("post", None)
         for k in ("value", "sf"): qs.pop(k, None)
-        return qs, None
+        m = re.search(r'"calibration_drift":(true|false)', d["tail"])
+        if m:
+            meta["drift"] = m.group(1) == "true"
+        m = re.search(r'"nqueries":(\d+)', d["tail"])
+        if m:
+            meta["nqueries"] = int(m.group(1))
+        meta["partial"] = True
+        return qs, None, meta
     sys.exit(f"{path}: no queries/slowest/tail to read")
 
 
 def load(paths):
     runs = [parse_run(p) for p in paths.split(",")]
     shared_keys = set(runs[0][0])
-    for q, _ in runs[1:]:
+    for q, _, _ in runs[1:]:
         shared_keys &= set(q)
-    queries = {k: statistics.median(q[k] for q, _ in runs)
+    queries = {k: statistics.median(q[k] for q, _, _ in runs)
                for k in shared_keys}
-    cals = [c for _, c in runs]
+    cals = [c for _, c, _ in runs]
     cal = None
     if all(c and c.get("pre") and c.get("post") for c in cals):
         cal = statistics.median(
             (c["pre"] * c["post"]) ** 0.5 for c in cals)
-    return queries, cal
+    drift = any(m["drift"] for _, _, m in runs)
+    # Largest declared registry size across the runs (None if unknown).
+    nq = [m["nqueries"] for _, _, m in runs if m["nqueries"]]
+    partial = any(m["partial"] for _, _, m in runs)
+    return queries, cal, {"drift": drift, "nqueries": max(nq) if nq else None,
+                          "partial": partial}
 
 
-def driver_audit(driver_path, board_paths):
-    drv, _ = load(driver_path)
-    board, _ = load(board_paths)
+def driver_audit(driver_path, board_paths, allow_drift):
+    drv, cal_drv, meta = load(driver_path)
+    board, cal_board, _ = load(board_paths)
+    factor = None
+    if meta["drift"]:
+        if not allow_drift:
+            print("REFUSED: driver artifact carries calibration_drift=true "
+                  "— the run measured its own box outside the pinned clean "
+                  "band (or the probes spread >1.5x). Re-run the bench on a "
+                  "quiet box, or pass --allow-drift to audit anyway with "
+                  "calibration-normalized ratios.")
+            sys.exit(2)
+        if cal_drv and cal_board:
+            factor = cal_drv / cal_board
+            print(f"WARNING: calibration_drift=true on the driver artifact; "
+                  f"normalizing every ratio by the box factor {factor:.3f} "
+                  f"(driver cal {cal_drv:.3f}s / board cal {cal_board:.3f}s)")
+        else:
+            print("WARNING: calibration_drift=true and no calibration to "
+                  "normalize with — ratios below are raw and suspect")
     shared = sorted(set(drv) & set(board))
     if not shared:
         sys.exit("no shared queries between driver and board")
+    # Truncation awareness: an audit that quietly covers a third of the
+    # registry isn't an audit — always print coverage, and flag partial.
+    registry = meta["nqueries"] or len(board)
+    skipped = max(0, registry - len(shared))
+    print(f"driver-vs-board audit over {len(shared)} shared entries "
+          f"(board = {board_paths})")
+    print(f"coverage: {len(shared)}/{registry} registry entries"
+          + (f" — SKIPPED {skipped} (driver artifact is a truncated tail; "
+             f"audit the committed bench_full.json for full coverage)"
+             if skipped else " (complete)"))
     rows = sorted(((q, drv[q], board[q],
-                    drv[q] / board[q] if board[q] else float("inf"))
+                    (drv[q] / board[q] if board[q] else float("inf"))
+                    / (factor or 1.0))
                    for q in shared), key=lambda r: -r[3])
     w = max(len(q) for q, *_ in rows)
-    print(f"driver-vs-board audit over {len(rows)} shared entries "
-          f"(board = {board_paths})")
-    print(f"{'query':<{w}}  {'driver':>8}  {'board':>8}  {'ratio':>6}")
+    rl = "norm" if factor else "ratio"
+    print(f"{'query':<{w}}  {'driver':>8}  {'board':>8}  {rl:>6}")
     for q, dv, bv, r in rows[:25]:
         print(f"{q:<{w}}  {dv:8.2f}  {bv:8.2f}  {r:6.2f}")
     if len(rows) > 25:
@@ -104,14 +160,19 @@ def driver_audit(driver_path, board_paths):
         for q, r in bad:
             print(f"  {q}: {r:.2f}x")
         sys.exit(1)
-    print("OK: no entry exceeds 2x its board median")
+    print("OK: no entry exceeds 2x its board median"
+          + (f" ({skipped} unaudited — see coverage above)" if skipped else ""))
 
 
 args = sys.argv[1:]
+allow_drift = "--allow-drift" in args
+args = [a for a in args if a != "--allow-drift"]
 if args and args[0] == "--driver":
     if len(args) < 2:
-        sys.exit("usage: round_compare.py --driver DRIVER.json [BOARD.json,...]")
-    driver_audit(args[1], args[2] if len(args) > 2 else DEFAULT_BOARD)
+        sys.exit("usage: round_compare.py --driver [--allow-drift] "
+                 "DRIVER.json [BOARD.json,...]")
+    driver_audit(args[1], args[2] if len(args) > 2 else DEFAULT_BOARD,
+                 allow_drift)
     sys.exit(0)
 
 if not args:
@@ -119,12 +180,16 @@ if not args:
 
 if len(args) == 1:
     old_paths, new_paths = DEFAULT_BOARD, args[0]
-    print("old side defaulted to the r14b definitive cold board")
+    print("old side defaulted to the r15b definitive cold board")
 else:
     old_paths, new_paths = args[0], args[1]
 
-old, cal_old = load(old_paths)
-new, cal_new = load(new_paths)
+old, cal_old, _ = load(old_paths)
+new, cal_new, meta_new = load(new_paths)
+if meta_new["drift"]:
+    print("WARNING: new side carries calibration_drift=true — its box was "
+          "measurably contaminated mid-run; normalized ratios partially "
+          "correct for the average, not the phase structure")
 shared = sorted(set(old) & set(new))
 if not shared:
     sys.exit("no shared queries between the two sides")
