@@ -173,12 +173,18 @@ object DedupStore {
     // and any orphan with k <= upToBatchId would flip to LIVE and
     // duplicate every doc it holds (or expose a partial write). Such
     // dirs are unpublished by definition, so tombstoning + deleting
-    // them is always safe. `gen` itself is excluded: that is the dir
-    // we are (re)writing.
+    // them is safe — but ONLY within the range THIS publish can
+    // activate (maxGen < g <= upToBatchId): a racing compactor in
+    // another JVM (the scenario WarmStore.publish designs for) may
+    // have written a HIGHER generation it hasn't published yet, and
+    // sweeping g > upToBatchId would delete its data out from under
+    // it. Higher gens can't flip live off this manifest; if truly
+    // orphaned they fall into a later publish's sweep range. `gen`
+    // itself is excluded: that is the dir we are (re)writing.
     val orphans = subs.flatMap(physicalParts(spark, storeDir, _)).distinct.filter {
       case p if p == gen => false
-      case BaseGenRe(g) => g.toLong > maxGen
-      case DeltaGenRe(g) => g.toLong > maxGen
+      case BaseGenRe(g) => g.toLong > maxGen && g.toLong <= upToBatchId
+      case DeltaGenRe(g) => g.toLong > maxGen && g.toLong <= upToBatchId
       case _ => false
     }
     for (sub <- subs) {

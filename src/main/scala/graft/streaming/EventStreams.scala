@@ -622,7 +622,12 @@ object EventStreams {
     * the eventual min-id representative stay linked to the
     * representative current at their arrival (the audit trail is
     * [[graft.operators.Dedup.hotPostingReport]] over the store).
-    * Organic corpora (empty hot set) have exact twin parity.
+    * Organic corpora (empty hot set) have exact twin parity. A second
+    * potential divergence — a stored prefix shrinking below the
+    * lossless floor(n/5)+1 bound when its shingles go hot AFTER
+    * ingestion — is CLOSED by the per-batch stale-prefix refresh
+    * below (affected store docs are re-ranked against the current df,
+    * matching the batch twin's prefix exactly).
     */
   private[graft] def containmentIncrementBatch(batch: DataFrame,
       batchId: Long, storeDir: String, idCol: String, textCol: String,
@@ -655,8 +660,36 @@ object EventStreams {
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
       val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew, maxPosting)
-        .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$part")
+      // STALE-PREFIX REFRESH (r15 ADVICE): a stored prefix row whose
+      // shingle has since crossed df > maxPosting leaves the cold join
+      // for the star tier, and the doc's surviving cold prefix can fall
+      // below the lossless floor(n/5)+1 bound — a (store, new) pair
+      // sharing only cold shingles outside the reduced prefix would be
+      // silently missed, while the batch twin (which re-ranks every
+      // prefix against the current df) finds it. Detect affected store
+      // docs with a map-only probe of the prefix store against the
+      // BOUNDED broadcast hot set (empty on organic corpora), and only
+      // when any exist pay the corpus shuffle to re-rank exactly those
+      // docs' prefixes against the current df — after which cold()'s
+      // df filter gives them precisely the batch twin's prefix. The
+      // stale rows stay in the store (they are a still-lossless
+      // superset; candidates they add are verified away) and are
+      // re-detected per batch until a compaction rewrite.
+      val hotG = dfByG.filter(col("df") > maxPosting).select(col("g"))
+      val staleDocs = basePrefix
+        .join(broadcast(hotG), Seq("g"))
+        .select(col("a").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val refreshedPrefix =
+          if (staleDocs.isEmpty) None
+          else Some(Dedup.containmentPrefixRows(
+            allSh.join(staleDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
+            dfByG))
+        containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew,
+            maxPosting, refreshedPrefix)
+          .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$part")
+      } finally { staleDocs.unpersist(false); () }
       newSh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$part")
       prefixNew.write.mode("overwrite")
         .parquet(s"$storeDir/prefix/batch=$part")
@@ -673,10 +706,17 @@ object EventStreams {
     * (the only broadcast in the plan); verify = sort-merge joins on
     * doc ids (both sides contractually unbounded). Same output columns
     * as the batch [[graft.operators.Dedup.containmentPairs]].
+    *
+    * `refreshedPrefix`, when present, carries current-df re-ranked
+    * prefix rows for store docs whose stored prefix lost rows to the
+    * hot-shingle cap (see the stale-prefix refresh in
+    * [[containmentIncrementBatch]]); they union into the store side of
+    * the cold join — a superset of the stored rows, so candidates only
+    * grow and verify keeps the output exact.
     */
   private[graft] def containmentIncrementPairs(allSh: DataFrame,
       newSh: DataFrame, basePrefix: DataFrame, prefixNew: DataFrame,
-      maxPosting: Int): DataFrame = {
+      maxPosting: Int, refreshedPrefix: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.VectorExpressions.sorted_intersect_size
     val posts = allSh.select(col("doc_id"), size(col("sh")).as("nsh"),
@@ -698,8 +738,10 @@ object EventStreams {
         col("g")), Seq("g"))
       .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
       .select(col("a"), col("b"))
+    val storePrefix = refreshedPrefix
+      .fold(basePrefix)(basePrefix.unionByName(_))
     val coldCand = cold(prefixNew, posts)            // a in NEW vs anyone
-      .unionByName(cold(basePrefix, postsNew))       // a in STORE vs NEW
+      .unionByName(cold(storePrefix, postsNew))      // a in STORE vs NEW
     // Star tier: NEW members of hot shingles vs the current min-id
     // representative, both orientations, map-only against the
     // bounded broadcast hot set — the batch operator's construction

@@ -1150,6 +1150,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == twin, s"diverged from batch twin: ${got -- twin} / ${twin -- got}")
   }
 
+  test("streaming containment: a stored prefix whose shingle goes hot after ingestion is re-ranked, so the store-vs-new pair sharing only non-prefix cold shingles is still mined (r15 ADVICE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_sp").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    // Doc A (id 50, 12 tokens -> 10 shingles, prefix k=3) seeds with
+    // filler A2 = the 9 b-tokens alone, which raises every "b-run"
+    // shingle to df=2 so A's seed prefix is EXACTLY its three df=1
+    // aa-shingles (g1="aa1 aa2 aa3", g2, g3 — no tie-break dependence).
+    // A flood batch of 5 docs then drives g1 hot (df 6 > cap 4):
+    // A's stored prefix loses g1 to the star tier, surviving rows
+    // {g2, g3} — BELOW the lossless floor(10/5)+1=3 bound. Doc B
+    // (id 70) then arrives containing g1 + all seven b-runs but
+    // NEITHER g2 NOR g3: C(A->B) = 8/10 = 0.8, the pair shares only
+    // cold shingles outside A's surviving prefix, and the star tier
+    // can't reach it (rep(g1) is flood doc 1, and flood-verify fails).
+    // Without the stale-prefix refresh the pair is silently missed;
+    // the batch twin (re-ranking A against current df) finds it.
+    val aTokens = "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val base = Seq((50L, aTokens), (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4"))
+    val bDoc = Seq((70L, "aa1 aa2 aa3 xx b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    val s = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingContainment(
+      s.toDF().toDF("doc_id", "text"), store, ckpt, maxPosting = 4)
+    Seq(flood, bDoc).foreach { b => s.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), col("na"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = pairSet(EventStreams.containmentStorePairs(spark, store))
+    val full = base.unionByName((flood ++ bDoc).toDF("doc_id", "text"))
+    val twin = pairSet(graft.operators.Dedup
+      .containmentPairs(full, "doc_id", "text", maxPosting = 4))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(streamed.contains((50L, 70L, 10L, 8L)),
+      s"the stale-prefix pair (A=50 contained-in B=70) was missed: $streamed")
+    assert(streamed == twin,
+      s"streamed diverged from batch twin:\n" +
+        s"streamed-only: ${streamed -- twin}\nbatch-only: ${twin -- streamed}")
+  }
+
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
