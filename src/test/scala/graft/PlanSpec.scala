@@ -531,4 +531,62 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case j: SortMergeJoinExec => j }.size >= 2,
       "verify joins lost their merge pins")
   }
+
+  test("streaming containment stale-prefix refresh plan: semi-join pinned shuffle_hash, broadcasts stay on bounded aggregates") {
+    // The refresh path (r15 ADVICE fix) re-ranks affected store docs'
+    // prefixes against the current df. Its two joins must never
+    // broadcast a corpus side: the staleDocs detection probes the
+    // prefix store against the BOUNDED hot-g set (broadcast is fine —
+    // it is a filtered aggregate), but staleDocs itself is
+    // contractually unbounded on degenerate corpora, so the
+    // allSh-semi-join is pinned shuffle_hash.
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit, count}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, BroadcastNestedLoopJoinExec}
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to 11).map(j => s"w${(i + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val allSh = Dedup.containmentShingles(docs, "doc_id", "text")
+    val newSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") > 30), "doc_id", "text")
+    val dfByG = allSh.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val basePrefix = Dedup.containmentPrefixRows(allSh, dfByG)
+    val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
+    // the refresh subplan exactly as containmentIncrementBatch builds it
+    val hotG = dfByG.filter(col("df") > 4).select(col("g"))
+    val staleDocs = basePrefix.join(broadcast(hotG), Seq("g"))
+      .select(col("a").as("doc_id")).distinct()
+    val refreshed = Dedup.containmentPrefixRows(
+      allSh.join(staleDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
+      dfByG)
+    val p = graft.streaming.EventStreams
+      .containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew,
+        maxPosting = 4, refreshedPrefix = Some(refreshed))
+      .queryExecution.sparkPlan
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // every broadcast build side must sit on an aggregate-derived,
+    // contractually bounded set (hot-g / hot-rep) — never a corpus table
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    bhj.foreach { j =>
+      val buildSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      val hasAgg = buildSide.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, "broadcast build side is not a bounded aggregate:\n" +
+        buildSide.toString.take(800))
+    }
+    // the allSh-vs-staleDocs semi join kept its shuffle_hash pin
+    val semis = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, "stale-doc semi join lost its shuffle_hash pin")
+  }
 }
