@@ -4,19 +4,37 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-scale twin gate for the streaming containment shape
   * (StreamingSpec pins it on toy docs; this runs the REAL corpus):
-  * split the sfDir documents table into a seed base (doc_id % 3 != 0)
-  * and two increments, drive [[graft.streaming.EventStreams
-  * .containmentIncrementBatch]] exactly as foreachBatch would, and
-  * assert the accumulated pair log is BYTE-IDENTICAL (as an (a,b)
-  * set, with na/inter checked through the count) to the batch
-  * operator run once over the full corpus. Prints one JSON line for
-  * BASELINE.md / scale records.
+  * split the sfDir documents table into a seed base (doc_id % 5 == 0)
+  * and four increments, drive [[graft.streaming.EventStreams
+  * .containmentIncrementBatch]] exactly as foreachBatch would — WITH
+  * one minor and one major store fold (docs+prefix+pairs) mid-stream
+  * (r15 VERDICT #5: the previous gate never folded the store; the
+  * compaction cases were toy-scale only) — and assert the accumulated
+  * pair log is BYTE-IDENTICAL (as an (a,b,na,inter) set) to the batch
+  * operator run once over the full corpus, and that the folds really
+  * rewrote the live layout. Prints one JSON line for BASELINE.md /
+  * scale records.
+  *
+  * `chain` mode measures the READ side at the 500k-doc tier (the
+  * containment twin of CompactionBench's dedup chain case): stores
+  * whose live layout is base + {1,4,16} deltas — built through the
+  * real compact() protocol over docs+prefix+pairs — each timed on ONE
+  * additional containmentIncrementBatch, at the sfDir base size and a
+  * 10x id-shift replication of it (sf0.1 -> 500k docs). Flat timings
+  * across chain lengths pin the minorEvery cadence guideline for
+  * [[graft.streaming.EventStreams.streamingContainment]].
   *
   * Run: SPARK_GRAFT_SHUFFLE=32 sbt "runMain graft.tools.ContainmentStreamGate /root/testdata/sf0.1"
+  *      SPARK_GRAFT_SHUFFLE=64 sbt "runMain graft.tools.ContainmentStreamGate /root/testdata/sf0.1 chain [batchDocs]"
   */
 object ContainmentStreamGate {
+  private def r1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chainMode = args.length > 1 && args(1) == "chain"
+    val batchDocs = if (args.length > 2) args(2).toInt else 500
     val spark = graft.ExecMode.builder()
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
@@ -24,27 +42,118 @@ object ContainmentStreamGate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.streaming.EventStreams
+    import graft.streaming.{DedupStore, EventStreams}
+    val subs = Seq("docs", "prefix", "pairs")
 
     val docs = graft.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val base = docs.filter(col("doc_id") % 3 === 0)
-    val inc0 = docs.filter(col("doc_id") % 3 === 1)
-    val inc1 = docs.filter(col("doc_id") % 3 === 2)
     val root = java.nio.file.Files.createTempDirectory("graft_csg").toFile
-    val store = new java.io.File(root, "store").getAbsolutePath
 
-    val t0 = System.nanoTime()
-    EventStreams.seedContainmentBase(base, "doc_id", "text", store)
-    val tSeed = (System.nanoTime() - t0) / 1e9
-    def batch(df: org.apache.spark.sql.DataFrame, id: Long): Double = {
+    def batch(store: String, df: org.apache.spark.sql.DataFrame,
+        id: Long): Double = {
       val b0 = System.nanoTime()
       EventStreams.containmentIncrementBatch(df, id, store,
         "doc_id", "text", 3, 5, graft.operators.Dedup.DefaultMaxPosting)
       (System.nanoTime() - b0) / 1e9
     }
-    val tB0 = batch(inc0, 0L)
-    val tB1 = batch(inc1, 1L)
+
+    if (chainMode) {
+      val baseN = docs.count()
+      // base + exactly `deltas` live delta partitions through the real
+      // compact() protocol (two fresh batches per minor fold — a
+      // single-partition fold is a protocol no-op). Chain-BUILD batches
+      // are written directly in the store's own format (shingle sets +
+      // prefix rows vs the base df snapshot — CompactionBench's dedup
+      // chain methodology: content only needs the right shape; the
+      // REAL containmentIncrementBatch is reserved for the timed probe,
+      // else a 16-delta chain at 500k docs pays 32 full store reads
+      // just to set the stage). The seeded store is built once per
+      // base and file-copied per chain length: the seed (shingle +
+      // prefix build over up to 500k docs) dominates, the copy does not.
+      def novel(tag: Long, n: Int) = spark.range(n).select(
+        (col("id") + 10000000L * (tag + 1)).as("doc_id"),
+        concat(lit(s"novel batch $tag doc "), col("id"),
+          lit(" alpha beta gamma delta epsilon")).as("text"))
+      def buildChain(seed: String, name: String, deltas: Int,
+          dfByG: org.apache.spark.sql.DataFrame): String = {
+        val store = new java.io.File(root, name).getAbsolutePath
+        import scala.sys.process._
+        require(Seq("cp", "-r", seed, store).! == 0, s"copy $seed -> $store")
+        (0 until deltas).foreach { d =>
+          (0 until 2).foreach { j =>
+            val b = 2L * d + j
+            val sh = graft.operators.Dedup
+              .containmentShingles(novel(b, batchDocs), "doc_id", "text", 3, 5)
+            sh.write.mode("overwrite").parquet(s"$store/docs/batch=b$b")
+            graft.operators.Dedup.containmentPrefixRows(sh, dfByG)
+              .write.mode("overwrite").parquet(s"$store/prefix/batch=b$b")
+          }
+          DedupStore.compact(spark, store, 2L * d + 1,
+            foldBase = false, subs = subs)
+        }
+        store
+      }
+      val results = for {
+        (label, base) <- Seq(
+          ("base_1x", docs),
+          ("base_10x", (0 until 10).map(r => docs.select(
+              (col("doc_id") + r.toLong * 100000000L).as("doc_id"),
+              col("text"))).reduce(_.unionByName(_))))
+      } yield {
+        val seed = new java.io.File(root, s"seed_$label").getAbsolutePath
+        // minePairs=false: the chain measurement times the per-batch
+        // increment, not the base's own pair mining.
+        EventStreams.seedContainmentBase(base, "doc_id", "text", seed,
+          minePairs = false)
+        val dfByG = spark.read.parquet(s"$seed/docs/batch=base")
+          .select(explode(col("sh")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val row = Seq(1, 4, 16).map { deltas =>
+          val store = buildChain(seed, s"chain_${label}_$deltas", deltas, dfByG)
+          batch(store, novel(1000L, batchDocs), 1000L) // warm-up
+          val sec = batch(store, novel(1001L, batchDocs), 1001L)
+          val live = DedupStore.readLive(spark, store, "docs")
+            .select(col("batch")).distinct().count()
+          s""""${label}_deltas$deltas":{"sec":${r1(sec)},"live_parts":$live}"""
+        }.mkString(",")
+        dfByG.unpersist(false)
+        row
+      }
+      println(results.mkString(
+        s"""{"gate":"containment_chain_read","sf":"$sfDir","base_docs":$baseN,"batch_docs":$batchDocs,""",
+        ",", "}"))
+      spark.stop()
+      return
+    }
+
+    val base = docs.filter(col("doc_id") % 5 === 0)
+    def inc(k: Int) = docs.filter(col("doc_id") % 5 === k)
+    val store = new java.io.File(root, "store").getAbsolutePath
+
+    val t0 = System.nanoTime()
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store)
+    val tSeed = (System.nanoTime() - t0) / 1e9
+    def fold(upTo: Long, major: Boolean): Double = {
+      val f0 = System.nanoTime()
+      DedupStore.compact(spark, store, upTo, foldBase = major, subs = subs)
+      (System.nanoTime() - f0) / 1e9
+    }
+    val tB0 = batch(store, inc(1), 0L)
+    val tB1 = batch(store, inc(2), 1L)
+    val tMinor = fold(1L, major = false)   // b0+b1 -> delta-g1
+    val tB2 = batch(store, inc(3), 2L)
+    val tMajor = fold(2L, major = true)    // base+delta-g1+b2 -> base-g2
+    val tB3 = batch(store, inc(4), 3L)
+
+    // The folds must have really rewritten the live layout: everything
+    // up to b2 folded into base-g2, only the post-fold b3 beside it.
+    val layout = subs.map { sub =>
+      sub -> DedupStore.readLive(spark, store, sub)
+        .select(col("batch")).distinct().collect()
+        .map(_.getString(0)).toSet
+    }.toMap
+    val layoutOk = layout.values.forall(_ == Set("base-g2", "b3"))
 
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
       df.select(col("a"), col("b"), col("na"), col("inter")).collect()
@@ -54,8 +163,9 @@ object ContainmentStreamGate {
       graft.operators.Dedup.containmentPairs(docs, "doc_id", "text"))
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val equal = streamed == batchTwin
-    println(s"""{"gate":"containment_stream_twin","sf":"$sfDir","streamed_pairs":${streamed.size},"batch_pairs":${batchTwin.size},"equal":$equal,"seed_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(tSeed))},"batch0_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(tB0))},"batch1_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(tB1))}}""")
-    require(equal, s"streamed pair log diverged: streamed-only=${(streamed -- batchTwin).take(5)} batch-only=${(batchTwin -- streamed).take(5)}")
+    println(s"""{"gate":"containment_stream_twin","sf":"$sfDir","streamed_pairs":${streamed.size},"batch_pairs":${batchTwin.size},"equal":$equal,"layout_ok":$layoutOk,"seed_sec":${r1(tSeed)},"batch_sec":[${Seq(tB0, tB1, tB2, tB3).map(r1).mkString(",")}],"minor_fold_sec":${r1(tMinor)},"major_fold_sec":${r1(tMajor)}}""")
+    require(equal, s"streamed pair log diverged across the folds: streamed-only=${(streamed -- batchTwin).take(5)} batch-only=${(batchTwin -- streamed).take(5)}")
+    require(layoutOk, s"folds did not rewrite the live layout: $layout")
     spark.stop()
   }
 }
