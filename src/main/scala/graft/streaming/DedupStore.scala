@@ -144,7 +144,8 @@ object DedupStore {
     */
   def compact(spark: SparkSession, storeDir: String, upToBatchId: Long,
       foldBase: Boolean = true,
-      subs: Seq[String] = Seq("docs", "sigs")): Unit = {
+      subs: Seq[String] = Seq("docs", "sigs"),
+      rewrite: Map[String, String => DataFrame] = Map.empty): Unit = {
     val (maxGen, dead) = manifest(spark, storeDir)
     if (upToBatchId <= maxGen) return
     val phys = physicalParts(spark, storeDir)
@@ -189,13 +190,22 @@ object DedupStore {
     }
     for (sub <- subs) {
       // a sub may lack some partitions (e.g. a pairs log with no seed
-      // entry): fold whatever of toFold exists there
+      // entry): fold whatever of toFold exists there. A `rewrite`
+      // entry replaces the sub's folded rows with its own DataFrame
+      // for the new generation (e.g. a re-ranked containment prefix —
+      // see EventStreams.containmentCompact); the rewriter may read
+      // sibling subs' ALREADY-FOLDED `batch=<gen>` dirs, so subs are
+      // processed in the caller's order. Rewriters must be
+      // deterministic given the folded inputs: the rename-races-safe
+      // publish below relies on identical content across retries.
       val f0 = fs(spark, storeDir)
-      if (f0.exists(new Path(s"$storeDir/$sub")))
-        spark.read.parquet(s"$storeDir/$sub")
+      if (f0.exists(new Path(s"$storeDir/$sub"))) {
+        val folded = spark.read.parquet(s"$storeDir/$sub")
           .filter(col("batch").isin(toFold: _*))
           .drop("batch")
+        rewrite.get(sub).map(_(gen)).getOrElse(folded)
           .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$gen")
+      }
     }
     // Publish: the manifest names the consumed partitions (previous
     // tombstones ride along so a single read of the latest manifest

@@ -674,7 +674,8 @@ object EventStreams {
       // df filter gives them precisely the batch twin's prefix. The
       // stale rows stay in the store (they are a still-lossless
       // superset; candidates they add are verified away) and are
-      // re-detected per batch until a compaction rewrite.
+      // re-detected per batch until a MAJOR containmentCompact erases
+      // them (its prefix generation is rewritten re-ranked).
       val hotG = dfByG.filter(col("df") > maxPosting).select(col("g"))
       val staleDocs = basePrefix
         .join(broadcast(hotG), Seq("g"))
@@ -797,10 +798,41 @@ object EventStreams {
         val major = compactEvery.exists(k => batchId > 0 && batchId % k == 0)
         val minor = minorEvery.exists(k => batchId > 0 && batchId % k == 0)
         if (major || minor)
-          DedupStore.compact(batch.sparkSession, storeDir, batchId - 1,
-            foldBase = major, subs = Seq("docs", "prefix", "pairs"))
+          containmentCompact(batch.sparkSession, storeDir, batchId - 1,
+            foldBase = major)
       }
       .start()
+
+  /** Containment-aware compaction: [[DedupStore.compact]] over
+    * docs+prefix+pairs, with the prefix generation of a MAJOR fold
+    * REWRITTEN from the folded docs re-ranked against their df —
+    * permanently erasing stale prefix rows (shingles gone hot since
+    * ingestion) that the per-batch refresh in
+    * [[containmentIncrementBatch]] otherwise re-detects on every
+    * batch. Lossless by the pigeonhole argument (any floor(n/5)+1
+    * prefix is complete) and deterministic given the folded docs (the
+    * publish protocol's rename-race safety needs that). Residual
+    * unfolded batches (> upToBatchId) keep their own prefix
+    * partitions; the per-batch refresh still covers them. Minor folds
+    * pass through unchanged — re-ranking a delta's docs against only
+    * their own df would be valid but cleans nothing global, and the
+    * rewrite would turn an O(new data) fold into one with an extra
+    * shuffle.
+    */
+  def containmentCompact(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, upToBatchId: Long, foldBase: Boolean): Unit = {
+    val rewrite: Map[String, String => DataFrame] =
+      if (!foldBase) Map.empty
+      else Map("prefix" -> { gen =>
+        val docs = spark.read.parquet(s"$storeDir/docs/batch=$gen")
+          .select(col("doc_id"), col("sh"))
+        val dfByG = docs.select(explode(col("sh")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        graft.operators.Dedup.containmentPrefixRows(docs, dfByG)
+      })
+    DedupStore.compact(spark, storeDir, upToBatchId, foldBase,
+      subs = Seq("docs", "prefix", "pairs"), rewrite = rewrite)
+  }
 
   def streamingNearDup(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket)

@@ -136,7 +136,10 @@ object ContainmentStreamGate {
     val tSeed = (System.nanoTime() - t0) / 1e9
     def fold(upTo: Long, major: Boolean): Double = {
       val f0 = System.nanoTime()
-      DedupStore.compact(spark, store, upTo, foldBase = major, subs = subs)
+      // the containment-aware fold: a major rewrites the prefix
+      // generation re-ranked, so the gate's post-fold parity also
+      // covers the rewrite path
+      EventStreams.containmentCompact(spark, store, upTo, foldBase = major)
       (System.nanoTime() - f0) / 1e9
     }
     val tB0 = batch(store, inc(1), 0L)

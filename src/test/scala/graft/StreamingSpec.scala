@@ -1197,6 +1197,58 @@ class StreamingSpec extends SparkSpec {
         s"streamed-only: ${streamed -- twin}\nbatch-only: ${twin -- streamed}")
   }
 
+  test("containmentCompact: a major fold rewrites the prefix generation re-ranked, erasing stale rows; parity survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_cc").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    // Same planted construction as the stale-prefix test: A(50)'s seed
+    // prefix is its three aa-shingles; the flood batch drives g1 hot.
+    val aTokens = "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val base = Seq((50L, aTokens), (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    EventStreams.containmentIncrementBatch(flood, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    def hotPrefixRows(): Long = {
+      val docs = graft.streaming.DedupStore.readLive(spark, store, "docs")
+      val hot = docs.select(explode(col("sh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 4).select(col("g"))
+      graft.streaming.DedupStore.readLive(spark, store, "prefix")
+        .join(hot, Seq("g")).count()
+    }
+    assert(hotPrefixRows() > 0L, "construction failed: no stale prefix row planted")
+    // MAJOR fold: base + b0 -> base-g0, prefix generation rewritten
+    EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    assert(hotPrefixRows() == 0L,
+      "major containmentCompact left stale (hot-shingle) prefix rows in the store")
+    val layout = graft.streaming.DedupStore.readLive(spark, store, "prefix")
+      .select(col("batch")).distinct().collect().map(_.getString(0)).toSet
+    assert(layout == Set("base-g0"), s"unexpected post-fold layout: $layout")
+    // The rewrite must not have LOST coverage either: B still pairs
+    // with A through the (now stored, re-ranked) prefix, and the whole
+    // log matches the batch twin.
+    val bDoc = Seq((70L, "aa1 aa2 aa3 xx b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(bDoc, 1L, store,
+      "doc_id", "text", 3, 5, 4)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), col("na"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = pairSet(EventStreams.containmentStorePairs(spark, store))
+    val twin = pairSet(graft.operators.Dedup.containmentPairs(
+      base.unionByName(flood).unionByName(bDoc), "doc_id", "text",
+      maxPosting = 4))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(streamed.contains((50L, 70L, 10L, 8L)), s"pair lost after rewrite: $streamed")
+    assert(streamed == twin,
+      s"post-rewrite divergence: ${streamed -- twin} / ${twin -- streamed}")
+  }
+
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
