@@ -153,6 +153,31 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // SECOND, IO-SHAPED code-frozen probe (added r16): the shuffle-agg
+    // probe above is pure CPU and proved BLIND to the page-cache/IO
+    // phase that uniformly inflated the r16 boards 1.2-1.35x while it
+    // read in-band. This one exercises the scan path the entries
+    // actually pay — parquet decode off a pinned 32-file dataset
+    // (written once per run to the local tmpdir, so reads hit the same
+    // cache/disk tier the corpus reads do). RECORDED ONLY for now
+    // (calibration_io in both artifact lines): no alarm band until a
+    // round of history pins its clean range. DO NOT change the
+    // constants — that resets the comparison.
+    val ioProbeDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_ioprobe").toString
+    locally {
+      spark.range(0L, 8000000L, 1L, 32)
+        .selectExpr("id", "id % 9973 AS k",
+          "cast(id % 97 AS double) AS v",
+          "concat('row ', id % 100000, ' filler text payload') AS s")
+        .write.mode("overwrite").parquet(ioProbeDir)
+    }
+    def ioCalibration(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(ioProbeDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order shifts as entries are added).
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration).
@@ -197,13 +222,15 @@ object Bench {
     // warm-up entry A can land after currentEntry advanced to B).
     drainObserved(); observed.clear()
     val calPre = calibration()
+    val calIoPre = ioCalibration()
     // Mid-run probes every ~50 entries localize a box phase change
     // (the r15 driver artifact was contaminated for part of its run;
     // pre/post alone cannot say which part). ~2 s each, unrecorded.
     val calMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calIoMid = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.zipWithIndex.map { case (name, idx) =>
-      if (idx > 0 && idx % 50 == 0) calMid += calibration()
+      if (idx > 0 && idx % 50 == 0) { calMid += calibration(); calIoMid += ioCalibration() }
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(name) } catch {
@@ -221,6 +248,11 @@ object Bench {
       name -> t
     }
     val calPost = calibration()
+    val calIoPost = ioCalibration()
+    try { // best-effort: the probe dataset is a run-local temp dir
+      import scala.sys.process._
+      Seq("rm", "-rf", ioProbeDir).!; ()
+    } catch { case _: Throwable => () }
     // CALIBRATION-DRIFT ALARM (r15 VERDICT #2): the contaminated r15
     // driver run read pre 4.35 s while the PRE probe reads 1.42-2.25 s
     // on every clean run this box has ever recorded (r14/r14b/r15/r15b
@@ -290,10 +322,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calMidJson = calMid.map(_.toString).mkString("[", ",", "]")
+    val calIoMidJson = calIoMid.map(_.toString).mkString("[", ",", "]")
     val driftReasonJson = "\"" + calDriftReasons.mkString("; ")
       .replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"mid":$calMidJson,"post":$calPost},"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"mid":$calMidJson,"post":$calPost},"calibration_io":{"pre":$calIoPre,"mid":$calIoMidJson,"post":$calIoPost},"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
     println(json)
     // The driver artifact keeps only the LAST 2000 CHARS of sbt stdout
     // (measured from BENCH_r13.json's "tail"), and the registry's query
@@ -319,7 +352,7 @@ object Bench {
     // nqueries repeats at the very end (duplicate key; JSON parsers keep
     // the last) so the truncation-aware audit can compute coverage even
     // when the line's head falls outside the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"calibration_io":{"pre":${r3(calIoPre)},"post":${r3(calIoPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }
