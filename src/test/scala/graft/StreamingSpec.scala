@@ -1249,6 +1249,51 @@ class StreamingSpec extends SparkSpec {
       s"post-rewrite divergence: ${streamed -- twin} / ${twin -- streamed}")
   }
 
+  test("containmentCompact with a batch above the watermark: its prefix partition survives the rewrite, mixed layout keeps parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_cw").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val aTokens = "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val base = Seq((50L, aTokens), (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
+    val bDoc = Seq((70L, "aa1 aa2 aa3 xx b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    EventStreams.containmentIncrementBatch(flood, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    EventStreams.containmentIncrementBatch(bDoc, 1L, store,
+      "doc_id", "text", 3, 5, 4)
+    // major at watermark 0: folds base+b0 ONLY; b1 stays live beside
+    // the rewritten generation
+    EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    val layout = Seq("docs", "prefix", "pairs").map { sub =>
+      sub -> graft.streaming.DedupStore.readLive(spark, store, sub)
+        .select(col("batch")).distinct().collect()
+        .map(_.getString(0)).toSet
+    }.toMap
+    assert(layout.values.forall(_ == Set("base-g0", "b1")),
+      s"unexpected mixed layout: $layout")
+    // a further batch mines against the mixed store; full parity holds
+    val cDoc = Seq((80L, "aa1 aa2 aa3 yy b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(cDoc, 2L, store,
+      "doc_id", "text", 3, 5, 4)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), col("na"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = pairSet(EventStreams.containmentStorePairs(spark, store))
+    val twin = pairSet(graft.operators.Dedup.containmentPairs(
+      base.unionByName(flood).unionByName(bDoc).unionByName(cDoc),
+      "doc_id", "text", maxPosting = 4))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(streamed == twin,
+      s"mixed-layout divergence: ${streamed -- twin} / ${twin -- streamed}")
+  }
+
   test("streaming-vs-batch dedup divergence: the base-killed-earlier-batch case fires on exactly the planted doc") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_d").toFile
