@@ -53,6 +53,11 @@ def parse_run(path):
     truncated tail is regex-recovered."""
     d = json.load(open(path))
     meta = {"drift": None, "nqueries": None, "partial": False}
+    if d.get("calibration_io"):
+        io = d["calibration_io"]
+        print(f"  {path}: calibration_io pre {io.get('pre', 0):.2f}s "
+              f"post {io.get('post', 0):.2f}s (IO-shaped probe, r16+; "
+              f"no pinned band yet)")
     if "queries" in d:
         meta.update(drift=d.get("calibration_drift"),
                     nqueries=len(d["queries"]))
