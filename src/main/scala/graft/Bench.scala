@@ -162,19 +162,26 @@ object Bench {
     // cache/disk tier the corpus reads do). RECORDED ONLY for now
     // (calibration_io in both artifact lines): no alarm band until a
     // round of history pins its clean range. DO NOT change the
-    // constants — that resets the comparison.
-    val ioProbeDir = java.nio.file.Files
-      .createTempDirectory("graft_bench_ioprobe").toString
-    locally {
+    // constants — that resets the comparison. The dataset write is
+    // DEFERRED to first use, which happens AFTER calPre: putting any
+    // new work before calPre shifts the pinned probe's baseline vs
+    // its cross-round history (observed on the r16b board: pre read
+    // 1.45-1.58 with the write before calPre vs a 1.42-2.25 history
+    // band centred ~1.8) and silently skews round_compare's factor.
+    lazy val ioProbeDir = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_ioprobe").toString
       spark.range(0L, 8000000L, 1L, 32)
         .selectExpr("id", "id % 9973 AS k",
           "cast(id % 97 AS double) AS v",
           "concat('row ', id % 100000, ' filler text payload') AS s")
-        .write.mode("overwrite").parquet(ioProbeDir)
+        .write.mode("overwrite").parquet(dir)
+      dir
     }
     def ioCalibration(): Double = {
+      val dir = ioProbeDir // first call pays the one-time dataset write
       val t0 = System.nanoTime()
-      spark.read.parquet(ioProbeDir)
+      spark.read.parquet(dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
