@@ -159,9 +159,10 @@ object Bench {
     // read in-band. This one exercises the scan path the entries
     // actually pay — parquet decode off a pinned 32-file dataset
     // (written once per run to the local tmpdir, so reads hit the same
-    // cache/disk tier the corpus reads do). RECORDED ONLY for now
-    // (calibration_io in both artifact lines): no alarm band until a
-    // round of history pins its clean range. DO NOT change the
+    // cache/disk tier the corpus reads do). Recorded as calibration_io
+    // in both artifact lines AND, since r17, wired into the drift
+    // alarm: the r16 contamination the CPU probe missed read IO pre
+    // 1.10s vs the 0.51-0.69s clean band. DO NOT change the
     // constants — that resets the comparison. The dataset write is
     // DEFERRED to first use, which happens AFTER calPre: putting any
     // new work before calPre shifts the pinned probe's baseline vs
@@ -280,12 +281,40 @@ object Bench {
         case Some(Array(lo, hi)) => (lo, hi)
         case _ => (1.2, 3.0)
       }
+    // IO-probe band (r16 VERDICT #1): the r16 driver artifact was
+    // box-contaminated at 2.46x raw with calibration_drift:false — the
+    // CPU probe is blind to IO-shaped phases (page cache / disk tier),
+    // and the then-record-only IO probe read pre 1.10s against a
+    // 0.51-0.69s clean history (all six r16b boards; see BASELINE.md's
+    // calibration_io table). Pinned clean band [0.30, 0.95]: every
+    // clean pre point sits inside with margin, the contaminated 1.10
+    // is refused. Box-specific like the CPU band — override via
+    // SPARK_GRAFT_CAL_IO_BAND=lo,hi on different hardware.
+    val calIoBand = sys.env.get("SPARK_GRAFT_CAL_IO_BAND")
+      .map(_.split(",").map(_.trim.toDouble)) match {
+        case Some(Array(lo, hi)) => (lo, hi)
+        case _ => (0.30, 0.95)
+      }
     val calDriftReasons = scala.collection.mutable.ArrayBuffer.empty[String]
     if (calPre < calBand._1 || calPre > calBand._2) calDriftReasons +=
       f"pre probe $calPre%.2fs outside clean band [${calBand._1}%.1f,${calBand._2}%.1f]"
+    if (calIoPre < calIoBand._1 || calIoPre > calIoBand._2) calDriftReasons +=
+      f"IO pre probe $calIoPre%.2fs outside clean band [${calIoBand._1}%.2f,${calIoBand._2}%.2f]"
+    // Rule (b) needs mid-run probes to carry signal: on a subset run
+    // (SPARK_GRAFT_BENCH_ONLY under ~51 entries) calMid is empty, and
+    // "every later probe above the ceiling" would degenerate to the
+    // post probe ALONE — exactly the no-signal case the rule was tuned
+    // to ignore (clean posts read up to 6.55s). Gate on calMid.nonEmpty
+    // so a lone high-but-clean post can never trip it (r16 ADVICE).
     val later = calMid.toSeq :+ calPost
-    if (later.nonEmpty && later.forall(_ > calBand._2)) calDriftReasons +=
+    if (calMid.nonEmpty && later.forall(_ > calBand._2)) calDriftReasons +=
       f"all ${later.size} later probes (${later.map(p => f"$p%.2f").mkString("/")}s) above ${calBand._2}%.1fs"
+    // Same sustained-slowness rule for the IO probe, with the same
+    // calIoMid.nonEmpty guard (clean IO posts read 0.26-0.47s but the
+    // history is one round deep — post alone must carry no signal).
+    val ioLater = calIoMid.toSeq :+ calIoPost
+    if (calIoMid.nonEmpty && ioLater.forall(_ > calIoBand._2)) calDriftReasons +=
+      f"all ${ioLater.size} later IO probes (${ioLater.map(p => f"$p%.2f").mkString("/")}s) above ${calIoBand._2}%.2fs"
     val calDrift = calDriftReasons.nonEmpty
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -309,19 +338,14 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val obsFull = obsJson(observed)
-    def nonzero(v: Any): Boolean = v match {
-      case n: Long => n != 0L
-      case n: Int => n != 0
-      case n: Double => n != 0.0
-      case _ => true
-    }
     // The degradation alarms alone (e.g. star_rows > 0): small enough
     // for the tail-captured compact line, so a degraded corpus in a
     // driver run is visible even if only the last 2000 chars survive.
+    // Alarm-or-not is per-metric (ObservedAlarms, r16 VERDICT #6).
     val obsAlarms = obsJson(observed.collect {
       case (entry, metrics) =>
         entry -> metrics.collect {
-          case (metric, cols) if cols.exists { case (_, v) => nonzero(v) } =>
+          case (metric, cols) if ObservedAlarms.isAlarm(metric, cols) =>
             metric -> cols
         }
     }.filter(_._2.nonEmpty))

@@ -111,16 +111,13 @@ object Verify {
             .mkString("{", ",", "}")
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    def nonzero(v: Any): Boolean = v match {
-      case n: Long => n != 0L
-      case n: Int => n != 0
-      case n: Double => n != 0.0
-      case _ => true
-    }
+    // Per-metric alarm predicates (r16 VERDICT #6): `any nonzero`
+    // stays the conservative default inside ObservedAlarms, but an
+    // informational metric (stat_*) no longer cries wolf forever.
     val alarms = observed.collect {
       case (entry, metrics) =>
         entry -> metrics.collect {
-          case (metric, cols) if cols.exists { case (_, v) => nonzero(v) } =>
+          case (metric, cols) if ObservedAlarms.isAlarm(metric, cols) =>
             metric -> cols
         }
     }.filter(_._2.nonEmpty)

@@ -70,8 +70,12 @@ object ContainmentStreamGate {
       // just to set the stage). The seeded store is built once per
       // base and file-copied per chain length: the seed (shingle +
       // prefix build over up to 500k docs) dominates, the copy does not.
+      // Novel ids live ABOVE every base_10x replication band
+      // (r*100000000): the old 10000000*(tag+1) scheme landed exactly
+      // on band boundaries at tags 9/19/29, planting duplicate doc_ids
+      // in the measured store (r16 ADVICE).
       def novel(tag: Long, n: Int) = spark.range(n).select(
-        (col("id") + 10000000L * (tag + 1)).as("doc_id"),
+        (col("id") + 1000000000L + 10000000L * tag).as("doc_id"),
         concat(lit(s"novel batch $tag doc "), col("id"),
           lit(" alpha beta gamma delta epsilon")).as("text"))
       def buildChain(seed: String, name: String, deltas: Int,

@@ -61,6 +61,25 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
   }
 
+  test("ObservedAlarms: per-metric predicates — star_rows alarms, stat_* never does, unknown stays conservative") {
+    // r16 VERDICT #6: the old any-nonzero rule would have permanently
+    // cried wolf on the first legitimately-nonzero observe() metric.
+    val hot = Seq("star_rows" -> (42L: Any))
+    assert(ObservedAlarms.isAlarm("containment_hot", hot),
+      "nonzero star_rows must alarm")
+    assert(!ObservedAlarms.isAlarm("containment_hot",
+      Seq("star_rows" -> (0L: Any))), "zero star_rows must not alarm")
+    // a benign informational metric: nonzero is its NORMAL state
+    assert(!ObservedAlarms.isAlarm("stat_rows_scanned",
+      Seq("rows" -> (123456L: Any))),
+      "stat_* metrics are informational and must never alarm")
+    // unknown metrics keep the conservative default
+    assert(ObservedAlarms.isAlarm("future_degradation_signal",
+      Seq("n" -> (1L: Any))), "unknown nonzero metric must alarm")
+    assert(!ObservedAlarms.isAlarm("future_degradation_signal",
+      Seq("n" -> (0L: Any), "m" -> (0.0: Any))))
+  }
+
   test("oracle SQL avoids DuckDB HUGEINT (raw sum over integer columns)") {
     // sums of known integer columns/expressions must be CAST to BIGINT
     // window sums (sum(...) OVER) stay internal to the query and never

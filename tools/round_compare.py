@@ -3,8 +3,14 @@
 code-frozen calibration probe (graft.Bench runs the same pinned
 shuffle-agg first and last in every batch and reports it as
 "calibration": {"pre": s, "post": s} — since r16 with mid-run probes
-in "mid" and a "calibration_drift" alarm when any probe leaves the
-pinned clean band or the probes spread >1.5x).
+in "mid" and a "calibration_drift" alarm; since r17 an IO-shaped
+probe "calibration_io" joins it. The alarm fires iff: the CPU pre
+probe leaves its pinned clean band; the IO pre probe leaves ITS
+pinned band; or EVERY later probe of either family (mids + post,
+only when mids exist) sits above that family's band ceiling —
+sustained slowness a single end-of-run debris spike can't explain.
+There is deliberately NO pre/post-spread rule: a spread check would
+flag 12 clean historical runs).
 
 For each shared query: raw ratio = new/old, normalized ratio =
 raw / (cal_new / cal_old). The calibration factor is the geometric
@@ -45,6 +51,14 @@ DEFAULT_BOARD = ",".join(
     os.path.join(os.path.dirname(__file__) or ".", "..",
                  f"bench_r15b_cold{i}.json") for i in range(1, 5))
 
+# Pinned IO-probe clean band (pre), mirroring Bench.scala's
+# SPARK_GRAFT_CAL_IO_BAND default. Applied HERE as well so an artifact
+# produced by a pre-r17 binary (whose baked calibration_drift flag
+# predates the IO rule — BENCH_r16.json carried pre 1.10s with
+# drift:false) is still refused by the audit.
+IO_BAND = tuple(float(x) for x in os.environ.get(
+    "SPARK_GRAFT_CAL_IO_BAND", "0.30,0.95").split(","))
+
 
 def parse_run(path):
     """One run -> dict with queries, calibration|None, drift flag|None,
@@ -52,12 +66,14 @@ def parse_run(path):
     summary line (slowest-only), or a driver BENCH_rN.json whose
     truncated tail is regex-recovered."""
     d = json.load(open(path))
-    meta = {"drift": None, "nqueries": None, "partial": False}
+    meta = {"drift": None, "nqueries": None, "partial": False,
+            "io_pre": None}
     if d.get("calibration_io"):
         io = d["calibration_io"]
+        meta["io_pre"] = io.get("pre")
         print(f"  {path}: calibration_io pre {io.get('pre', 0):.2f}s "
               f"post {io.get('post', 0):.2f}s (IO-shaped probe, r16+; "
-              f"no pinned band yet)")
+              f"pinned pre band [{IO_BAND[0]:.2f},{IO_BAND[1]:.2f}])")
     if "queries" in d:
         meta.update(drift=d.get("calibration_drift"),
                     nqueries=len(d["queries"]))
@@ -84,6 +100,9 @@ def parse_run(path):
         m = re.search(r'"calibration_drift":(true|false)', d["tail"])
         if m:
             meta["drift"] = m.group(1) == "true"
+        m = re.search(r'"calibration_io":\{"pre":([0-9.]+)', d["tail"])
+        if m:
+            meta["io_pre"] = float(m.group(1))
         m = re.search(r'"nqueries":(\d+)', d["tail"])
         if m:
             meta["nqueries"] = int(m.group(1))
@@ -105,24 +124,38 @@ def load(paths):
         cal = statistics.median(
             (c["pre"] * c["post"]) ** 0.5 for c in cals)
     drift = any(m["drift"] for _, _, m in runs)
+    # Recomputed IO-band check (r17): a run whose recorded IO pre sits
+    # outside the pinned band counts as drifted even if its baked
+    # calibration_drift flag predates the IO rule.
+    io_out = [m["io_pre"] for _, _, m in runs
+              if m["io_pre"] is not None
+              and not (IO_BAND[0] <= m["io_pre"] <= IO_BAND[1])]
     # Largest declared registry size across the runs (None if unknown).
     nq = [m["nqueries"] for _, _, m in runs if m["nqueries"]]
     partial = any(m["partial"] for _, _, m in runs)
     return queries, cal, {"drift": drift, "nqueries": max(nq) if nq else None,
-                          "partial": partial}
+                          "partial": partial, "io_out": io_out}
 
 
 def driver_audit(driver_path, board_paths, allow_drift):
     drv, cal_drv, meta = load(driver_path)
     board, cal_board, _ = load(board_paths)
     factor = None
+    if meta.get("io_out"):
+        meta["drift"] = True
+        print(f"driver artifact's IO probe pre "
+              f"{'/'.join(f'{v:.2f}' for v in meta['io_out'])}s is outside "
+              f"the pinned clean band [{IO_BAND[0]:.2f},{IO_BAND[1]:.2f}] "
+              f"(recomputed here — binding even when the artifact's baked "
+              f"calibration_drift flag predates the r17 IO rule)")
     if meta["drift"]:
         if not allow_drift:
-            print("REFUSED: driver artifact carries calibration_drift=true "
-                  "— the run measured its own box outside the pinned clean "
-                  "band (or the probes spread >1.5x). Re-run the bench on a "
-                  "quiet box, or pass --allow-drift to audit anyway with "
-                  "calibration-normalized ratios.")
+            print("REFUSED: the driver run measured its own box outside a "
+                  "pinned clean band — the CPU pre probe left its band, the "
+                  "IO pre probe left its band, or every later probe of one "
+                  "family sat above that family's ceiling. Re-run the bench "
+                  "on a quiet box, or pass --allow-drift to audit anyway "
+                  "with calibration-normalized ratios.")
             sys.exit(2)
         if cal_drv and cal_board:
             factor = cal_drv / cal_board
