@@ -414,7 +414,8 @@ object Dedup {
       textCol: String, jaccardThreshold: Double = 0.7, shingleLen: Int = 3,
       numPerm: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
-      baseSigs: Option[DataFrame] = None): DataFrame = {
+      baseSigs: Option[DataFrame] = None,
+      incrementBounded: Boolean = false): DataFrame = {
     val rowsPerBand = numPerm / bands
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     def buckets(df: DataFrame, sigs: Option[DataFrame]) =
@@ -425,7 +426,24 @@ object Dedup {
     // increment vs base: any banded collision that verifies kills the
     // increment doc outright (base always wins) — capped, see
     // [[incBaseCandidates]] and the scaladoc trade.
-    val vsBase = incBaseCandidates(incBuckets, buckets(base, baseSigs), maxBucket)
+    //
+    // `incrementBounded = true` declares the increment BOUNDED (a
+    // streaming micro-batch, trigger-sized — never the batch
+    // operator's contractually unbounded increment): the base bucket
+    // table is then broadcast-semi-pruned to the increment's
+    // (band, key) set BEFORE the bucket-size window, turning the
+    // former per-batch O(base)-bucket shuffle+sort into a map-side
+    // scan plus a window over the colliding buckets only. Pruning by
+    // the window's own partition key keeps every retained group
+    // intact, so bucket sizes and representatives are EXACT (r16
+    // VERDICT #3's dedup-family half).
+    val baseBuckets0 = buckets(base, baseSigs)
+    val baseBuckets =
+      if (!incrementBounded) baseBuckets0
+      else baseBuckets0.join(
+        broadcast(incBuckets.select(col("band"), col("key")).distinct()),
+        Seq("band", "key"), "left_semi")
+    val vsBase = incBaseCandidates(incBuckets, baseBuckets, maxBucket)
     // Two SEPARATE verify passes, not one union-tagged pass: the two
     // outputs feed diverging consumers (a driver collect inside
     // connectedComponents vs the final anti join), so a shared merged

@@ -145,7 +145,7 @@ object DedupStore {
   def compact(spark: SparkSession, storeDir: String, upToBatchId: Long,
       foldBase: Boolean = true,
       subs: Seq[String] = Seq("docs", "sigs"),
-      rewrite: Map[String, String => DataFrame] = Map.empty): Unit = {
+      rewrite: Map[String, (String, DataFrame) => DataFrame] = Map.empty): Unit = {
     val (maxGen, dead) = manifest(spark, storeDir)
     if (upToBatchId <= maxGen) return
     val phys = physicalParts(spark, storeDir)
@@ -191,11 +191,12 @@ object DedupStore {
     for (sub <- subs) {
       // a sub may lack some partitions (e.g. a pairs log with no seed
       // entry): fold whatever of toFold exists there. A `rewrite`
-      // entry replaces the sub's folded rows with its own DataFrame
-      // for the new generation (e.g. a re-ranked containment prefix —
-      // see EventStreams.containmentCompact); the rewriter may read
-      // sibling subs' ALREADY-FOLDED `batch=<gen>` dirs, so subs are
-      // processed in the caller's order. Rewriters must be
+      // entry receives (generation name, the sub's folded rows) and
+      // replaces those rows for the new generation (e.g. a re-ranked
+      // containment prefix, or a distinct over folded bookkeeping —
+      // see EventStreams.containmentCompact); the rewriter may also
+      // read sibling subs' ALREADY-FOLDED `batch=<gen>` dirs, so subs
+      // are processed in the caller's order. Rewriters must be
       // deterministic given the folded inputs: the rename-races-safe
       // publish below relies on identical content across retries.
       val f0 = fs(spark, storeDir)
@@ -203,7 +204,7 @@ object DedupStore {
         val folded = spark.read.parquet(s"$storeDir/$sub")
           .filter(col("batch").isin(toFold: _*))
           .drop("batch")
-        rewrite.get(sub).map(_(gen)).getOrElse(folded)
+        rewrite.get(sub).map(_(gen, folded)).getOrElse(folded)
           .write.mode("overwrite").parquet(s"$storeDir/$sub/batch=$gen")
       }
     }

@@ -486,7 +486,11 @@ object EventStreams {
     val survivors = graft.operators.Dedup.dedupIncrement(
         baseDocs, batch.select(col(idCol), col(textCol)), idCol, textCol,
         jaccardThreshold, shingleLen, numPerm, bands, maxBucket,
-        baseSigs = Some(baseSigs))
+        baseSigs = Some(baseSigs),
+        // a micro-batch is trigger-bounded: prune the store's bucket
+        // table to the batch's (band, key) set map-side (r16 VERDICT
+        // #3) instead of window-sorting every store bucket per batch
+        incrementBounded = true)
       .persist() // written twice (docs + sigs); run the verify once
     try {
       survivors.write.mode("overwrite")
@@ -568,6 +572,20 @@ object EventStreams {
     * what makes increments cheap: each micro-batch joins the STORED
     * index rows against its own postings instead of re-ranking every
     * store doc's shingles per batch.
+    *
+    * Two more TINY subs carry the cross-batch bookkeeping that keeps
+    * each increment's cost bounded by the batch, not the store (r16
+    * VERDICT #3/#4):
+    *   - `hot/batch=base` — the CUMULATIVE hot-shingle set (df >
+    *     maxPosting). Exact by construction and monotone forever
+    *     after: df only grows, and a shingle can only cross the cap
+    *     in a batch that contains it, so each batch appends exactly
+    *     its newly-hot shingles.
+    *   - `stale/batch=base` — store docs whose STORED prefix lost a
+    *     row to a shingle that went hot after ingestion (the r15
+    *     ADVICE soundness case). Empty at seed by construction: seed
+    *     prefixes are ranked against the seed df, so already-hot
+    *     shingles rank LAST and displace no cold row.
     */
   def seedContainmentBase(base: DataFrame, idCol: String, textCol: String,
       storeDir: String, shingleLen: Int = 3, minShingles: Int = 5,
@@ -581,8 +599,15 @@ object EventStreams {
       sh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=base")
       val dfByG = sh.select(explode(col("sh")).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      Dedup.containmentPrefixRows(sh, dfByG)
-        .write.mode("overwrite").parquet(s"$storeDir/prefix/batch=base")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Dedup.containmentPrefixRows(sh, dfByG)
+          .write.mode("overwrite").parquet(s"$storeDir/prefix/batch=base")
+        dfByG.filter(col("df") > maxPosting).select(col("g"))
+          .write.mode("overwrite").parquet(s"$storeDir/hot/batch=base")
+        sh.select(col("doc_id")).limit(0)
+          .write.mode("overwrite").parquet(s"$storeDir/stale/batch=base")
+      } finally { dfByG.unpersist(false); () }
       if (minePairs)
         Dedup.containmentPairs(base, idCol, textCol, shingleLen,
             minShingles, maxPosting)
@@ -604,19 +629,41 @@ object EventStreams {
   /** One micro-batch of [[streamingContainment]]: mine every
     * containment pair TOUCHING the new docs — a in new vs anyone
     * (both directions of the prefix join), a in store vs b in new via
-    * the PERSISTED prefix index — then append the batch's shingles
-    * and prefix rows to the store. Idempotent under replay exactly as
+    * the PERSISTED prefix index — then append the batch's shingles,
+    * prefix rows, newly-hot shingles and newly-stale doc ids to the
+    * store. Idempotent under replay exactly as
     * [[dedupIncrementBatch]]: deterministic per-batch partition dirs,
-    * overwrite mode, base read excludes the current batch id.
+    * overwrite mode, every base read excludes the current batch id.
+    *
+    * COST SHAPE (r16 VERDICT #3 — the former O(store)-postings
+    * shuffle + O(store) cache materialization per batch is gone):
+    * everything keyed is bounded by the BATCH, not the store. The
+    * store contributes per batch only map-side columnar scans — the
+    * docs sub exploded and semi-pruned against the broadcast of this
+    * batch's distinct shingles (a shingle can only form a pair with a
+    * batch doc if the batch contains it), the prefix sub semi-pruned
+    * the same way, and the tiny hot/stale subs. Shuffled volume is
+    * O(postings matching the batch's shingles), so per-batch time
+    * grows with scan bandwidth, not with store-sized shuffles —
+    * ContainmentStreamGate's chain mode pins the 1x-vs-10x-store
+    * ratio. The batch's distinct-shingle set is the one broadcast of
+    * corpus-derived data; it is bounded by the micro-batch (the
+    * trigger interval controls it), the same boundedness contract
+    * streaming state already relies on.
+    *
+    * EXACTNESS of the pruned df: the pruned postings still contain
+    * EVERY store posting of each batch shingle, so per-shingle totals
+    * and min-id representatives computed from them are exact — and
+    * since df only grows and only via batches containing the shingle,
+    * the persisted `hot` sub plus this batch's totals give the exact
+    * global hot set wherever it matters (a shingle outside the batch
+    * cannot route any of this batch's pairs).
     *
     * Pair-set completeness across batches: a pair lands in exactly
     * the batch its LATER doc arrives in (new-vs-new and new-vs-store
     * both orientations are mined; store-vs-store pairs were mined
-    * when the younger side arrived). The hot-posting star tier runs
-    * per batch against the CURRENT global df (one O(store-postings)
-    * aggregate per batch — the same O(store)-read-per-batch contract
-    * as dedupIncrementBatch; compaction bounds the file count): new
-    * hot members pair with the current min-id representative. The one
+    * when the younger side arrived). The hot-posting star tier pairs
+    * new hot members with the current min-id representative. The one
     * divergence from the batch operator, inherent to incremental
     * resolution on a DEGENERATE corpus: members that arrived before
     * the eventual min-id representative stay linked to the
@@ -625,15 +672,12 @@ object EventStreams {
     * Organic corpora (empty hot set) have exact twin parity. A second
     * potential divergence — a stored prefix shrinking below the
     * lossless floor(n/5)+1 bound when its shingles go hot AFTER
-    * ingestion — is CLOSED by the per-batch stale-prefix refresh
-    * below (affected store docs are re-ranked against the current df,
-    * matching the batch twin's prefix exactly).
+    * ingestion — is CLOSED by the stale-prefix refresh below.
     */
   private[graft] def containmentIncrementBatch(batch: DataFrame,
       batchId: Long, storeDir: String, idCol: String, textCol: String,
       shingleLen: Int, minShingles: Int, maxPosting: Int): Unit = {
     import graft.operators.Dedup
-    import graft.functions.VectorExpressions.sorted_intersect_size
     val spark = batch.sparkSession
     val part = s"b$batchId"
     val (_, dead) = DedupStore.manifest(spark, storeDir)
@@ -642,115 +686,164 @@ object EventStreams {
         "this stream is writing batch ids the store already compacted " +
         "away (fresh checkpoint over an existing store?). Use a new " +
         "storeDir or restart from the original checkpoint.")
+    val MAD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val newSh = Dedup.containmentShingles(batch, idCol, textCol,
-        shingleLen, minShingles)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baseSh = DedupStore.readLive(spark, storeDir, "docs")
+        shingleLen, minShingles).persist(MAD)
+    val storeSh = DedupStore.readLive(spark, storeDir, "docs")
       .filter(col("batch") =!= part).select(col("doc_id"), col("sh"))
-    val basePrefix = DedupStore.readLive(spark, storeDir, "prefix")
-      .filter(col("batch") =!= part)
-      .select(col("a"), col("nsha"), col("g"))
-    // One persisted pass over the union corpus (same contract as the
-    // batch operator: the shingle table feeds the df aggregate, the
-    // posting join's b side, and both verify joins).
-    val allSh = baseSh.unionByName(newSh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val newG = postsNew.select(col("g")).distinct()
+    // Store postings pruned MAP-SIDE to the batch's shingles: the
+    // explode is pipelined off the columnar scan, the broadcast semi
+    // drops every posting that cannot touch this batch, and only the
+    // survivors (all store postings of the batch's shingles — the
+    // exactness contract above) are ever shuffled or cached.
+    val postsStore = storeSh
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+      .persist(MAD)
+    // Exact per-shingle totals + min-id representatives for every
+    // shingle in the batch (the only shingles any of this batch's
+    // tiers can route on).
+    val aggAll = postsStore.unionByName(postsNew)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("nsh"))).as("rep"))
+      .persist(MAD)
     try {
-      val dfByG = allSh.select(explode(col("sh")).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // STALE-PREFIX REFRESH (r15 ADVICE): a stored prefix row whose
-      // shingle has since crossed df > maxPosting leaves the cold join
-      // for the star tier, and the doc's surviving cold prefix can fall
-      // below the lossless floor(n/5)+1 bound — a (store, new) pair
-      // sharing only cold shingles outside the reduced prefix would be
-      // silently missed, while the batch twin (which re-ranks every
-      // prefix against the current df) finds it. Detect affected store
-      // docs with a map-only probe of the prefix store against the
-      // BOUNDED broadcast hot set (empty on organic corpora), and only
-      // when any exist pay the corpus shuffle to re-rank exactly those
-      // docs' prefixes against the current df — after which cold()'s
-      // df filter gives them precisely the batch twin's prefix. The
-      // stale rows stay in the store (they are a still-lossless
-      // superset; candidates they add are verified away) and are
-      // re-detected per batch until a MAJOR containmentCompact erases
-      // them (its prefix generation is rewritten re-ranked).
-      val hotG = dfByG.filter(col("df") > maxPosting).select(col("g"))
-      val staleDocs = basePrefix
-        .join(broadcast(hotG), Seq("g"))
-        .select(col("a").as("doc_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hotTab = aggAll.filter(col("df") > maxPosting)
+      val hotPrior = DedupStore.readLive(spark, storeDir, "hot")
+        .filter(col("batch") =!= part).select(col("g")).distinct()
+      val newlyHot = hotTab.select(col("g"))
+        .join(hotPrior, Seq("g"), "left_anti").persist(MAD)
+      // Store prefix rows pruned to the batch's shingles — serves both
+      // the cold store-vs-new join and the stale probe (newly-hot
+      // shingles are batch shingles by the monotonicity argument).
+      val storePrefix = DedupStore.readLive(spark, storeDir, "prefix")
+        .filter(col("batch") =!= part)
+        .select(col("a"), col("nsha"), col("g"))
+        .join(broadcast(newG), Seq("g"), "left_semi")
+        .persist(MAD)
+      // STALE-PREFIX bookkeeping (r15 ADVICE fix, r16 VERDICT #4): a
+      // stored prefix row whose shingle crossed df > maxPosting AFTER
+      // its ranking leaves the cold join for the star tier, and the
+      // doc's surviving cold prefix can fall below the lossless
+      // floor(n/5)+1 bound — a (store, new) pair sharing only cold
+      // shingles outside the reduced prefix would be silently missed.
+      // Displacement can only be CAUSED by a shingle in the batch that
+      // made it hot (prefixes written later rank it last), so the
+      // probe runs ONLY when this batch made something newly hot —
+      // organic batches (empty hot delta) touch no prefix row for it —
+      // and its hits are PERSISTED to the `stale` sub so later batches
+      // read the tiny cumulative list instead of re-probing. A MAJOR
+      // containmentCompact re-ranks the folded prefix generation and
+      // resets the list.
+      val staleDelta =
+        (if (newlyHot.isEmpty)
+          storePrefix.select(col("a").as("doc_id")).limit(0)
+        else storePrefix.join(broadcast(newlyHot), Seq("g"))
+          .select(col("a").as("doc_id")).distinct())
+        .persist(MAD)
+      newlyHot.write.mode("overwrite").parquet(s"$storeDir/hot/batch=$part")
+      staleDelta.write.mode("overwrite")
+        .parquet(s"$storeDir/stale/batch=$part")
+      val staleAll = DedupStore.readLive(spark, storeDir, "stale")
+        .filter(col("batch") =!= part).select(col("doc_id"))
+        .unionByName(staleDelta).distinct()
+      // Re-rank stale docs' prefixes with every currently-hot shingle
+      // ranked LAST (df = cap+1; absent shingles coalesce to 0): the
+      // resulting floor(n/5)+1 prefix keeps a maximal cold subset,
+      // which is all the lossless pigeonhole argument needs — exact
+      // per-shingle df would only reorder COLD shingles among
+      // themselves, changing candidate fan-out, never coverage. That
+      // keeps the refresh free of any store-sized aggregate; extra
+      // candidates are verified away.
+      val refreshedPrefix =
+        if (staleAll.isEmpty) None
+        else {
+          val staleSh = storeSh.join(staleAll.hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          val hotRank = hotPrior.unionByName(newlyHot)
+            .withColumn("df", lit((maxPosting + 1).toLong))
+          Some(Dedup.containmentPrefixRows(staleSh, hotRank))
+        }
+      val prefixNew = Dedup.containmentPrefixRows(newSh,
+          aggAll.select(col("g"), col("df")))
+        .persist(MAD)
       try {
-        val refreshedPrefix =
-          if (staleDocs.isEmpty) None
-          else Some(Dedup.containmentPrefixRows(
-            allSh.join(staleDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
-            dfByG))
-        containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew,
-            maxPosting, refreshedPrefix)
+        containmentIncrementPairs(storeSh.unionByName(newSh), newSh,
+            storePrefix, prefixNew, postsStore, hotTab, refreshedPrefix)
           .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$part")
-      } finally { staleDocs.unpersist(false); () }
-      newSh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$part")
-      prefixNew.write.mode("overwrite")
-        .parquet(s"$storeDir/prefix/batch=$part")
-      prefixNew.unpersist(false); ()
-    } finally { allSh.unpersist(false); newSh.unpersist(false); () }
+        newSh.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$part")
+        prefixNew.write.mode("overwrite")
+          .parquet(s"$storeDir/prefix/batch=$part")
+      } finally {
+        prefixNew.unpersist(false); staleDelta.unpersist(false)
+        storePrefix.unpersist(false); newlyHot.unpersist(false); ()
+      }
+    } finally {
+      aggAll.unpersist(false); postsStore.unpersist(false)
+      newSh.unpersist(false); ()
+    }
   }
 
   /** The pure per-batch pair-mining PLAN of [[containmentIncrementBatch]]
     * (factored out so PlanSpec can pin its scale shape): cold tier =
-    * current-df-filtered prefix rows shuffle-hash-joined against
-    * postings (a in NEW vs anyone; a in STORE via the persisted prefix
-    * vs NEW); star tier = NEW members of hot shingles vs the current
-    * min-id representative against the BOUNDED broadcast hot set
-    * (the only broadcast in the plan); verify = sort-merge joins on
-    * doc ids (both sides contractually unbounded). Same output columns
-    * as the batch [[graft.operators.Dedup.containmentPairs]].
+    * prefix rows with currently-hot shingles dropped by a broadcast
+    * anti join, shuffle-hash-joined against batch-pruned postings
+    * (a in NEW vs anyone; a in STORE via the persisted prefix vs NEW);
+    * star tier = NEW members of hot shingles vs the current min-id
+    * representative against the broadcast hot table; verify =
+    * sort-merge joins on doc ids (both sides contractually unbounded).
+    * Every broadcast build is a bounded aggregate (the hot set, or
+    * batch-derived distincts built by the caller); no store-sized side
+    * is ever shuffled by more than its batch-matching postings. Same
+    * output columns as [[graft.operators.Dedup.containmentPairs]].
     *
-    * `refreshedPrefix`, when present, carries current-df re-ranked
-    * prefix rows for store docs whose stored prefix lost rows to the
-    * hot-shingle cap (see the stale-prefix refresh in
-    * [[containmentIncrementBatch]]); they union into the store side of
-    * the cold join — a superset of the stored rows, so candidates only
-    * grow and verify keeps the output exact.
+    * Input contracts (the caller — [[containmentIncrementBatch]] —
+    * establishes them): `postsStore` holds EVERY store posting whose
+    * shingle occurs in the batch and nothing else; `hotTab` is
+    * (g, df, rep) EXACTLY for the hot shingles among the batch's
+    * (exact totals over store + batch); `storePrefix` is the stored
+    * prefix pruned to batch shingles, plus — via `refreshedPrefix` —
+    * re-ranked rows for docs whose stored prefix lost rows to the
+    * hot cap (a superset of the stored rows, so candidates only grow
+    * and verify keeps the output exact).
     */
-  private[graft] def containmentIncrementPairs(allSh: DataFrame,
-      newSh: DataFrame, basePrefix: DataFrame, prefixNew: DataFrame,
-      maxPosting: Int, refreshedPrefix: Option[DataFrame] = None): DataFrame = {
+  private[graft] def containmentIncrementPairs(shAll: DataFrame,
+      newSh: DataFrame, storePrefix: DataFrame, prefixNew: DataFrame,
+      postsStore: DataFrame, hotTab: DataFrame,
+      refreshedPrefix: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.VectorExpressions.sorted_intersect_size
-    val posts = allSh.select(col("doc_id"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("g"))
     val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
-    val dfTab = posts.groupBy(col("g")).agg(count(lit(1)).as("df"),
-      min(struct(col("doc_id"), col("nsh"))).as("rep"))
-    val dfByG = dfTab.select(col("g"), col("df"))
-    // Cold tier: prefix rows re-filtered by the CURRENT df (a stored
-    // prefix shingle may have gone hot since ingestion — it must
-    // leave the equi-join for the star tier, same trade as batch).
+    val hotG = hotTab.select(col("g"))
+    // Cold tier: currently-hot shingles leave the equi-join for the
+    // star tier (same trade as batch). Hotness-by-anti-join against
+    // the exact hot set replaces the old per-row df filter — no
+    // store-wide df aggregate needed. Every shingle reaching either
+    // join is a batch shingle, where hotTab is exact.
     def cold(pref: DataFrame, postsB: DataFrame) = pref
-      .join(dfByG.hint("shuffle_hash"), Seq("g"))
-      .filter(col("df") <= maxPosting)
-      .select(col("a"), col("nsha"), col("g"))
+      .join(broadcast(hotG), Seq("g"), "left_anti")
       .hint("shuffle_hash")
       .join(postsB.select(col("doc_id").as("b"), col("nsh").as("nshb"),
         col("g")), Seq("g"))
       .filter(col("a") =!= col("b") && col("nshb") * 5 >= col("nsha") * 4)
       .select(col("a"), col("b"))
-    val storePrefix = refreshedPrefix
-      .fold(basePrefix)(basePrefix.unionByName(_))
-    val coldCand = cold(prefixNew, posts)            // a in NEW vs anyone
-      .unionByName(cold(storePrefix, postsNew))      // a in STORE vs NEW
+    val storeSide = refreshedPrefix
+      .fold(storePrefix)(storePrefix.unionByName(_))
+    val coldCand = cold(prefixNew, postsStore.unionByName(postsNew)) // a in NEW vs anyone
+      .unionByName(cold(storeSide, postsNew))                        // a in STORE vs NEW
     // Star tier: NEW members of hot shingles vs the current min-id
     // representative, both orientations, map-only against the
-    // bounded broadcast hot set — the batch operator's construction
+    // bounded broadcast hot table — the batch operator's construction
     // restricted to this batch's postings.
-    val idT = allSh.schema("doc_id").dataType.catalogString
+    val idT = newSh.schema("doc_id").dataType.catalogString
     val pairT = s"array<struct<a:$idT,b:$idT>>"
     val hotNewMembers = postsNew
-      .join(broadcast(dfTab.filter(col("df") > maxPosting)), Seq("g"))
+      .join(broadcast(hotTab), Seq("g"))
       .filter(col("doc_id") =!= col("rep.doc_id"))
     val stars = Dedup.observeStarPairs(hotNewMembers.select(explode(concat(
         when(col("nsh") * 5 >= col("rep.nsh") * 4,
@@ -761,10 +854,18 @@ object EventStreams {
           .otherwise(array().cast(pairT)))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")))
     val cand = coldCand.unionByName(stars).distinct()
+    // Verify joins are doc-id equi-joins where BOTH sides are
+    // contractually unbounded (cand is quadratic on degenerate
+    // corpora, shAll is the corpus): sort-merge, never a broadcast.
+    // This is the ONE per-batch stage that still shuffles the store's
+    // docs sub (candidate store endpoints are arbitrary doc ids, so
+    // their shingle sets must be looked up corpus-wide) — a plain
+    // scan+exchange with no explode and no store-wide aggregate; the
+    // chain gate's 1x-vs-10x ratio prices exactly this residual term.
     cand.hint("merge")
-      .join(allSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shAll.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .hint("merge")
-      .join(allSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(shAll.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
         size(col("sha")).cast("long").as("na"))
@@ -799,39 +900,56 @@ object EventStreams {
         val minor = minorEvery.exists(k => batchId > 0 && batchId % k == 0)
         if (major || minor)
           containmentCompact(batch.sparkSession, storeDir, batchId - 1,
-            foldBase = major)
+            foldBase = major, maxPosting = maxPosting)
       }
       .start()
 
   /** Containment-aware compaction: [[DedupStore.compact]] over
-    * docs+prefix+pairs, with the prefix generation of a MAJOR fold
-    * REWRITTEN from the folded docs re-ranked against their df —
-    * permanently erasing stale prefix rows (shingles gone hot since
-    * ingestion) that the per-batch refresh in
-    * [[containmentIncrementBatch]] otherwise re-detects on every
-    * batch. Lossless by the pigeonhole argument (any floor(n/5)+1
-    * prefix is complete) and deterministic given the folded docs (the
-    * publish protocol's rename-race safety needs that). Residual
-    * unfolded batches (> upToBatchId) keep their own prefix
-    * partitions; the per-batch refresh still covers them. Minor folds
-    * pass through unchanged — re-ranking a delta's docs against only
-    * their own df would be valid but cleans nothing global, and the
-    * rewrite would turn an O(new data) fold into one with an extra
-    * shuffle.
+    * docs+prefix+pairs+hot+stale, with a MAJOR fold's generations
+    * REWRITTEN from the folded docs:
+    *   - `prefix` re-ranked against the folded df — permanently
+    *     erasing stale prefix rows (shingles gone hot since
+    *     ingestion). Lossless by the pigeonhole argument (any
+    *     floor(n/5)+1 prefix is complete) and deterministic given the
+    *     folded docs (the publish protocol's rename-race safety needs
+    *     that).
+    *   - `hot` recomputed exactly from the folded df (pass the SAME
+    *     `maxPosting` the stream runs with — a different cap would
+    *     re-detect or miss hot shingles until their next occurrence).
+    *   - `stale` emptied: the re-ranked prefix displaces nothing, so
+    *     the per-batch refresh list resets. Residual unfolded batches
+    *     (> upToBatchId) keep their own partitions — their stale rows
+    *     may still name folded docs, which costs a harmless no-op
+    *     refresh until the next major fold.
+    * Minor folds pass docs/prefix/pairs through unchanged (re-ranking
+    * a delta's docs against only their own df would be valid but
+    * cleans nothing global) and just dedup the tiny hot/stale rows.
     */
   def containmentCompact(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, upToBatchId: Long, foldBase: Boolean): Unit = {
-    val rewrite: Map[String, String => DataFrame] =
-      if (!foldBase) Map.empty
-      else Map("prefix" -> { gen =>
-        val docs = spark.read.parquet(s"$storeDir/docs/batch=$gen")
-          .select(col("doc_id"), col("sh"))
-        val dfByG = docs.select(explode(col("sh")).as("g"))
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-        graft.operators.Dedup.containmentPrefixRows(docs, dfByG)
-      })
+      storeDir: String, upToBatchId: Long, foldBase: Boolean,
+      maxPosting: Int = graft.operators.Dedup.DefaultMaxPosting): Unit = {
+    val dedupRows: (String, DataFrame) => DataFrame =
+      (_, folded) => folded.distinct()
+    val rewrite: Map[String, (String, DataFrame) => DataFrame] =
+      if (!foldBase) Map("hot" -> dedupRows, "stale" -> dedupRows)
+      else Map(
+        "prefix" -> { (gen, _) =>
+          val docs = spark.read.parquet(s"$storeDir/docs/batch=$gen")
+            .select(col("doc_id"), col("sh"))
+          val dfByG = docs.select(explode(col("sh")).as("g"))
+            .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          graft.operators.Dedup.containmentPrefixRows(docs, dfByG)
+        },
+        "hot" -> { (gen, _) =>
+          spark.read.parquet(s"$storeDir/docs/batch=$gen")
+            .select(explode(col("sh")).as("g"))
+            .groupBy(col("g")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxPosting).select(col("g"))
+        },
+        "stale" -> ((_, folded) => folded.limit(0)))
     DedupStore.compact(spark, storeDir, upToBatchId, foldBase,
-      subs = Seq("docs", "prefix", "pairs"), rewrite = rewrite)
+      subs = Seq("docs", "prefix", "pairs", "hot", "stale"),
+      rewrite = rewrite)
   }
 
   def streamingNearDup(docs: DataFrame, maxDist: Int = 3,

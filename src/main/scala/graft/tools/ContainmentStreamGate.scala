@@ -119,14 +119,28 @@ object ContainmentStreamGate {
           val sec = batch(store, novel(1001L, batchDocs), 1001L)
           val live = DedupStore.readLive(spark, store, "docs")
             .select(col("batch")).distinct().count()
+          (deltas, sec, live)
+        }
+        dfByG.unpersist(false)
+        label -> row
+      }
+      val json = results.map { case (label, row) =>
+        row.map { case (deltas, sec, live) =>
           s""""${label}_deltas$deltas":{"sec":${r1(sec)},"live_parts":$live}"""
         }.mkString(",")
-        dfByG.unpersist(false)
-        row
       }
-      println(results.mkString(
+      // STORE-SIZE AXIS (r16 VERDICT #3): per-batch cost must be
+      // SUBLINEAR in base size — median per-delta-count ratio of the
+      // 10x base over the 1x base, target well under 10.
+      val byLabel = results.toMap
+      val ratios = byLabel("base_1x").zip(byLabel("base_10x")).map {
+        case ((_, s1, _), (_, s10, _)) => s10 / s1
+      }.sorted
+      val medianRatio = ratios(ratios.size / 2)
+      println(json.mkString(
         s"""{"gate":"containment_chain_read","sf":"$sfDir","base_docs":$baseN,"batch_docs":$batchDocs,""",
-        ",", "}"))
+        ",",
+        s""","store_10x_over_1x_ratio":${r1(medianRatio)}}"""))
       spark.stop()
       return
     }

@@ -479,15 +479,18 @@ class PlanSpec extends SparkSpec {
     assert(schemas.exists(_ == "struct<doc_id:bigint>"), schemas.mkString("; "))
   }
 
-  test("streaming containment per-batch plan: pinned shuffle_hash/merge joins, hot set is the only broadcast, no cartesian") {
+  test("streaming containment per-batch plan: pinned shuffle_hash/merge joins, broadcasts only on batch-bounded aggregates, no cartesian") {
     // The plan one micro-batch of streamingContainment executes, built
-    // over representative inputs (any sizes — structure is what is
-    // asserted): corpus-sized sides must never broadcast (the sf0.1
-    // parquet footprint fools size estimates, the r14 containment
-    // lesson), so the cold/posting joins are hinted shuffle_hash, the
-    // verify joins merge, and the ONLY broadcast build is the
-    // contractually bounded df>cap hot set.
-    import org.apache.spark.sql.functions.{col, lit}
+    // over representative inputs exactly as containmentIncrementBatch
+    // assembles them (any sizes — structure is what is asserted):
+    // corpus-sized sides must never broadcast (the sf0.1 parquet
+    // footprint fools size estimates, the r14 containment lesson).
+    // Broadcast builds are the batch's distinct-shingle set (prunes
+    // the store's postings/prefix map-side — r16 VERDICT #3) and the
+    // hot set/table; all are aggregates bounded by the batch or the
+    // hot cap. Cold joins stay shuffle_hash, verify joins merge.
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, min, size, struct}
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       CartesianProductExec, BroadcastNestedLoopJoinExec,
@@ -496,25 +499,39 @@ class PlanSpec extends SparkSpec {
     val docs = (1L to 40L).map(i =>
       (i, (0 to 11).map(j => s"w${(i + j) % 23}").mkString(" ")))
       .toDF("doc_id", "text")
-    val allSh = Dedup.containmentShingles(docs, "doc_id", "text")
+    val storeSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") <= 30), "doc_id", "text")
     val newSh = Dedup.containmentShingles(
       docs.filter(col("doc_id") > 30), "doc_id", "text")
-    val dfByG = allSh.select(org.apache.spark.sql.functions.explode(col("sh")).as("g"))
-      .groupBy(col("g")).agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
-    val prefix = Dedup.containmentPrefixRows(allSh, dfByG)
-    val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
+    val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val newG = postsNew.select(col("g")).distinct()
+    val postsStore = storeSh
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val aggAll = postsStore.unionByName(postsNew)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("nsh"))).as("rep"))
+    val hotTab = aggAll.filter(col("df") > 4)
+    val storePrefix = Dedup.containmentPrefixRows(storeSh,
+        aggAll.select(col("g"), col("df")))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val prefixNew = Dedup.containmentPrefixRows(newSh,
+      aggAll.select(col("g"), col("df")))
     val p = graft.streaming.EventStreams
-      .containmentIncrementPairs(allSh, newSh, prefix, prefixNew,
-        maxPosting = Dedup.DefaultMaxPosting)
+      .containmentIncrementPairs(storeSh.unionByName(newSh), newSh,
+        storePrefix, prefixNew, postsStore, hotTab)
       .queryExecution.sparkPlan
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       "cartesian product in the streaming containment batch plan")
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "BNLJ in the streaming containment batch plan")
+    // every broadcast build side must sit on an aggregate (the batch's
+    // distinct-g set, the hot-set filter of the df aggregate, or the
+    // hot table) — never a raw corpus table
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.size <= 1, s"expected at most the hot-set broadcast, got ${bhj.size}")
-    // every broadcast build side must sit on the df>cap aggregate
-    // (structurally: a filter on an aggregate), never a corpus table
+    assert(bhj.nonEmpty, "expected the pruning/hot-set broadcasts")
     bhj.foreach { j =>
       val buildSide = j.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
@@ -523,24 +540,25 @@ class PlanSpec extends SparkSpec {
       val hasAgg = buildSide.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
       }.nonEmpty
-      assert(hasAgg, "broadcast build side is not the bounded hot-set " +
-        "aggregate:\n" + buildSide.toString.take(800))
+      assert(hasAgg, "broadcast build side is not a bounded aggregate:\n" +
+        buildSide.toString.take(800))
     }
-    assert(p.collect { case j: ShuffledHashJoinExec => j }.size >= 3,
-      "cold/posting joins lost their shuffle_hash pins")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.size >= 2,
+      "cold joins lost their shuffle_hash pins")
     assert(p.collect { case j: SortMergeJoinExec => j }.size >= 2,
       "verify joins lost their merge pins")
   }
 
   test("streaming containment stale-prefix refresh plan: semi-join pinned shuffle_hash, broadcasts stay on bounded aggregates") {
-    // The refresh path (r15 ADVICE fix) re-ranks affected store docs'
-    // prefixes against the current df. Its two joins must never
+    // The refresh path (r15 ADVICE fix) re-ranks stale store docs'
+    // prefixes with hot shingles forced last. Its joins must never
     // broadcast a corpus side: the staleDocs detection probes the
-    // prefix store against the BOUNDED hot-g set (broadcast is fine —
-    // it is a filtered aggregate), but staleDocs itself is
-    // contractually unbounded on degenerate corpora, so the
-    // allSh-semi-join is pinned shuffle_hash.
-    import org.apache.spark.sql.functions.{broadcast, col, explode, lit, count}
+    // (pruned) prefix store against the BOUNDED newly-hot set
+    // (broadcast is fine — it is a filtered aggregate), but staleDocs
+    // itself is contractually unbounded on degenerate corpora, so the
+    // storeSh-semi-join is pinned shuffle_hash.
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, min, size, struct}
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       CartesianProductExec, BroadcastNestedLoopJoinExec}
@@ -548,28 +566,44 @@ class PlanSpec extends SparkSpec {
     val docs = (1L to 40L).map(i =>
       (i, (0 to 11).map(j => s"w${(i + j) % 23}").mkString(" ")))
       .toDF("doc_id", "text")
-    val allSh = Dedup.containmentShingles(docs, "doc_id", "text")
+    val storeSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") <= 30), "doc_id", "text")
     val newSh = Dedup.containmentShingles(
       docs.filter(col("doc_id") > 30), "doc_id", "text")
-    val dfByG = allSh.select(explode(col("sh")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val basePrefix = Dedup.containmentPrefixRows(allSh, dfByG)
-    val prefixNew = Dedup.containmentPrefixRows(newSh, dfByG)
+    val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val newG = postsNew.select(col("g")).distinct()
+    val postsStore = storeSh
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val aggAll = postsStore.unionByName(postsNew)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("nsh"))).as("rep"))
+    val hotTab = aggAll.filter(col("df") > 4)
+    val storePrefix = Dedup.containmentPrefixRows(storeSh,
+        aggAll.select(col("g"), col("df")))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val prefixNew = Dedup.containmentPrefixRows(newSh,
+      aggAll.select(col("g"), col("df")))
     // the refresh subplan exactly as containmentIncrementBatch builds it
-    val hotG = dfByG.filter(col("df") > 4).select(col("g"))
-    val staleDocs = basePrefix.join(broadcast(hotG), Seq("g"))
+    val newlyHot = hotTab.select(col("g"))
+    val staleDocs = storePrefix.join(broadcast(newlyHot), Seq("g"))
       .select(col("a").as("doc_id")).distinct()
-    val refreshed = Dedup.containmentPrefixRows(
-      allSh.join(staleDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
-      dfByG)
+    val staleSh = storeSh.join(staleDocs.hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val refreshed = Dedup.containmentPrefixRows(staleSh,
+      newlyHot.withColumn("df", lit(5L)))
     val p = graft.streaming.EventStreams
-      .containmentIncrementPairs(allSh, newSh, basePrefix, prefixNew,
-        maxPosting = 4, refreshedPrefix = Some(refreshed))
+      .containmentIncrementPairs(storeSh.unionByName(newSh), newSh,
+        storePrefix, prefixNew, postsStore, hotTab,
+        refreshedPrefix = Some(refreshed))
       .queryExecution.sparkPlan
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
     // every broadcast build side must sit on an aggregate-derived,
-    // contractually bounded set (hot-g / hot-rep) — never a corpus table
+    // contractually bounded set (batch distinct-g / hot-g / hot-rep)
+    // — never a corpus table
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
     bhj.foreach { j =>
       val buildSide = j.buildSide match {
@@ -582,7 +616,8 @@ class PlanSpec extends SparkSpec {
       assert(hasAgg, "broadcast build side is not a bounded aggregate:\n" +
         buildSide.toString.take(800))
     }
-    // the allSh-vs-staleDocs semi join kept its shuffle_hash pin
+    // the storeSh-vs-staleDocs semi join kept its shuffle_hash pin
+    // (the newG prunes are broadcast semis, so look for the shuffled one)
     val semis = p.collect {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
         if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j

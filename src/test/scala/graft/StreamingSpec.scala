@@ -1197,6 +1197,61 @@ class StreamingSpec extends SparkSpec {
         s"streamed-only: ${streamed -- twin}\nbatch-only: ${twin -- streamed}")
   }
 
+  test("containment store bookkeeping: organic batches append empty hot/stale deltas (no probe), a flood persists the stale list, and later batches refresh from it without re-detecting") {
+    // r16 VERDICT #4: the stale-prefix probe must not scan the prefix
+    // store on batches whose hot delta is empty. The observable
+    // contract: the `hot` sub accumulates exactly the newly-hot
+    // shingles per batch and `stale` exactly the docs flagged by that
+    // delta — an organic batch appends EMPTY partitions (the probe
+    // has nothing to run against), while later batches keep mining
+    // stale-dependent pairs purely from the persisted list.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_bk").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val aTokens = "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val base = Seq((50L, aTokens), (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    def subRows(sub: String, part: String): Set[String] =
+      spark.read.parquet(s"$store/$sub")
+        .filter(col("batch") === part).collect()
+        .map(_.get(0).toString).toSet
+    assert(subRows("hot", "base").isEmpty, "seed hot set should be empty")
+    assert(subRows("stale", "base").isEmpty, "seed stale list should be empty")
+    // organic batch: nothing crosses the cap -> empty deltas
+    val organic = Seq((90L, "o1 o2 o3 o4 o5 o6 o7 o8"))
+      .toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(organic, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    assert(subRows("hot", "b0").isEmpty, "organic batch minted a hot shingle")
+    assert(subRows("stale", "b0").isEmpty, "organic batch flagged stale docs")
+    // flood batch: g1 = "aa1 aa2 aa3" crosses df > 4 -> newly hot, and
+    // doc 50's stored prefix (which contains g1) is flagged stale
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(flood, 1L, store,
+      "doc_id", "text", 3, 5, 4)
+    assert(subRows("hot", "b1") == Set("aa1 aa2 aa3"),
+      s"newly-hot delta wrong: ${subRows("hot", "b1")}")
+    assert(subRows("stale", "b1") == Set("50"),
+      s"stale delta wrong: ${subRows("stale", "b1")}")
+    // a later batch re-detects NOTHING (hot set unchanged, so its own
+    // deltas are empty) yet still mines the stale-dependent pair from
+    // the persisted list
+    val bDoc = Seq((70L, "aa1 aa2 aa3 xx b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(bDoc, 2L, store,
+      "doc_id", "text", 3, 5, 4)
+    assert(subRows("hot", "b2").isEmpty, "already-hot shingle re-flagged")
+    assert(subRows("stale", "b2").isEmpty, "stale doc re-flagged")
+    val pairs = EventStreams.containmentStorePairs(spark, store)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((50L, 70L)),
+      s"stale-dependent pair not mined from the persisted list: $pairs")
+  }
+
   test("containmentCompact: a major fold rewrites the prefix generation re-ranked, erasing stale rows; parity survives") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_scont_cc").toFile
@@ -1222,7 +1277,8 @@ class StreamingSpec extends SparkSpec {
     }
     assert(hotPrefixRows() > 0L, "construction failed: no stale prefix row planted")
     // MAJOR fold: base + b0 -> base-g0, prefix generation rewritten
-    EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    EventStreams.containmentCompact(spark, store, 0L, foldBase = true,
+      maxPosting = 4)
     assert(hotPrefixRows() == 0L,
       "major containmentCompact left stale (hot-shingle) prefix rows in the store")
     val layout = graft.streaming.DedupStore.readLive(spark, store, "prefix")
@@ -1268,7 +1324,8 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", 3, 5, 4)
     // major at watermark 0: folds base+b0 ONLY; b1 stays live beside
     // the rewritten generation
-    EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    EventStreams.containmentCompact(spark, store, 0L, foldBase = true,
+      maxPosting = 4)
     val layout = Seq("docs", "prefix", "pairs").map { sub =>
       sub -> graft.streaming.DedupStore.readLive(spark, store, sub)
         .select(col("batch")).distinct().collect()
