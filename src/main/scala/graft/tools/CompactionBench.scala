@@ -55,8 +55,13 @@ object CompactionBench {
         (0 until deltas).foreach { d =>
           (0 until 2).foreach { j =>
             val b = 2 * d + j
+            // ids above every base_10x replication band (r*100000000):
+            // the old 10000000*(b+1) scheme landed on band boundaries
+            // at b+1 = 10/20/30, planting duplicate doc_ids in the
+            // measured store (same class as the r16 ADVICE finding on
+            // ContainmentStreamGate)
             val rows = spark.range(batchDocs).select(
-              (col("id") + 10000000L * (b + 1)).as("doc_id"),
+              (col("id") + 1000000000L + 10000000L * b).as("doc_id"),
               concat(lit(s"novel batch $b doc "), col("id"),
                 lit(" alpha beta gamma delta epsilon")).as("text"))
             rows.write.mode("overwrite").parquet(s"$store/docs/batch=b$b")
@@ -70,8 +75,11 @@ object CompactionBench {
         store
       }
       def timedBatch(store: String, batchId: Long): Double = {
+        // 2e9 base: 900000000 sat EXACTLY on replica 9's id-shift band
+        // (9*100000000), so probe ids duplicated replica-9 docs in the
+        // 10x store — measurement-only skew, now impossible
         val rows = spark.range(batchDocs).select(
-          (col("id") + 900000000L).as("doc_id"),
+          (col("id") + 2000000000L).as("doc_id"),
           concat(lit("probe doc "), col("id"),
             lit(" zeta eta theta iota kappa")).as("text"))
         val t0 = System.nanoTime()
