@@ -25,10 +25,12 @@ across the runs.
 Usage:
   round_compare.py OLD.json[,OLD2...] NEW.json[,NEW2...]
   round_compare.py NEW.json[,NEW2...]
-      OLD defaults to the ROUND-15B DEFINITIVE COLD BOARD
-      (bench_r15b_cold{1..4}.json — on final r15 code; BASELINE.md
-      declares it the like-for-like base from round 16 on). The r14b
-      board stays on disk as history.
+      OLD defaults to the ROUND-17 DEFINITIVE COLD BOARD
+      (bench_r17_cold{1..4}.json — on final r17 code, the first board
+      with the fixed probe order AND both probes in-band; BASELINE.md
+      declares it the like-for-like base from round 18 on). r15b/r16b
+      stay on disk as history; r16b's calibration carries the shifted
+      pre-fix baseline — raw comparisons only.
   round_compare.py --driver DRIVER.json [BOARD.json,...]
       Driver-vs-board outlier audit: per-entry driver/board ratios
       against the seeded board (default: the r15b cold board), sorted
@@ -49,7 +51,7 @@ import sys, json, os, re, statistics
 
 DEFAULT_BOARD = ",".join(
     os.path.join(os.path.dirname(__file__) or ".", "..",
-                 f"bench_r15b_cold{i}.json") for i in range(1, 5))
+                 f"bench_r17_cold{i}.json") for i in range(1, 5))
 
 # Pinned IO-probe clean band (pre), mirroring Bench.scala's
 # SPARK_GRAFT_CAL_IO_BAND default. Applied HERE as well so an artifact
@@ -218,7 +220,7 @@ if not args:
 
 if len(args) == 1:
     old_paths, new_paths = DEFAULT_BOARD, args[0]
-    print("old side defaulted to the r15b definitive cold board")
+    print("old side defaulted to the r17 definitive cold board")
 else:
     old_paths, new_paths = args[0], args[1]
 
