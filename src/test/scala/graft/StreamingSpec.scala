@@ -1252,6 +1252,44 @@ class StreamingSpec extends SparkSpec {
       s"stale-dependent pair not mined from the persisted list: $pairs")
   }
 
+  test("containment increment replay: re-running a batch overwrites hot/stale/pairs/docs/prefix identically (at-least-once idempotence)") {
+    // The hot/stale subs added in r17 widen the per-batch write set; a
+    // checkpoint replay (crash anywhere between the five writes) must
+    // regenerate every partition byte-for-byte — all reads exclude the
+    // current part, so the computation is a pure function of the
+    // store-without-this-batch.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_rp").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val aTokens = "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val base = Seq((50L, aTokens), (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    // a flood batch exercises every write: pairs, docs, prefix, AND
+    // nonempty hot + stale deltas
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
+    def snapshot(): Map[String, Set[String]] =
+      Seq("docs", "prefix", "pairs", "hot", "stale").map { sub =>
+        sub -> spark.read.parquet(s"$store/$sub")
+          .filter(col("batch") === "b0").collect()
+          .map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet
+      }.toMap
+    EventStreams.containmentIncrementBatch(flood, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    val first = snapshot()
+    assert(first("hot").nonEmpty && first("stale").nonEmpty,
+      "construction failed: flood batch should mint hot + stale rows")
+    // replay the SAME batch id — exactly what the checkpoint does
+    // after a crash mid-batch
+    EventStreams.containmentIncrementBatch(flood, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    val second = snapshot()
+    assert(first == second, "replay diverged: " +
+      first.keys.filter(k => first(k) != second(k)).mkString(","))
+  }
+
   test("containmentCompact: a major fold rewrites the prefix generation re-ranked, erasing stale rows; parity survives") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_scont_cc").toFile
