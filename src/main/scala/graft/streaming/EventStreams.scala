@@ -854,18 +854,32 @@ object EventStreams {
           .otherwise(array().cast(pairT)))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")))
     val cand = coldCand.unionByName(stars).distinct()
-    // Verify joins are doc-id equi-joins where BOTH sides are
-    // contractually unbounded (cand is quadratic on degenerate
-    // corpora, shAll is the corpus): sort-merge, never a broadcast.
-    // This is the ONE per-batch stage that still shuffles the store's
-    // docs sub (candidate store endpoints are arbitrary doc ids, so
-    // their shingle sets must be looked up corpus-wide) — a plain
-    // scan+exchange with no explode and no store-wide aggregate; the
-    // chain gate's 1x-vs-10x ratio prices exactly this residual term.
-    cand.hint("merge")
-      .join(shAll.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .hint("merge")
-      .join(shAll.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+    // ONE-PASS verify: candidate store endpoints are arbitrary doc
+    // ids, so their shingle sets must be looked up corpus-wide — this
+    // is the ONE per-batch stage that still shuffles the store's docs
+    // sub, and it dominated the residual cost when it ran as TWO
+    // doc-id joins (probe at the 500k tier: 9.5 of 10.5 s; Spark does
+    // not ReuseExchange across the differently-aliased sides). Melt
+    // each candidate into its two endpoints, join the corpus ONCE
+    // (sort-merge: both sides contractually unbounded, never a
+    // broadcast), and reassemble per pair — the corpus shuffles once,
+    // the regroup moves only candidate-matched rows. Each (a, b)
+    // group holds exactly one side=a and one side=b row (doc ids are
+    // unique per the stream contract), so the ignoreNulls-first picks
+    // are deterministic.
+    val melted = cand.select(col("a"), col("b"), explode(array(
+        struct(lit("a").as("side"), col("a").as("doc_id")),
+        struct(lit("b").as("side"), col("b").as("doc_id")))).as("m"))
+      .select(col("a"), col("b"), col("m.side").as("side"),
+        col("m.doc_id").as("doc_id"))
+    melted.hint("merge")
+      .join(shAll, Seq("doc_id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("side") === "a", col("sh")), ignoreNulls = true)
+          .as("sha"),
+        first(when(col("side") === "b", col("sh")), ignoreNulls = true)
+          .as("shb"))
       .select(col("a"), col("b"),
         sorted_intersect_size(col("sha"), col("shb")).cast("long").as("inter"),
         size(col("sha")).cast("long").as("na"))

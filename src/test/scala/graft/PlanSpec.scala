@@ -545,8 +545,10 @@ class PlanSpec extends SparkSpec {
     }
     assert(p.collect { case j: ShuffledHashJoinExec => j }.size >= 2,
       "cold joins lost their shuffle_hash pins")
-    assert(p.collect { case j: SortMergeJoinExec => j }.size >= 2,
-      "verify joins lost their merge pins")
+    // ONE corpus verify join since the one-pass melt (r17): the
+    // corpus side must shuffle exactly once, as a sort-merge join
+    assert(p.collect { case j: SortMergeJoinExec => j }.size == 1,
+      "verify lost its single-pass merge-join shape")
   }
 
   test("streaming containment stale-prefix refresh plan: semi-join pinned shuffle_hash, broadcasts stay on bounded aggregates") {
