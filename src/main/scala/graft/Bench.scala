@@ -191,20 +191,33 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration).
     //
     // SPARK_GRAFT_BENCH_SEED=N runs the batch in a SEEDED-SHUFFLED
-    // order instead (deterministic per seed): one-JVM alphabetical
-    // marathons accumulate JIT/code-cache debris that lands on
-    // whichever entries run late, which the batch-end calibration
-    // probe cannot see (the r12 q18_rollup phantom — BASELINE.md).
-    // A board of runs with DIFFERENT seeds decorrelates position from
-    // name, so per-query medians across the board carry no position
-    // artifact; round_compare.py consumes the JSONs unchanged (it
-    // keys by name and medians across runs).
+    // order (deterministic per seed): one-JVM alphabetical marathons
+    // accumulate JIT/code-cache debris that lands on whichever entries
+    // run late, which the batch-end calibration probe cannot see (the
+    // r12 q18_rollup phantom — BASELINE.md). A board of runs with
+    // DIFFERENT seeds decorrelates position from name, so per-query
+    // medians across the board carry no position artifact;
+    // round_compare.py consumes the JSONs unchanged (it keys by name
+    // and medians across runs).
+    //
+    // SEEDED IS NOW THE DEFAULT (r17 VERDICT #6): the unseeded driver
+    // marathon ran alphabetically, so any early box phase landed on
+    // the ann_* family every time — r17's exact failure shape (six
+    // early-alphabet entries 2.3-5.1x board in one 20 s window).
+    // Unset → fixed seed 1807 (recorded in the artifact so the audit
+    // can reconstruct the order); SPARK_GRAFT_BENCH_SEED=N overrides;
+    // SPARK_GRAFT_BENCH_SEED=alpha restores the alphabetical order
+    // (historical replays). Per-name t0 offsets are recorded either
+    // way, so the phase classifier never needs to GUESS the order.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val names = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
-      case Some(sd) => new scala.util.Random(sd.toLong).shuffle(ordered)
+    val seedEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "1807")
+    val seed: Option[Long] =
+      if (seedEnv == "alpha") None else Some(seedEnv.toLong)
+    val names = seed match {
+      case Some(sd) => new scala.util.Random(sd).shuffle(ordered)
       case None => ordered
     }
     // Unrecorded pass over the first TEN entries of the run order (was
@@ -229,16 +242,32 @@ object Bench {
     // timed-pass events are attributed (an async listener dispatch from
     // warm-up entry A can land after currentEntry advanced to B).
     drainObserved(); observed.clear()
+    // Batch clock for the per-query timeline (r17 VERDICT #2): the r17
+    // driver run's 20 s box phase fell BETWEEN clean probes, so the
+    // artifact could not distinguish "6 slow plans" from "1 slow
+    // minute". Every query records its monotonic start offset t0 (from
+    // just before the pre-probe), and every mid probe records where in
+    // the run it fired — the audit's phase classifier works off these.
+    val batchT0 = System.nanoTime()
+    def offset(): Double = (System.nanoTime() - batchT0) / 1e9
     val calPre = calibration()
     val calIoPre = ioCalibration()
-    // Mid-run probes every ~50 entries localize a box phase change
-    // (the r15 driver artifact was contaminated for part of its run;
-    // pre/post alone cannot say which part). ~2 s each, unrecorded.
+    // Mid-run probes localize a box phase change (the r15 driver
+    // artifact was contaminated for part of its run; pre/post alone
+    // cannot say which part). CPU probe every ~50 entries (~2 s each);
+    // the cheap IO probe every ~15 entries (~0.4 s each, ~4 s total on
+    // the 147-entry marathon) so a phase the length of r17's (20 s)
+    // lands between at most two probes instead of being invisible.
     val calMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calMidT = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calIoMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calIoMidT = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t0s = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.zipWithIndex.map { case (name, idx) =>
-      if (idx > 0 && idx % 50 == 0) { calMid += calibration(); calIoMid += ioCalibration() }
+      if (idx > 0 && idx % 50 == 0) { calMidT += offset(); calMid += calibration() }
+      if (idx > 0 && idx % 15 == 0) { calIoMidT += offset(); calIoMid += ioCalibration() }
+      t0s(name) = offset()
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(name) } catch {
@@ -353,11 +382,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calMidJson = calMid.map(_.toString).mkString("[", ",", "]")
+    val calMidTJson = calMidT.map(_.toString).mkString("[", ",", "]")
     val calIoMidJson = calIoMid.map(_.toString).mkString("[", ",", "]")
+    val calIoMidTJson = calIoMidT.map(_.toString).mkString("[", ",", "]")
+    // Per-query start offsets in run order: the audit's phase
+    // classifier sorts on these to tell "inflated entries contiguous
+    // in time ⇒ box phase" from "scattered ⇒ suspect code". Emitted
+    // as [name, offset] PAIRS, not an object: the tail-recovery regex
+    // in round_compare.py parses `"name":float` pairs as durations,
+    // and an object keyed by query name would collide with the
+    // queries map inside a truncated artifact.
+    val t0Json = t0s.map { case (k, v) => "[\"" + k + "\"," + v + "]" }
+      .mkString("[", ",", "]")
+    val seedJson = seed.map(_.toString).getOrElse("null")
     val driftReasonJson = "\"" + calDriftReasons.mkString("; ")
       .replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","calibration":{"pre":$calPre,"mid":$calMidJson,"post":$calPost},"calibration_io":{"pre":$calIoPre,"mid":$calIoMidJson,"post":$calIoPost},"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"queries":$qs,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","seed":$seedJson,"calibration":{"pre":$calPre,"mid":$calMidJson,"mid_t":$calMidTJson,"post":$calPost},"calibration_io":{"pre":$calIoPre,"mid":$calIoMidJson,"mid_t":$calIoMidTJson,"post":$calIoPost},"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"queries":$qs,"t0":$t0Json,"errors":$errs,"observed":$obsFull,"sf":"$sfDir"}"""
     println(json)
     // The driver artifact keeps only the LAST 2000 CHARS of sbt stdout
     // (measured from BENCH_r13.json's "tail"), and the registry's query
@@ -383,7 +424,7 @@ object Bench {
     // nqueries repeats at the very end (duplicate key; JSON parsers keep
     // the last) so the truncation-aware audit can compute coverage even
     // when the line's head falls outside the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"calibration_io":{"pre":${r3(calIoPre)},"post":${r3(calIoPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"calibration_io":{"pre":${r3(calIoPre)},"post":${r3(calIoPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"seed":$seedJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }

@@ -69,7 +69,13 @@ def parse_run(path):
     truncated tail is regex-recovered."""
     d = json.load(open(path))
     meta = {"drift": None, "nqueries": None, "partial": False,
-            "io_pre": None}
+            "io_pre": None, "t0": None, "seed": None}
+    # r18+: per-query start offsets ([name, offset] pairs) and the
+    # order seed — the phase classifier's inputs.
+    if isinstance(d.get("t0"), list):
+        meta["t0"] = {n: t for n, t in d["t0"]}
+    if "seed" in d:
+        meta["seed"] = d["seed"]
     if d.get("calibration_io"):
         io = d["calibration_io"]
         meta["io_pre"] = io.get("pre")
@@ -108,6 +114,17 @@ def parse_run(path):
         m = re.search(r'"nqueries":(\d+)', d["tail"])
         if m:
             meta["nqueries"] = int(m.group(1))
+        m = re.search(r'"seed":(\d+|null)', d["tail"])
+        if m and m.group(1) != "null":
+            meta["seed"] = int(m.group(1))
+        # t0 pairs that survived in the tail (the canonical line emits
+        # them as ["name",offset] arrays, regex-distinct from the
+        # `"name":dur` query pairs so the duration recovery above can
+        # never conflate the two).
+        t0 = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r'\["([A-Za-z0-9_]+)",([0-9]+\.[0-9]+)\]', d["tail"])}
+        if t0:
+            meta["t0"] = t0
         meta["partial"] = True
         return qs, None, meta
     sys.exit(f"{path}: no queries/slowest/tail to read")
@@ -135,8 +152,72 @@ def load(paths):
     # Largest declared registry size across the runs (None if unknown).
     nq = [m["nqueries"] for _, _, m in runs if m["nqueries"]]
     partial = any(m["partial"] for _, _, m in runs)
+    # Timeline metadata from the first run that carries it (the driver
+    # side of an audit is a single artifact; boards don't need one).
+    t0 = next((m["t0"] for _, _, m in runs if m.get("t0")), None)
+    seed = next((m["seed"] for _, _, m in runs if m.get("seed") is not None),
+                None)
     return queries, cal, {"drift": drift, "nqueries": max(nq) if nq else None,
-                          "partial": partial, "io_out": io_out}
+                          "partial": partial, "io_out": io_out,
+                          "t0": t0, "seed": seed}
+
+
+def classify_phase(flagged, drv, meta):
+    """Print whether the flagged entries are CONTIGUOUS in the driver
+    run's timeline (=> transient box phase) or SCATTERED (=> suspect
+    the entries' code). Timeline source, in preference order: the
+    artifact's recorded t0 offsets (r18+); else, for legacy unseeded
+    artifacts, start offsets reconstructed as the cumulative sum of
+    durations in alphabetical order (the pre-r18 driver order). A
+    seeded artifact without t0 is unclassifiable (the Scala shuffle is
+    not reproducible here)."""
+    t0 = meta.get("t0")
+    if t0:
+        known = [q for q, *_ in flagged if q in t0]
+        if len(known) < len(flagged):
+            print(f"phase-classifier: {len(flagged) - len(known)} flagged "
+                  f"entries missing from the recovered t0 timeline — "
+                  f"classification covers {len(known)}/{len(flagged)}")
+        if not known:
+            return
+        offs = t0
+        order = sorted(t0, key=t0.get)
+        src = "recorded t0 timeline"
+    elif meta.get("seed") is not None:
+        print("phase-classifier: seeded artifact without a t0 timeline — "
+              "run order not reconstructable, cannot classify")
+        return
+    elif meta.get("partial"):
+        print("phase-classifier: truncated legacy artifact without t0 — "
+              "timeline not reconstructable; audit the committed "
+              "bench_full.json instead")
+        return
+    else:
+        order = sorted(drv)
+        offs, t = {}, 0.0
+        for q in order:
+            offs[q] = t
+            t += drv[q]
+        src = "cumulative-sum reconstruction over the legacy alphabetical order"
+    pos = {q: i for i, q in enumerate(order)}
+    fq = [q for q, *_ in flagged if q in pos]
+    idxs = sorted(pos[q] for q in fq)
+    start = min(offs[q] for q in fq)
+    end = max(offs[q] + drv.get(q, 0.0) for q in fq)
+    span = idxs[-1] - idxs[0] + 1
+    print(f"phase-classifier ({src}): flagged entries at run positions "
+          f"{idxs[0]}-{idxs[-1]} ({len(idxs)} of {span} consecutive slots), "
+          f"time window {start:.1f}-{end:.1f}s")
+    # Contiguous = at most 2 clean entries interleaved among the
+    # flagged ones (r17's six were strictly consecutive; a phase can
+    # straddle an entry too fast/slow to trip the 2x+1s gate).
+    if span <= len(idxs) + 2:
+        print("  => CONTIGUOUS in time: consistent with a transient box "
+              "phase, not a plan change — confirm the entries read "
+              "board-level in a seeded re-run before touching code")
+    else:
+        print("  => SCATTERED across the run: not a single box phase — "
+              "suspect these entries' plans/code")
 
 
 def driver_audit(driver_path, board_paths, allow_drift):
@@ -201,18 +282,37 @@ def driver_audit(driver_path, board_paths, allow_drift):
     # inflations are multi-second (r16: ann_ivfpq_batch_topk +17.3 s;
     # r12/r13 containment_neardup likewise), so FAIL requires >2x AND
     # >1 s absolute — sub-second rolls are listed as warnings only.
+    # Absolute deltas use the NORMALIZED driver value when a box factor
+    # is active (--allow-drift): the ratio r is calibration-normalized,
+    # so a raw dv-bv floor would disagree with it on drifted artifacts
+    # (r17 ADVICE) — e.g. a 1.5x box factor makes every raw delta look
+    # 1.5x more material than the normalized ratio says it is.
+    f = factor or 1.0
     bad = [(q, dv, bv, r) for q, dv, bv, r in rows
-           if r > 2.0 and dv - bv > 1.0]
+           if r > 2.0 and dv / f - bv > 1.0]
     soft = [(q, dv, bv, r) for q, dv, bv, r in rows
-            if r > 2.0 and dv - bv <= 1.0]
+            if r > 2.0 and dv / f - bv <= 1.0]
     for q, dv, bv, r in soft:
-        print(f"warn: {q} at {r:.2f}x but only +{dv - bv:.2f}s absolute "
+        print(f"warn: {q} at {r:.2f}x but only +{dv / f - bv:.2f}s absolute "
               "(below the 1s materiality floor — position/JIT noise class)")
+    # AGGREGATE materiality (r17 ADVICE): the per-entry 1s floor must
+    # not let a systematic sub-second inflation across many entries
+    # pass as warnings only (30 entries x +0.9s = +27s). Sum the
+    # warn-class absolute inflation; past 5s it is a FAIL in its own
+    # right even though no single entry is material.
+    soft_total = sum(dv / f - bv for q, dv, bv, r in soft)
+    agg_bad = soft_total > 5.0
+    if agg_bad:
+        print(f"FAIL: warn-class entries sum to +{soft_total:.1f}s absolute "
+              "(>5s aggregate floor) — a systematic sub-second inflation, "
+              "not isolated position/JIT noise")
     if bad:
         print("FAIL: entries >2x their board median AND >1s absolute "
               "(driver-context inflation — attribute before shipping):")
         for q, dv, bv, r in bad:
-            print(f"  {q}: {r:.2f}x (+{dv - bv:.1f}s)")
+            print(f"  {q}: {r:.2f}x (+{dv / f - bv:.1f}s)")
+    if bad or agg_bad:
+        classify_phase(bad if bad else soft, drv, meta)
         sys.exit(1)
     print("OK: no entry exceeds 2x its board median by more than 1s"
           + (f" ({skipped} unaudited — see coverage above)" if skipped else ""))
