@@ -40,6 +40,13 @@ object ObservedAlarms {
     "containment_hot" -> anyNonzero
   )
 
+  /** The explicitly-mapped metric names — ObservedAlarmsSpec sweeps
+    * every observe() call site in src/main and asserts each name
+    * resolves here, is `stat_`-prefixed, or is listed as
+    * conservative-by-choice in the spec (r17 VERDICT #8).
+    */
+  private[graft] def mappedMetrics: Set[String] = predicates.keySet
+
   def isAlarm(metric: String, cols: Seq[(String, Any)]): Boolean =
     predicates.get(metric) match {
       case Some(p) => p(cols)

@@ -61,9 +61,9 @@ object ContainmentBatchProbe {
       explode(col("sh")).as("g"))
     val newG = postsNew.select(col("g")).distinct()
     timed("newSh+newG") { noop(newG) }
-    val postsStore = storeSh
-      .select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("g"))
+    val postsStore = DedupStore.readLive(spark, store, "postings")
+      .filter(col("batch") =!= "b1001")
+      .select(col("doc_id"), col("nsh"), col("g"))
       .join(broadcast(newG), Seq("g"), "left_semi")
       .persist(MAD)
     timed("postsStore scan+prune") { noop(postsStore) }
@@ -82,10 +82,17 @@ object ContainmentBatchProbe {
       aggAll.select(col("g"), col("df"))).persist(MAD)
     timed("prefixNew") { noop(prefixNew) }
     val hotTab = aggAll.filter(col("df") > Dedup.DefaultMaxPosting)
-    val pairs = EventStreams.containmentIncrementPairs(
-      storeSh.unionByName(newSh), newSh, storePrefix, prefixNew,
-      postsStore, hotTab)
-    timed("pairs (cand+verify)") { noop(pairs) }
+    val cand = EventStreams.containmentCandidates(
+      newSh, storePrefix, prefixNew, postsStore, hotTab).persist(MAD)
+    timed("candidates") { noop(cand) }
+    timed("verify (corpus-pruned)") {
+      noop(EventStreams.containmentVerify(
+        storeSh.unionByName(newSh), cand, pruneCorpus = true))
+    }
+    timed("verify (unpruned legacy)") {
+      noop(EventStreams.containmentVerify(
+        storeSh.unionByName(newSh), cand, pruneCorpus = false))
+    }
     timed("full real batch") {
       EventStreams.containmentIncrementBatch(batch, 1001L, store,
         "doc_id", "text", 3, 5, Dedup.DefaultMaxPosting)

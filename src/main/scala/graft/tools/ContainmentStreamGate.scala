@@ -18,14 +18,24 @@ import org.apache.spark.sql.functions._
   * `chain` mode measures the READ side at the 500k-doc tier (the
   * containment twin of CompactionBench's dedup chain case): stores
   * whose live layout is base + {1,4,16} deltas — built through the
-  * real compact() protocol over docs+prefix+pairs — each timed on ONE
-  * additional containmentIncrementBatch, at the sfDir base size and a
-  * 10x id-shift replication of it (sf0.1 -> 500k docs). Flat timings
-  * across chain lengths pin the minorEvery cadence guideline for
+  * real compact() protocol over docs+postings+prefix+pairs — each
+  * timed on ONE additional containmentIncrementBatch, at the sfDir
+  * base size and id-shift replications of it (default tiers 1,10:
+  * sf1 -> 50k and 500k docs; pass a third arg like `1,10,100` for
+  * the 5M-doc decade — r17 VERDICT #5). Flat timings across chain
+  * lengths pin the minorEvery cadence guideline for
   * [[graft.streaming.EventStreams.streamingContainment]].
   *
+  * On each tier's 16-delta store the gate also times one PLANTED
+  * batch (r17 VERDICT #7): one corpus doc's text replicated
+  * batchDocs(>cap) times under novel ids, so every body shingle
+  * crosses maxPosting IN the timed batch — a nonempty newly-hot
+  * delta that forces the stale-prefix probe + refresh, the path
+  * organic batches (empty hot delta) never pay. Its per-batch
+  * seconds print beside the organic numbers.
+  *
   * Run: SPARK_GRAFT_SHUFFLE=32 sbt "runMain graft.tools.ContainmentStreamGate /root/testdata/sf0.1"
-  *      SPARK_GRAFT_SHUFFLE=64 sbt "runMain graft.tools.ContainmentStreamGate /root/testdata/sf0.1 chain [batchDocs]"
+  *      SPARK_GRAFT_SHUFFLE=64 sbt "runMain graft.tools.ContainmentStreamGate target/scale/sf1 chain [batchDocs] [tiers]"
   */
 object ContainmentStreamGate {
   private def r1(v: Double): String =
@@ -43,7 +53,7 @@ object ContainmentStreamGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.{DedupStore, EventStreams}
-    val subs = Seq("docs", "prefix", "pairs")
+    val subs = Seq("docs", "postings", "prefix", "pairs")
 
     val docs = graft.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -70,12 +80,14 @@ object ContainmentStreamGate {
       // just to set the stage). The seeded store is built once per
       // base and file-copied per chain length: the seed (shingle +
       // prefix build over up to 500k docs) dominates, the copy does not.
-      // Novel ids live ABOVE every base_10x replication band
-      // (r*100000000): the old 10000000*(tag+1) scheme landed exactly
-      // on band boundaries at tags 9/19/29, planting duplicate doc_ids
-      // in the measured store (r16 ADVICE).
+      // Novel ids live ABOVE every replication band (r*100000000, r up
+      // to 99 for the 100x tier -> bands reach 9.9e9): the old
+      // 10000000*(tag+1) scheme landed exactly on band boundaries at
+      // tags 9/19/29, planting duplicate doc_ids in the measured store
+      // (r16 ADVICE); the r17 base of 1e9 would collide with replica
+      // 10+ once the 100x tier exists.
       def novel(tag: Long, n: Int) = spark.range(n).select(
-        (col("id") + 1000000000L + 10000000L * tag).as("doc_id"),
+        (col("id") + 20000000000L + 10000000L * tag).as("doc_id"),
         concat(lit(s"novel batch $tag doc "), col("id"),
           lit(" alpha beta gamma delta epsilon")).as("text"))
       def buildChain(seed: String, name: String, deltas: Int,
@@ -89,6 +101,11 @@ object ContainmentStreamGate {
             val sh = graft.operators.Dedup
               .containmentShingles(novel(b, batchDocs), "doc_id", "text", 3, 5)
             sh.write.mode("overwrite").parquet(s"$store/docs/batch=b$b")
+            sh.select(size(col("sh")).as("nsh"), col("doc_id"),
+                explode(col("sh")).as("g"))
+              .select(col("g"), col("doc_id"), col("nsh"))
+              .sortWithinPartitions("g")
+              .write.mode("overwrite").parquet(s"$store/postings/batch=b$b")
             graft.operators.Dedup.containmentPrefixRows(sh, dfByG)
               .write.mode("overwrite").parquet(s"$store/prefix/batch=b$b")
           }
@@ -97,12 +114,27 @@ object ContainmentStreamGate {
         }
         store
       }
+      val tiers = (if (args.length > 3) args(3) else "1,10")
+        .split(",").map(_.trim.toInt).toSeq
+      // PLANTED newly-hot batch (r17 VERDICT #7): one corpus doc's
+      // text under batchDocs novel ids — batchDocs > maxPosting, so
+      // every body shingle crosses the cap inside this batch and the
+      // stale-prefix probe + refresh run for real.
+      require(batchDocs > graft.operators.Dedup.DefaultMaxPosting,
+        s"planted batch needs batchDocs > cap to mint newly-hot shingles")
+      val plantText = docs
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("text")).limit(1).collect()(0).getString(0)
+      def planted(n: Int) = spark.range(n).select(
+        (col("id") + 30000000000L).as("doc_id"),
+        concat(lit(plantText), lit(" zzplant "), col("id")).as("text"))
       val results = for {
-        (label, base) <- Seq(
-          ("base_1x", docs),
-          ("base_10x", (0 until 10).map(r => docs.select(
+        reps <- tiers
+        label = s"base_${reps}x"
+        base = if (reps <= 1) docs
+          else (0 until reps).map(r => docs.select(
               (col("doc_id") + r.toLong * 100000000L).as("doc_id"),
-              col("text"))).reduce(_.unionByName(_))))
+              col("text"))).reduce(_.unionByName(_))
       } yield {
         val seed = new java.io.File(root, s"seed_$label").getAbsolutePath
         // minePairs=false: the chain measurement times the per-batch
@@ -117,30 +149,43 @@ object ContainmentStreamGate {
           val store = buildChain(seed, s"chain_${label}_$deltas", deltas, dfByG)
           batch(store, novel(1000L, batchDocs), 1000L) // warm-up
           val sec = batch(store, novel(1001L, batchDocs), 1001L)
+          // planted probe on the longest chain only: the stale-probe
+          // cost is store-shaped, not chain-shaped
+          val plantedSec =
+            if (deltas == 16) Some(batch(store, planted(batchDocs), 1002L))
+            else None
           val live = DedupStore.readLive(spark, store, "docs")
             .select(col("batch")).distinct().count()
-          (deltas, sec, live)
+          (deltas, sec, live, plantedSec)
         }
         dfByG.unpersist(false)
         label -> row
       }
       val json = results.map { case (label, row) =>
-        row.map { case (deltas, sec, live) =>
-          s""""${label}_deltas$deltas":{"sec":${r1(sec)},"live_parts":$live}"""
+        row.map { case (deltas, sec, live, plantedSec) =>
+          s""""${label}_deltas$deltas":{"sec":${r1(sec)},"live_parts":$live""" +
+            plantedSec.fold("")(p => s""","planted_sec":${r1(p)}""") + "}"
         }.mkString(",")
       }
       // STORE-SIZE AXIS (r16 VERDICT #3): per-batch cost must be
-      // SUBLINEAR in base size — median per-delta-count ratio of the
-      // 10x base over the 1x base, target well under 10.
+      // SUBLINEAR in base size — median per-delta-count ratio of each
+      // tier over the previous one, target well under the 10x data
+      // growth (the residual linear term is the flat postings/docs
+      // scan — see containmentIncrementBatch's honest-limits note).
       val byLabel = results.toMap
-      val ratios = byLabel("base_1x").zip(byLabel("base_10x")).map {
-        case ((_, s1, _), (_, s10, _)) => s10 / s1
-      }.sorted
-      val medianRatio = ratios(ratios.size / 2)
+      val decades = tiers.sorted.sliding(2).filter(_.size == 2).map {
+        case Seq(lo, hi) =>
+          val ratios = byLabel(s"base_${lo}x").zip(byLabel(s"base_${hi}x"))
+            .map { case ((_, s1, _, _), (_, sN, _, _)) => sN / s1 }.sorted
+          (lo, hi, ratios(ratios.size / 2))
+      }.toSeq
+      val ratioJson = decades.map { case (lo, hi, r) =>
+        s""""store_${hi}x_over_${lo}x_ratio":${r1(r)}"""
+      }.mkString(",")
       println(json.mkString(
         s"""{"gate":"containment_chain_read","sf":"$sfDir","base_docs":$baseN,"batch_docs":$batchDocs,""",
         ",",
-        s""","store_10x_over_1x_ratio":${r1(medianRatio)}}"""))
+        s""",$ratioJson}"""))
       spark.stop()
       return
     }

@@ -551,6 +551,73 @@ class PlanSpec extends SparkSpec {
       "verify lost its single-pass merge-join shape")
   }
 
+  test("streaming containment pruned verify: corpus semi-pruned by the broadcast endpoint aggregate, merge join intact, corpus never the broadcast side") {
+    // The r18 verify shape containmentIncrementBatch picks when the
+    // counted candidate set is broadcast-safe: the docs corpus is
+    // semi-pruned by the candidates' distinct endpoints BEFORE the
+    // one-pass merge join, so the last store-sized shuffle in the
+    // batch (sorting the whole corpus's shingle arrays) becomes
+    // candidate-bounded. The broadcast build must be the endpoint
+    // DISTINCT (an aggregate), never the corpus.
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, min, size, struct}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      CartesianProductExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to 11).map(j => s"w${(i + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val storeSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") <= 30), "doc_id", "text")
+    val newSh = Dedup.containmentShingles(
+      docs.filter(col("doc_id") > 30), "doc_id", "text")
+    val postsNew = newSh.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val newG = postsNew.select(col("g")).distinct()
+    val postsStore = storeSh
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val aggAll = postsStore.unionByName(postsNew)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("nsh"))).as("rep"))
+    val hotTab = aggAll.filter(col("df") > 4)
+    val storePrefix = Dedup.containmentPrefixRows(storeSh,
+        aggAll.select(col("g"), col("df")))
+      .join(broadcast(newG), Seq("g"), "left_semi")
+    val prefixNew = Dedup.containmentPrefixRows(newSh,
+      aggAll.select(col("g"), col("df")))
+    val cand = graft.streaming.EventStreams.containmentCandidates(
+      newSh, storePrefix, prefixNew, postsStore, hotTab)
+    val p = graft.streaming.EventStreams
+      .containmentVerify(storeSh.unionByName(newSh), cand,
+        pruneCorpus = true)
+      .queryExecution.sparkPlan
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.size == 1,
+      "pruned verify lost its single-pass merge-join shape")
+    // the corpus prune: a broadcast LEFT SEMI whose build side is the
+    // endpoint distinct (an aggregate)
+    val semis = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, "corpus prune semi join missing:\n" +
+      p.toString.take(1200))
+    semis.foreach { j =>
+      val buildSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      assert(buildSide.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, "corpus prune broadcasts a non-aggregate side:\n" +
+        buildSide.toString.take(800))
+    }
+  }
+
   test("streaming containment stale-prefix refresh plan: semi-join pinned shuffle_hash, broadcasts stay on bounded aggregates") {
     // The refresh path (r15 ADVICE fix) re-ranks stale store docs'
     // prefixes with hot shingles forced last. Its joins must never

@@ -1271,7 +1271,7 @@ class StreamingSpec extends SparkSpec {
     val flood = (1L to 5L).map(i =>
       (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
     def snapshot(): Map[String, Set[String]] =
-      Seq("docs", "prefix", "pairs", "hot", "stale").map { sub =>
+      Seq("docs", "postings", "prefix", "pairs", "hot", "stale").map { sub =>
         sub -> spark.read.parquet(s"$store/$sub")
           .filter(col("batch") === "b0").collect()
           .map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet
@@ -1288,6 +1288,79 @@ class StreamingSpec extends SparkSpec {
     val second = snapshot()
     assert(first == second, "replay diverged: " +
       first.keys.filter(k => first(k) != second(k)).mkString(","))
+  }
+
+  test("containment store migration: missing postings are backfilled in place, missing hot/stale fail actionably, cap mismatch fails") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_mig").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    val base = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8")).toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      minePairs = false)
+    def delete(path: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(path))
+    }
+    // r17-format store: postings sub absent. The first increment must
+    // backfill it from the docs sub and produce the same pairs a
+    // natively-seeded store would.
+    delete(s"$store/postings")
+    val b = Seq((10L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(b, 0L, store,
+      "doc_id", "text", 3, 5, graft.operators.Dedup.DefaultMaxPosting)
+    assert(new java.io.File(s"$store/postings/batch=base").exists(),
+      "backfill did not materialize the seed postings partition")
+    val pairs = EventStreams.containmentStorePairs(spark, store)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both orientations: 5/5 and 5/6 containment both clear 0.8
+    assert(pairs == Set((10L, 1L), (1L, 10L)),
+      s"post-backfill pairs wrong: $pairs")
+    // cap mismatch vs the persisted meta: refused, names both caps
+    val capErr = intercept[IllegalArgumentException] {
+      EventStreams.containmentIncrementBatch(b, 1L, store,
+        "doc_id", "text", 3, 5, maxPosting = 7)
+    }
+    assert(capErr.getMessage.contains("maxPosting"), capErr.getMessage)
+    // pre-r17 store (no hot/stale): explicit reseed guidance, not a
+    // raw parquet path-not-found from DedupStore.readLive
+    delete(s"$store/hot")
+    val oldErr = intercept[IllegalStateException] {
+      EventStreams.containmentIncrementBatch(b, 1L, store,
+        "doc_id", "text", 3, 5, graft.operators.Dedup.DefaultMaxPosting)
+    }
+    assert(oldErr.getMessage.contains("seedContainmentBase"), oldErr.getMessage)
+  }
+
+  test("containmentCompact resolves maxPosting from the store meta; a cap-less call on a meta-less store is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scont_cap").toFile
+    val store = new java.io.File(root, "store").getAbsolutePath
+    // custom cap 4; the flood drives the aa-shingles hot (df 5 > 4)
+    val base = Seq((50L, "aa1 aa2 aa3 b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9")).toDF("doc_id", "text")
+    EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+      maxPosting = 4)
+    val flood = (1L to 5L).map(i =>
+      (i, s"aa1 aa2 aa3 f${i}1 f${i}2 f${i}3 f${i}4")).toDF("doc_id", "text")
+    EventStreams.containmentIncrementBatch(flood, 0L, store,
+      "doc_id", "text", 3, 5, 4)
+    // No explicit cap: the major fold reads maxPosting=4 from the meta
+    // and recomputes the hot generation with it (DefaultMaxPosting —
+    // the old silent default — would find nothing hot).
+    EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    val hot = graft.streaming.DedupStore.readLive(spark, store, "hot").count()
+    assert(hot > 0L,
+      "meta-resolved major fold lost the hot set (cap default regression)")
+    // meta-less store + no explicit cap: refused with guidance
+    val f = new java.io.File(s"$store/containment-meta.txt")
+    assert(f.delete(), "test setup: meta file missing")
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.containmentCompact(spark, store, 0L, foldBase = true)
+    }
+    assert(err.getMessage.contains("maxPosting"), err.getMessage)
   }
 
   test("containmentCompact: a major fold rewrites the prefix generation re-ranked, erasing stale rows; parity survives") {
