@@ -204,17 +204,25 @@ def classify_phase(flagged, drv, meta):
     idxs = sorted(pos[q] for q in fq)
     start = min(offs[q] for q in fq)
     end = max(offs[q] + drv.get(q, 0.0) for q in fq)
-    span = idxs[-1] - idxs[0] + 1
+    last = order[-1]
+    total = offs[last] + drv.get(last, 0.0)
+    frac = (end - start) / total if total > 0 else 1.0
     print(f"phase-classifier ({src}): flagged entries at run positions "
-          f"{idxs[0]}-{idxs[-1]} ({len(idxs)} of {span} consecutive slots), "
-          f"time window {start:.1f}-{end:.1f}s")
-    # Contiguous = at most 2 clean entries interleaved among the
-    # flagged ones (r17's six were strictly consecutive; a phase can
-    # straddle an entry too fast/slow to trip the 2x+1s gate).
-    if span <= len(idxs) + 2:
+          f"{idxs[0]}-{idxs[-1]} ({len(idxs)} of {idxs[-1] - idxs[0] + 1} "
+          f"consecutive slots), time window {start:.1f}-{end:.1f}s "
+          f"({100 * frac:.0f}% of the {total:.0f}s run)")
+    # Phase-shaped = every flagged entry falls in one window that is a
+    # small fraction of the run (r17's six: 12%; a live phase caught by
+    # this instrument spanned 21% with warn-class entries interleaved —
+    # position-contiguity alone read that as scattered). A genuine
+    # code regression has no reason to cluster in run time under a
+    # seeded order, so >35% span is treated as scattered.
+    if frac <= 0.35:
         print("  => CONTIGUOUS in time: consistent with a transient box "
               "phase, not a plan change — confirm the entries read "
-              "board-level in a seeded re-run before touching code")
+              "board-level in a seeded re-run before touching code"
+              + (" (single entry: window is trivial; the re-run check "
+                 "is the whole signal)" if len(idxs) == 1 else ""))
     else:
         print("  => SCATTERED across the run: not a single box phase — "
               "suspect these entries' plans/code")
@@ -312,7 +320,11 @@ def driver_audit(driver_path, board_paths, allow_drift):
         for q, dv, bv, r in bad:
             print(f"  {q}: {r:.2f}x (+{dv / f - bv:.1f}s)")
     if bad or agg_bad:
-        classify_phase(bad if bad else soft, drv, meta)
+        # Classify over EVERY >2x entry (material or warn-class): the
+        # materiality floor splits one box phase's entries into fails
+        # and warns, and judging contiguity from the fails alone would
+        # read a dense phase as scattered.
+        classify_phase(bad + soft, drv, meta)
         sys.exit(1)
     print("OK: no entry exceeds 2x its board median by more than 1s"
           + (f" ({skipped} unaudited — see coverage above)" if skipped else ""))
