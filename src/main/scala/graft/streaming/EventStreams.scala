@@ -905,6 +905,7 @@ object EventStreams {
       val staleAll = DedupStore.readLive(spark, storeDir, "stale")
         .filter(col("batch") =!= part).select(col("doc_id"))
         .unionByName(staleDelta).distinct()
+        .persist(MAD)
       // Re-rank stale docs' prefixes with every currently-hot shingle
       // ranked LAST (df = cap+1; absent shingles coalesce to 0): the
       // resulting floor(n/5)+1 prefix keeps a maximal cold subset,
@@ -913,11 +914,24 @@ object EventStreams {
       // themselves, changing candidate fan-out, never coverage. That
       // keeps the refresh free of any store-sized aggregate; extra
       // candidates are verified away.
+      //
+      // The stale-doc semi join follows the counted-broadcast pattern
+      // (r18 — the 5M-doc planted gate showed the shuffle_hash shape
+      // re-shuffling the whole docs sub whenever the probe fires,
+      // 182.9 s vs 64.6 s organic): the stale list is counted once
+      // (it is persisted and reused), broadcast when bounded, with
+      // the shuffle-hash fallback for the contractually-unbounded
+      // degenerate corpus — the corpus side is never the build side
+      // either way.
+      val nStale = staleAll.count()
       val refreshedPrefix =
-        if (staleAll.isEmpty) None
+        if (nStale == 0L) None
         else {
-          val staleSh = storeSh.join(staleAll.hint("shuffle_hash"),
-            Seq("doc_id"), "left_semi")
+          val staleSh =
+            if (nStale <= MaxBroadcastShingles)
+              storeSh.join(broadcast(staleAll), Seq("doc_id"), "left_semi")
+            else storeSh.join(staleAll.hint("shuffle_hash"),
+              Seq("doc_id"), "left_semi")
           val hotRank = hotPrior.unionByName(newlyHot)
             .withColumn("df", lit((maxPosting + 1).toLong))
           Some(Dedup.containmentPrefixRows(staleSh, hotRank))
@@ -945,6 +959,7 @@ object EventStreams {
       } finally {
         cand.unpersist(false)
         prefixNew.unpersist(false); staleDelta.unpersist(false)
+        staleAll.unpersist(false)
         storePrefix.unpersist(false); newlyHot.unpersist(false); ()
       }
     } finally {

@@ -179,13 +179,14 @@ object ContainmentStreamGate {
             .map { case ((_, s1, _, _), (_, sN, _, _)) => sN / s1 }.sorted
           (lo, hi, ratios(ratios.size / 2))
       }.toSeq
+      // empty on a single-tier run — no dangling comma then
       val ratioJson = decades.map { case (lo, hi, r) =>
-        s""""store_${hi}x_over_${lo}x_ratio":${r1(r)}"""
-      }.mkString(",")
+        s""","store_${hi}x_over_${lo}x_ratio":${r1(r)}"""
+      }.mkString
       println(json.mkString(
         s"""{"gate":"containment_chain_read","sf":"$sfDir","base_docs":$baseN,"batch_docs":$batchDocs,""",
         ",",
-        s""",$ratioJson}"""))
+        s"""$ratioJson}"""))
       spark.stop()
       return
     }
