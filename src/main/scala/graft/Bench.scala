@@ -214,8 +214,17 @@ object Bench {
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val seedEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "1807")
+    // validate up front: a typo ('Alpha', '') must fail with the
+    // accepted forms named, not a raw NumberFormatException after
+    // JVM startup (r18 ADVICE)
     val seed: Option[Long] =
-      if (seedEnv == "alpha") None else Some(seedEnv.toLong)
+      if (seedEnv == "alpha") None
+      else scala.util.Try(seedEnv.toLong).toOption match {
+        case Some(n) => Some(n)
+        case None => sys.error(
+          s"SPARK_GRAFT_BENCH_SEED='$seedEnv' is not valid: pass an " +
+            "integer seed (e.g. 1807) or 'alpha' for alphabetical order")
+      }
     val names = seed match {
       case Some(sd) => new scala.util.Random(sd).shuffle(ordered)
       case None => ordered

@@ -52,6 +52,15 @@ object VectorExpressions {
       org.apache.spark.sql.graft.SignProjection(
         ColumnBridge.expression(v), bits, tables))
 
+  /** Codegen'd nearest-centroid assignment against a driver-side
+    * (cid, centroid) table — the map-only replacement for the
+    * crossJoin+max_by shape (highest cosine, ties to lowest cid).
+    */
+  def nearest_centroid(v: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.NearestCentroid(
+        ColumnBridge.expression(v), centroids))
+
   /** Low 64 bits of md5 (little-endian digest bytes 8..15) — DuckDB's
     * `md5_number_lower` twin; use BIT ops only (see kernel scaladoc).
     */

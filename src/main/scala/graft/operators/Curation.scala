@@ -56,7 +56,7 @@ object Curation {
       chunkLen: Int = 10): DataFrame = {
     require(chunkLen >= 1, s"chunk length must be >= 1 token, got $chunkLen")
     val toks = Dedup.tokens(col(textCol))
-    docs
+    Par.spread(docs)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
@@ -128,7 +128,7 @@ object Curation {
       when(b - a > maxChunk, sequence(a + lit(maxChunk), b - 1, lit(maxChunk)))
         .otherwise(array().cast("array<int>"))
     }))
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    Par.spread(docs).select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), bounds0.as("bs0"))
       .select(col("doc_id"), col("toks"),
         array_sort(concat(col("bs0"), forced)).as("bs"))
@@ -194,7 +194,7 @@ object Curation {
     require(n >= 1, s"window length must be >= 1 token, got $n")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = Dedup.tokens(col(textCol))
-    val windows = docs
+    val windows = Par.spread(docs)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
@@ -253,7 +253,7 @@ object Curation {
     // the sampled-down shuffle, is the single-box bottleneck, and
     // xxhash64 is the cheap non-cryptographic twin (same trade as
     // winnowFingerprint's useXxhash).
-    val fpGrid = docs
+    val fpGrid = Par.spread(docs)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),

@@ -99,6 +99,11 @@ object Dedup {
     */
   def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerm: Int = 32): DataFrame =
+    // NO Par.spread here: the native minhash kernel is cheap enough
+    // that exchanging raw text rows to parallelize it costs more than
+    // it saves — r19 A/B matrix (SPARK_GRAFT_SPREAD=off vs on):
+    // minhash_neardup 1.33 vs 1.97 s, dedup_increment 3.77 vs 6.13,
+    // leakage_safe_split 1.70 vs 2.47 (guide §8)
     df.select(col(idCol).as("id"),
       graft.functions.VectorExpressions.minhash_signature(
         tokens(col(textCol)), shingleLen, numPerm).as("sig"))
@@ -223,6 +228,9 @@ object Dedup {
       .union(pairs.select(col("b").as("__pid")))
     // sorted + distinct shingles => the codegen'd merge kernel counts
     // |∩| in one pass per pair; |∪| = |a|+|b|-|∩|
+    // NO Par.spread on the verify side either: the candidate set is
+    // already pair-pruned (small), and the r19 A/B matrix put the
+    // dedup family consistently faster without the input exchange
     val sh = df.join(ids, col(idCol) === col("__pid"), "left_semi")
       .select(col(idCol).as("id"),
         graft.functions.VectorExpressions.sorted_shingles(
@@ -584,7 +592,7 @@ object Dedup {
     */
   def containmentShingles(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minShingles: Int = 5): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    Par.spread(df).select(col(idCol).as("doc_id"),
       graft.functions.VectorExpressions.sorted_shingles(
         tokens(col(textCol)), shingleLen).as("sh"))
       .filter(size(col("sh")) >= minShingles)

@@ -24,9 +24,24 @@ import graft.functions.VectorExpressions
 object Similarity {
 
   /** (id, v double[]) with the embedding cast to double. */
-  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+  /** Every call site passes the CORPUS side (never a k-row probe
+    * frame). `spread = true` applies the [[Par.spread]] scan
+    * parallelism floor (no-op on any multi-split input) for the
+    * consumers whose per-row kernel is HEAVY — all-pairs dot blocks
+    * (exactCosinePairs) and the k-means cluster family (semDedup) —
+    * where the r19 A/B matrix measured the floor a clear win
+    * (semdedup 3.70 vs 4.62 s). It stays OFF by default: for the
+    * light map kernels (sign_project LSH, PQ/ADC lookups, JL dots)
+    * the same matrix measured the exchange costing more than the
+    * parallelism saves (guide §8 — don't move more bytes than the
+    * compute is worth).
+    */
+  def prepared(df: DataFrame, idCol: String, vecCol: String,
+      spread: Boolean = false): DataFrame = {
+    val base = if (spread) Par.spread(df) else df
+    base.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+  }
 
   /** Cosine similarity between two double-array columns via the native
     * codegen'd DotProduct expression (same sequential summation order
@@ -234,15 +249,30 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** Nearest-centroid assignment: (id, cid) in ONE pass against the
-    * broadcast centroid table (argmax cosine via max_by; ties break to
-    * the lowest centroid id).
+  /** Nearest-centroid assignment: (id, cid) in ONE map-only pass
+    * (argmax cosine; ties break to the lowest centroid id). The
+    * centroid table is nlist-bounded by contract (k-means pin /
+    * warm-store index metadata), so it collects to the driver and
+    * rides into the codegen kernel — the historical
+    * `crossJoin(broadcast) + groupBy(id).max_by` shape materialized
+    * N x nlist rows and re-shuffled ALL of them just to pick each
+    * row's argmax (guide §2.4: remove shuffles outright).
+    * Bit-equivalent argmax: see [[org.apache.spark.sql.graft.NearestCentroid]].
     */
-  def assignNearest(prep: DataFrame, centroids: DataFrame): DataFrame =
-    prep.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tb"))).as("cid"))
+  def assignNearest(prep: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    if (cents.isEmpty) prep.filter(lit(false)).select(col("id"), lit(0L).as("cid"))
+    else prep.select(col("id"),
+      VectorExpressions.nearest_centroid(col("v"), cents).as("cid"))
+  }
+
+  /** Driver-side (cid, cv) pin of an nlist-bounded centroid frame —
+    * the same bounded-collect contract as the k-means pin.
+    */
+  private[operators] def collectCentroids(centroids: DataFrame)
+      : Seq[(Long, Seq[Double])] =
+    centroids.select(col("cid").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
   /** The deterministic seed centroids: the `nlist` lowest-id vectors
     * (no side files, reproducible across runs).
@@ -277,35 +307,49 @@ object Similarity {
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
-    def pin(df: DataFrame): DataFrame = {
-      val rows = df.select(col("cid").cast("long"), col("cv")).collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-    }
-    // every Lloyd iteration scans the corpus twice (assignment + mean
-    // recombine) — pin the prepared vectors for the loop instead of
-    // re-reading and re-casting parquet 2*iters times; MEMORY_AND_DISK
-    // so an executor that cannot hold its slice spills, not OOMs
-    val cached = prep.persist(
+    // every Lloyd iteration scans the corpus ONCE — pin the prepared
+    // vectors for the loop instead of re-reading and re-casting
+    // parquet per iteration; MEMORY_AND_DISK so an executor that
+    // cannot hold its slice spills, not OOMs. Par.spread first: every
+    // iteration's kernel-assignment + partial-agg pass runs at the
+    // cached frame's parallelism, so a single-split scan would
+    // serialize ALL iterations (no-op at multi-split scale).
+    val cached = Par.spread(prep).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var centroids = pin(seedCentroids(cached, nlist))
+      // centroids live DRIVER-SIDE between iterations (nlist rows —
+      // the historical pin's bounded-collect contract, minus its
+      // parallelize round-trip). Each iteration is ONE job: map-only
+      // kernel assignment fused into the component-mean aggregate;
+      // hash partial aggregation shrinks the exchange to
+      // ~partitions x nlist x d rows, and the collected final frame
+      // is nlist x d (cid, j, m) rows assembled back into arrays
+      // here — replacing the historical
+      // crossJoin+max_by / join(assign) / double groupBy / left-join
+      // recombine, which cost 4 exchanges + 2 jobs per iteration for
+      // the same arithmetic (guide §2.4). Empty clusters keep their
+      // previous centroid (the old coalesce), so exactly nlist
+      // centroids survive with their original cids.
+      var cents: Seq[(Long, Seq[Double])] =
+        collectCentroids(seedCentroids(cached, nlist))
       var i = 0
-      while (i < iters) {
-        val assign = assignNearest(cached, centroids)
-        val means = cached.join(assign, "id")
-          .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+      while (i < iters && cents.nonEmpty) {
+        val means = cached
+          .select(VectorExpressions.nearest_centroid(col("v"), cents).as("cid"),
+            posexplode(col("v")).as(Seq("j", "x")))
           .groupBy(col("cid"), col("j")).agg(avg(col("x")).as("m"))
-          .groupBy(col("cid"))
-          // struct sorts by leading field j => component order restored
-          .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
-            s => s.getField("m")).as("cv"))
-        centroids = pin(centroids.select(col("cid"), col("cv").as("__prev"))
-          .join(means, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("cv"), col("__prev")).as("cv")))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rs) =>
+            cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        cents = cents.map { case (cid, prev) =>
+          (cid, means.getOrElse(cid, prev)) }
         i += 1
       }
-      centroids
-    } finally { prep.unpersist(false); () }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.map(c => org.apache.spark.sql.Row(c._1, c._2)), 1), schema)
+    } finally { cached.unpersist(false); () }
   }
 
   /** IVF (inverted-file) coarse quantization: assign every vector to
@@ -484,7 +528,7 @@ object Similarity {
     // a zero vector has no direction: its cosine is 0/0 = NaN, which
     // Spark's SQL ordering ranks ABOVE every threshold — exclude
     // zero-norm rows up front rather than leak NaN "pairs"
-    val prep = prepared(df, idCol, vecCol)
+    val prep = prepared(df, idCol, vecCol, spread = true)
       .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
     val b = if (blocks > 0) blocks else autoBlocks(prep.count())
     exactCosineCandidates(prep, threshold, b)
@@ -593,11 +637,22 @@ object Similarity {
       maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // zero-norm exclusion, same contract as exactCosinePairs: a zero
     // vector duplicates nothing (cosine undefined), never NaN-passes
-    val prep = prepared(df, idCol, vecCol)
+    val prep = prepared(df, idCol, vecCol, spread = true)
       .filter(VectorExpressions.dot_product(col("v"), col("v")) > 0.0)
-    val (assign, _) = ivfIndex(prep, nlist, refineIters)
-    val clustered = prep.join(assign, "id")
-      .select(col("id"), col("v").as("p"), lit(0).as("band"), col("cid").as("key"))
+    // map-only cluster assignment fused onto the corpus scan: the
+    // historical `prep.join(assignNearest(prep,..), "id")` was a
+    // self-join on id — two exchanges re-attaching a column that is a
+    // pure function of v (guide §2.4). Identical (id, key) mapping:
+    // same kernel, same centroids.
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(prep, nlist, refineIters)
+      else seedCentroids(prep, nlist)
+    val cents = collectCentroids(centroids)
+    val clustered =
+      if (cents.isEmpty) prep.filter(lit(false))
+        .select(col("id"), col("v").as("p"), lit(0).as("band"), lit(0L).as("key"))
+      else prep.select(col("id"), col("v").as("p"), lit(0).as("band"),
+        VectorExpressions.nearest_centroid(col("v"), cents).as("key"))
     Dedup.cappedPairs(clustered, maxCluster)
       .select(col("a"), col("b"), cosine(col("pa"), col("pb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -1859,7 +1859,10 @@ object Queries {
     */
   def winnowFingerprints(docs: DataFrame, useXxhash: Boolean = false): DataFrame = {
     val toks = Dedup.tokens(col("text"))
-    val base = docs
+    // the per-position md5 grid below is the entry's dominant map
+    // term and chains on the scan's partitioning — spread so a
+    // single-split corpus file doesn't serialize it (no-op at scale)
+    val base = graft.operators.Par.spread(docs)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), (size(col("toks")) - lit(4)).as("nsh"), col("toks"))
@@ -1909,6 +1912,9 @@ object Queries {
     */
   private def q47Contamination(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
+    // no spread: the n-gram explode is light and the train side is a
+    // broadcast semi — the input exchange measured net-negative (r19
+    // A/B matrix, guide §8)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -1996,6 +2002,8 @@ object Queries {
     */
   private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
+    // no spread: r19 A/B matrix measured the input exchange
+    // net-negative here (2.32 spread vs 1.87 off, guide §8)
     val base = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -2037,6 +2045,8 @@ object Queries {
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("spark", "join", "window", "hash")
     val toks = Dedup.tokens(col("text"))
+    // no spread: BM25's term explode is light; the input exchange
+    // measured net-negative (r19 A/B matrix: 0.76 off vs 1.47 on)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 1)
@@ -2275,6 +2285,14 @@ object Queries {
     val n = nodes.count().toDouble
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint()
+    // NOTE (r19): hoisting the iteration-invariant edges⋈outw join
+    // and the dangling anti-join into two pre-loop localCheckpoints
+    // was tried and MEASURED SLOWER here (+0.4-0.8 s even at the best
+    // config): at bench scale those per-iteration joins are cheap
+    // broadcast-hash joins inside the single per-iteration job, while
+    // each extra checkpoint is an eager 32-task job. The historical
+    // shape below stays; at cluster scale the same trade should be
+    // re-measured before hoisting (the joins become real shuffles).
     var ranks = nodes.select(col("page"), lit(1.0 / n).as("r"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
@@ -2503,6 +2521,9 @@ object Queries {
   private def bitextMine(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    // no spread: the margin-scoring dots ride broadcast joins over
+    // k-row top lists; the input exchange measured net-negative (r19
+    // A/B matrix: 1.66 off vs 2.48 on)
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     def side(lang: String) =
@@ -2542,6 +2563,9 @@ object Queries {
   private def bpeLearn(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     val m = 6
+    // no spread: each round re-checkpoints the corpus anyway, and the
+    // r19 A/B matrix measured the up-front exchange net-negative
+    // across all 6 rounds (bpe_train 1.41 off vs 2.83 on)
     var corpus = t(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
       .select(Dedup.tokens(col("text")).as("t"))
@@ -2741,7 +2765,8 @@ object Queries {
     */
   private def q49Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
-    val base = t(s, dir, "documents").filter(size(toks) >= 3)
+    val base = graft.operators.Par.spread(t(s, dir, "documents"))
+      .filter(size(toks) >= 3)
       .select(col("doc_id"), (size(toks) - 2).as("nt"), toks.as("toks"))
     val grams = base
       .select(col("doc_id"), col("nt"),
@@ -3816,8 +3841,11 @@ object Queries {
     */
   private def jlProjectEntry(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
+    // spread=false: jl_project's pinned contract is a shuffle-free
+    // map-only plan (its per-row cost is r compiled dots — lighter
+    // than the exchange that would spread it)
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id",
-      "embedding")
+      "embedding", spread = false)
     val p = Similarity.jlProject(prep, r = 16, dim = 64)
     // + 0.0 canonicalizes IEEE negative zero (round can yield -0.0,
     // which the engines RENDER differently and which perturbs the

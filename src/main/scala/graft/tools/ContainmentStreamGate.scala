@@ -125,9 +125,24 @@ object ContainmentStreamGate {
       val plantText = docs
         .filter(size(split(col("text"), " ")) >= 8)
         .select(col("text")).limit(1).collect()(0).getString(0)
-      def planted(n: Int) = spark.range(n).select(
-        (col("id") + 30000000000L).as("doc_id"),
-        concat(lit(plantText), lit(" zzplant "), col("id")).as("text"))
+      // Planted band 40e9: DISJOINT from every novel(tag) band
+      // (20e9 + 1e7*tag + [0, batchDocs) — tags stay < 2000, so novel
+      // ids top out near 20.02e9... 30.01e9) and from the replicated
+      // base bands (< 1.7e9 at reps <= 16). The r18 value 30e9
+      // collided exactly with novel(tag=1000) — the warm-up batch —
+      // re-ingesting b1000's doc_id range as "planted" docs, which
+      // broke containmentVerify's unique-doc-id determinism contract
+      // and polluted the planted_sec gate evidence (r18 ADVICE,
+      // medium).
+      val plantedBase = 40000000000L
+      def planted(n: Int) = {
+        val maxNovelTag = 2000L
+        require(plantedBase > 20000000000L + 10000000L * maxNovelTag + n,
+          s"planted doc_id band must be disjoint from every novel(tag) band")
+        spark.range(n).select(
+          (col("id") + plantedBase).as("doc_id"),
+          concat(lit(plantText), lit(" zzplant "), col("id")).as("text"))
+      }
       val results = for {
         reps <- tiers
         label = s"base_${reps}x"
@@ -149,13 +164,16 @@ object ContainmentStreamGate {
           val store = buildChain(seed, s"chain_${label}_$deltas", deltas, dfByG)
           batch(store, novel(1000L, batchDocs), 1000L) // warm-up
           val sec = batch(store, novel(1001L, batchDocs), 1001L)
+          // live_parts counted BEFORE the planted probe so it reports
+          // the store state the organic `sec` above actually measured
+          // (r18 ADVICE: counting after b1002 read one part high)
+          val live = DedupStore.readLive(spark, store, "docs")
+            .select(col("batch")).distinct().count()
           // planted probe on the longest chain only: the stale-probe
           // cost is store-shaped, not chain-shaped
           val plantedSec =
             if (deltas == 16) Some(batch(store, planted(batchDocs), 1002L))
             else None
-          val live = DedupStore.readLive(spark, store, "docs")
-            .select(col("batch")).distinct().count()
           (deltas, sec, live, plantedSec)
         }
         dfByG.unpersist(false)

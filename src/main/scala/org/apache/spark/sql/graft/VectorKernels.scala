@@ -604,6 +604,99 @@ case class PqEncodeCodes(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment against a DRIVER-SIDE centroid table
+  * (nlist rows — the same bounded-collect contract as the k-means
+  * pin): returns the cid of the centroid with the highest cosine
+  * similarity to the input vector, ties broken to the LOWEST cid.
+  *
+  * This is the map-only replacement for the historical
+  * `crossJoin(broadcast(centroids)) + groupBy(id).max_by` assignment
+  * shape: the crossJoin materialized N x nlist rows and the groupBy
+  * re-shuffled all of them per Lloyd iteration (guide §2.4 — remove
+  * shuffles outright). Bit-equivalence with that shape:
+  *
+  *  - sim is computed EXACTLY as VectorExpressions.cosine_similarity
+  *    (sequential dot, `dot / (sqrt(dot(v,v)) * sqrt(dot(c,c)))`), so
+  *    every per-centroid similarity is the same double;
+  *  - the argmax uses java.lang.Double.compare — Spark's own double
+  *    ordering (NaN greatest, used by max_by's struct comparator) —
+  *    iterating centroids in ascending-cid order and replacing only
+  *    on strictly-greater, which IS max_by(cid, struct(sim, -cid));
+  *  - -0.0 normalizes to 0.0 before comparing, matching UnsafeRow's
+  *    write-time normalization in the grouped shape.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Double])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "centroid table must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+
+  // volatile publish, same reasoning as SignProjection's weight cache
+  @transient @volatile private var cids: Array[Long] = _
+  @transient @volatile private var cvs: Array[Array[Double]] = _
+  @transient @volatile private var cnorms: Array[Double] = _
+
+  private def tables(): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val c0 = cids
+    if (c0 != null) return (c0, cvs, cnorms)
+    val sorted = centroids.sortBy(_._1).toArray
+    val ids = sorted.map(_._1)
+    val vs = sorted.map(_._2.toArray)
+    val ns = vs.map { cv =>
+      var s = 0.0; var j = 0
+      while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
+      math.sqrt(s)
+    }
+    cvs = vs
+    cnorms = ns
+    cids = ids
+    (ids, vs, ns)
+  }
+
+  def assign(input: ArrayData): Long = {
+    val (ids, vs, ns) = tables()
+    val d = input.numElements()
+    var vv = 0.0
+    var j = 0
+    while (j < d) { val x = input.getDouble(j); vv += x * x; j += 1 }
+    val vn = math.sqrt(vv)
+    var bestCid = ids(0)
+    var bestSim = Double.NaN
+    var first = true
+    var ci = 0
+    while (ci < ids.length) {
+      val cv = vs(ci)
+      val n = math.min(d, cv.length)
+      var dot = 0.0
+      var k = 0
+      while (k < n) { dot += cv(k) * input.getDouble(k); k += 1 }
+      var sim = dot / (vn * ns(ci))
+      if (sim == 0.0) sim = 0.0 // -0.0 -> +0.0, UnsafeRow normalization
+      if (first || java.lang.Double.compare(sim, bestSim) > 0) {
+        first = false; bestSim = sim; bestCid = ids(ci)
+      }
+      ci += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.assign($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression converters for expression-building facades. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

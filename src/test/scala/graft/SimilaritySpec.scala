@@ -635,7 +635,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("JL projection: shuffle-free plan, distances preserved in expectation") {
     val emb = Tables(spark, sfDir, "embeddings")
-    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val prep = Similarity.prepared(emb, "vec_id", "embedding", spread = false)
     val proj = Similarity.jlProject(prep, r = 16, dim = 64)
     // map-only: r compiled dot products per vector, zero exchanges
     val plan = proj.queryExecution.executedPlan.toString
