@@ -765,7 +765,14 @@ object Queries {
       "vec_id", "embedding", nlist = rootN, refineIters = 2, threshold = thr,
       maxCluster = math.max(graft.operators.Dedup.DefaultMaxBucket, 8 * rootN))
       .localCheckpoint()
-    val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+    // spread=true: prepN's self-theta-join below is a
+    // BroadcastNestedLoopJoin whose STREAM side carries the full
+    // N^2/2 dot-product pass — on an unspread single-split scan that
+    // entire quadratic stage runs in ONE task (r19 StageProbe: 2.27 s
+    // of the entry's 2.8 s warm time in one task; heavy-kernel case
+    // of the spread rule, guide §2/§8)
+    val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id",
+      "embedding", spread = true)
     // round-then-filter like emb_neardup: the hashed boundary sits on a
     // 1e-4 grid, so engine ULP noise cannot flip membership. Norms are
     // computed ONCE per vector (N sqrt-of-dots, not 2 per pair) — the
