@@ -125,16 +125,16 @@ object ContainmentStreamGate {
       val plantText = docs
         .filter(size(split(col("text"), " ")) >= 8)
         .select(col("text")).limit(1).collect()(0).getString(0)
-      // Planted band 40e9: DISJOINT from every novel(tag) band
-      // (20e9 + 1e7*tag + [0, batchDocs) — tags stay < 2000, so novel
-      // ids top out near 20.02e9... 30.01e9) and from the replicated
-      // base bands (< 1.7e9 at reps <= 16). The r18 value 30e9
-      // collided exactly with novel(tag=1000) — the warm-up batch —
-      // re-ingesting b1000's doc_id range as "planted" docs, which
-      // broke containmentVerify's unique-doc-id determinism contract
-      // and polluted the planted_sec gate evidence (r18 ADVICE,
-      // medium).
-      val plantedBase = 40000000000L
+      // Planted band 50e9: DISJOINT from every novel(tag) band
+      // (20e9 + 1e7*tag + [0, batchDocs); the require below bounds
+      // tags by a 2000 ceiling, i.e. novel ids < 40e9 + batchDocs)
+      // and from the replicated base bands (< 1.7e9 at reps <= 16).
+      // The r18 value 30e9 collided exactly with novel(tag=1000) —
+      // the warm-up batch — re-ingesting b1000's doc_id range as
+      // "planted" docs, which broke containmentVerify's unique-doc-id
+      // determinism contract and polluted the planted_sec gate
+      // evidence (r18 ADVICE, medium).
+      val plantedBase = 50000000000L
       def planted(n: Int) = {
         val maxNovelTag = 2000L
         require(plantedBase > 20000000000L + 10000000L * maxNovelTag + n,
