@@ -428,12 +428,25 @@ object Bench {
     // the tail survives — carry the entries it most needs to check.
     val slowest = results.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // r19 VERDICT #1: the driver parses the LAST JSON line of stdout,
+    // and the canonical line above (printed first) never survived its
+    // truncated capture — "parsed": null in every BENCH artifact
+    // r01-r19, leaving PERF per_query and the scaling block empty. The
+    // fix is the VERDICT's own prescription: fold the COMPLETE queries
+    // map into this final summary line so the last JSON line satisfies
+    // the full driver contract ({metric,value,unit,queries,sf}). Key
+    // ORDER is deliberate: `queries` sits at the HEAD of the line (a
+    // 2000-char tail capture cuts the head, not the end), while every
+    // field the truncation-aware audit reads from tails — calibration,
+    // drift flag+reason, slowest, errors, alarms, nqueries — keeps its
+    // place in the line's final 2000 chars, exactly as before.
     // calibration_drift sits AFTER slowest so the 2000-char tail window
-    // (which cuts the line's head, not its end) always carries it.
-    // nqueries repeats at the very end (duplicate key; JSON parsers keep
-    // the last) so the truncation-aware audit can compute coverage even
-    // when the line's head falls outside the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"calibration_io":{"pre":${r3(calIoPre)},"post":${r3(calIoPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"seed":$seedJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
+    // always carries it; nqueries repeats at the very end (duplicate
+    // key; JSON parsers keep the last) so the audit can compute
+    // coverage even when the line's head falls outside the tail window.
+    val qsR3 = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"$mode","queries":$qsR3,"nqueries":${results.size},"calibration":{"pre":${r3(calPre)},"post":${r3(calPost)}},"calibration_io":{"pre":${r3(calIoPre)},"post":${r3(calIoPost)}},"slowest":$slowest,"calibration_drift":$calDrift,"calibration_drift_reason":$driftReasonJson,"seed":$seedJson,"errors":$errs,"observed_alarms":$obsAlarms,"queries_file":"$outFile","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }

@@ -45,8 +45,22 @@ object Par {
     * multi-split scale). The partition-count probe costs one plan
     * compile of `df`'s lineage, no job.
     */
-  def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def spread(df: DataFrame): DataFrame =
+    spreadTo(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** [[spread]] with an explicit, session-independent target — for the
+    * one consumer class where the REPARTITION COUNT must not vary with
+    * the core count: floating-point partial aggregates over the spread
+    * frame (k-means component means). Round-robin placement and the
+    * partial-sum groupings are a function of the partition COUNT, so a
+    * target tied to `defaultParallelism` makes non-associative double
+    * sums differ between an 8- and a 32-core session — a ULP shift
+    * that can flip a near-tie nearest-centroid assignment downstream
+    * (r19 ADVICE, medium). A pinned target keeps the same partials on
+    * every box; the trigger condition is unchanged, so any multi-split
+    * production scan still bypasses the exchange entirely.
+    */
+  def spreadTo(df: DataFrame, target: Int): DataFrame = {
     if (!enabled || target <= 1) df
     else if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
     else df

@@ -23,8 +23,9 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
-  /** (id, v double[]) with the embedding cast to double. */
-  /** Every call site passes the CORPUS side (never a k-row probe
+  /** (id, v double[]) with the embedding cast to double.
+    *
+    * Every call site passes the CORPUS side (never a k-row probe
     * frame). `spread = true` applies the [[Par.spread]] scan
     * parallelism floor (no-op on any multi-split input) for the
     * consumers whose per-row kernel is HEAVY — all-pairs dot blocks
@@ -299,6 +300,13 @@ object Similarity {
     * region, k-means spreads them to match the data distribution,
     * which raises recall at a fixed nprobe (pinned in SimilaritySpec).
     */
+  /** Pinned partition count for the Lloyd-loop cache: the component-
+    * mean partial sums are grouped BY PARTITION, so this must be a
+    * constant, not `defaultParallelism` — see the comment at the
+    * `spreadTo` call site in [[kmeansCentroids]].
+    */
+  private[graft] val KmeansSpreadPartitions = 32
+
   def kmeansCentroids(prep: DataFrame, nlist: Int, iters: Int = 5): DataFrame = {
     val spark = prep.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -310,11 +318,19 @@ object Similarity {
     // every Lloyd iteration scans the corpus ONCE — pin the prepared
     // vectors for the loop instead of re-reading and re-casting
     // parquet per iteration; MEMORY_AND_DISK so an executor that
-    // cannot hold its slice spills, not OOMs. Par.spread first: every
-    // iteration's kernel-assignment + partial-agg pass runs at the
-    // cached frame's parallelism, so a single-split scan would
-    // serialize ALL iterations (no-op at multi-split scale).
-    val cached = Par.spread(prep).persist(
+    // cannot hold its slice spills, not OOMs. Par.spreadTo first:
+    // every iteration's kernel-assignment + partial-agg pass runs at
+    // the cached frame's parallelism, so a single-split scan would
+    // serialize ALL iterations (no-op at multi-split scale). The
+    // target is PINNED (not defaultParallelism): the avg below does
+    // non-associative double partial sums per partition, so a
+    // core-count-dependent partition count would make the centroids —
+    // and any near-tie assignment they feed — vary between the
+    // driver's 8- and 32-core bench sessions (r19 ADVICE, medium).
+    // 32 matches the count every committed oracle verification ran
+    // at; on fewer cores it is a few task waves, at multi-split
+    // production scale the spread is a no-op either way.
+    val cached = Par.spreadTo(prep, KmeansSpreadPartitions).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // centroids live DRIVER-SIDE between iterations (nlist rows —

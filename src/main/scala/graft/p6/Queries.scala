@@ -765,28 +765,28 @@ object Queries {
       "vec_id", "embedding", nlist = rootN, refineIters = 2, threshold = thr,
       maxCluster = math.max(graft.operators.Dedup.DefaultMaxBucket, 8 * rootN))
       .localCheckpoint()
-    // spread=true: prepN's self-theta-join below is a
-    // BroadcastNestedLoopJoin whose STREAM side carries the full
-    // N^2/2 dot-product pass — on an unspread single-split scan that
-    // entire quadratic stage runs in ONE task (r19 StageProbe: 2.27 s
-    // of the entry's 2.8 s warm time in one task; heavy-kernel case
-    // of the spread rule, guide §2/§8)
+    // spread=false (r20): prep now feeds only the dropStats verify
+    // joins below — a broadcast of the small drops frame against the
+    // scan, light per-row work — where the r19 A/B matrix showed an
+    // input-spread exchange costs more than it saves (spread-site
+    // rule; the heavy quadratic pass moved into the blocked
+    // formulation below, which spreads its own input).
     val prep = Similarity.prepared(t(s, dir, "embeddings"), "vec_id",
-      "embedding", spread = true)
-    // round-then-filter like emb_neardup: the hashed boundary sits on a
-    // 1e-4 grid, so engine ULP noise cannot flip membership. Norms are
-    // computed ONCE per vector (N sqrt-of-dots, not 2 per pair) — the
-    // same ops in the same order as cosine_similarity, so the rounded
-    // values are bit-identical while the all-pairs pass does one dot
-    // per pair instead of three.
-    val prepN = prep.select(col("id"), col("v"),
-      sqrt(graft.functions.VectorExpressions.dot_product(col("v"), col("v")))
-        .as("nrm"))
-    val globalPairs = prepN.as("x").join(prepN.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(graft.functions.VectorExpressions.dot_product(col("x.v"), col("y.v"))
-          / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
-      .filter(col("cos") >= thr)
+      "embedding", spread = false)
+    // r20 (VERDICT #5): the global-stats reference pass was a
+    // self-theta-join (x.id < y.id) — a BroadcastNestedLoopJoin whose
+    // STREAM side carried the full N^2/2 dot products; r19
+    // parallelized it (Par.spread) but did not shrink it. Replaced
+    // with Similarity.exactCosinePairs: the SAME declared pair set —
+    // the oracle SQL itself filters zero-norm vectors and computes
+    // round(dot/(sqrt*sqrt), 4) >= thr, exactly this operator's
+    // contract — via the lossless int8 filter-and-refine over a
+    // triangle block-pair EQUI-join: bounded ~4M-candidate tasks, no
+    // BNLJ, full double vectors touched only for prescreen survivors
+    // (guide §3.2 filter-and-refine, §2.5 bounded per-task work).
+    // Blocks from the already-counted nVec, so no extra count job.
+    val globalPairs = Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+      threshold = thr, blocks = Similarity.autoBlocks(nVec))
     val globalStats = globalPairs.agg(
       count(lit(1)).as("n_global_pairs"),
       countDistinct(col("b")).as("n_global_dups"),

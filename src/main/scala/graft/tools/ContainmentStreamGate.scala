@@ -86,10 +86,21 @@ object ContainmentStreamGate {
       // tags 9/19/29, planting duplicate doc_ids in the measured store
       // (r16 ADVICE); the r17 base of 1e9 would collide with replica
       // 10+ once the 100x tier exists.
-      def novel(tag: Long, n: Int) = spark.range(n).select(
-        (col("id") + 20000000000L + 10000000L * tag).as("doc_id"),
-        concat(lit(s"novel batch $tag doc "), col("id"),
-          lit(" alpha beta gamma delta epsilon")).as("text"))
+      // Ceiling on novel() tags, enforced at BOTH ends of the
+      // disjointness invariant (r19 ADVICE): novel() refuses a tag
+      // above it, and planted() proves its band sits above every
+      // possible novel id. A caller minting tag > ceiling used to
+      // recreate the r18 band collision without tripping any require.
+      val maxNovelTag = 2000L
+      def novel(tag: Long, n: Int) = {
+        require(tag <= maxNovelTag,
+          s"novel tag $tag exceeds the $maxNovelTag ceiling the planted-band " +
+            "disjointness require is proven against")
+        spark.range(n).select(
+          (col("id") + 20000000000L + 10000000L * tag).as("doc_id"),
+          concat(lit(s"novel batch $tag doc "), col("id"),
+            lit(" alpha beta gamma delta epsilon")).as("text"))
+      }
       def buildChain(seed: String, name: String, deltas: Int,
           dfByG: org.apache.spark.sql.DataFrame): String = {
         val store = new java.io.File(root, name).getAbsolutePath
@@ -136,7 +147,6 @@ object ContainmentStreamGate {
       // evidence (r18 ADVICE, medium).
       val plantedBase = 50000000000L
       def planted(n: Int) = {
-        val maxNovelTag = 2000L
         require(plantedBase > 20000000000L + 10000000L * maxNovelTag + n,
           s"planted doc_id band must be disjoint from every novel(tag) band")
         spark.range(n).select(

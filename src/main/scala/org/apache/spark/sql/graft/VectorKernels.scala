@@ -15,6 +15,23 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * are `private[sql]`. Public API is re-exported from
   * `graft.functions.VectorExpressions`.
   */
+/** Shared bound for kernels that serialize a literal lookup table
+  * (centroids, codebooks) into the expression — and so into every task
+  * binary. The bounded-collect call sites stay ~KB-sized (nlist=32,
+  * m*ksub*dsub ~ 8k doubles); this cap (8 MB of doubles) documents the
+  * contract so a future caller with e.g. nlist=65536 x d=1536 fails
+  * with an explanation instead of shipping a 100 MB closure per task
+  * (r19 VERDICT #9).
+  */
+object KernelLiteralBound {
+  val MaxLiteralDoubles: Int = 1 << 20
+  def check(kernel: String, doubles: Long): Unit =
+    require(doubles <= MaxLiteralDoubles,
+      s"$kernel literal table has $doubles doubles, over the " +
+        s"$MaxLiteralDoubles (8 MB) task-binary bound — a table this " +
+        "size must be broadcast-joined, not serialized into the expression")
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -537,6 +554,8 @@ case class PqEncodeCodes(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     "codebook must have at least one centroid per subspace")
   require(codebook.forall(_.forall(_.length == codebook.head.head.length)),
     "all centroids must share one subspace dimension")
+  KernelLiteralBound.check("pq_encode codebook",
+    codebook.iterator.map(_.iterator.map(_.length.toLong).sum).sum)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType =
@@ -629,6 +648,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes {
   require(centroids.nonEmpty, "centroid table must be non-empty")
+  KernelLiteralBound.check("nearest_centroid centroid table",
+    centroids.iterator.map(_._2.length.toLong).sum)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType

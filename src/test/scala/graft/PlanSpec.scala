@@ -360,10 +360,13 @@ class PlanSpec extends SparkSpec {
       // TakeOrdered candidate set — O(candidates), but the filter
       // bound is predicate-level, invisible to the structural check:
       "hybrid_retrieval",
-      // exact all-pairs scaffolds, quadratic by contract over a
-      // literal-capped doc set (ngram: doc_id < 200) or the cluster-
-      // bounded semdedup oracle (subquadratic twin: semdedup_planted):
-      "ngram_jaccard_hist", "semdedup",
+      // exact all-pairs scaffold, quadratic by contract over a
+      // literal-capped doc set (ngram: doc_id < 200). semdedup left
+      // this list in r20: its global-stats scaffold is now the
+      // blocked int8 filter-and-refine equi-join (exactCosinePairs),
+      // no BNLJ — only the 1-row stat crossJoins remain, and those
+      // are aggregate-bounded:
+      "ngram_jaccard_hist",
       // bipartite all-pairs margin scoring (CCMatrix recipe): the
       // en x de cross join is quadratic by contract — the ann_*
       // candidate paths are the 100 TB shape (see bitextMine doc):
@@ -430,10 +433,36 @@ class PlanSpec extends SparkSpec {
     // exchange is allowed below it — it carries the RAW doc rows
     // (paid once, before the md5 grid kernel), not the window fan-out
     // the sampling exists to prune.
-    assert(!lines.drop(filterIdx).exists(l =>
+    val below = lines.drop(filterIdx)
+    assert(!below.exists(l =>
         l.contains("Exchange") && !l.contains("RoundRobinPartitioning")),
       "keep filter is above a content exchange — sampling no longer prunes the shuffle:\n" +
-        lines.drop(filterIdx).mkString("\n").take(1200))
+        below.mkString("\n").take(1200))
+    // ... and the RoundRobin exemption is for ONE exchange per input,
+    // sitting DIRECTLY above the scan (r19 ADVICE, low: a blanket
+    // exemption would also pass a repartition() of the exploded window
+    // fan-out, the exact shuffle this pin exists to prune). Scope to
+    // the filter's OWN subtree by indentation (the entry is a
+    // self-join; the sibling branch carries its own input spread), and
+    // between the spread exchange and the scan only narrow
+    // row-preserving ops may appear — no Generate/explode fan-out.
+    def depth(l: String): Int = l.indexOf("+-") match {
+      case -1 => Int.MaxValue; case i => i
+    }
+    val subtree = below.tail.takeWhile(l => depth(l) > depth(below.head))
+    val rrIdx = subtree.zipWithIndex
+      .filter(_._1.contains("RoundRobinPartitioning")).map(_._2)
+    assert(rrIdx.size <= 1,
+      "more than one RoundRobin exchange below the keep filter:\n" +
+        subtree.mkString("\n").take(1200))
+    rrIdx.foreach { i =>
+      val beforeScan = subtree.drop(i + 1)
+        .takeWhile(l => !l.contains("FileScan") && !l.contains("Scan parquet"))
+      assert(!beforeScan.exists(l => l.contains("Generate")),
+        "the input spread no longer sits directly above the scan — a " +
+          "Generate fan-out runs below it:\n" +
+          subtree.drop(i).mkString("\n").take(1200))
+    }
   }
 
   test("cdc_chunk_dedup: documents scan prunes to (doc_id, text); no window operators") {

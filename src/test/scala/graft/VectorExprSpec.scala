@@ -195,6 +195,34 @@ class VectorExprSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType).map(_.toString).toSeq == Seq("x+x", "x"))
   }
 
+  test("kernel literal tables over the task-binary bound are refused with an explanation") {
+    // r19 VERDICT #9: NearestCentroid / PqEncodeCodes serialize their
+    // lookup table into every task binary; the bounded-collect call
+    // sites keep them KB-sized, but nothing used to enforce it — a
+    // caller with nlist=65536 got a 100 MB closure, not an error.
+    val bound = org.apache.spark.sql.graft.KernelLiteralBound.MaxLiteralDoubles
+    val bigCentroids: Seq[(Long, Seq[Double])] =
+      (0L until 2L).map(c => c -> Seq.fill(bound / 2 + 1)(0.0))
+    val e1 = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.NearestCentroid(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)), bigCentroids)
+    }
+    assert(e1.getMessage.contains("task-binary bound") &&
+      e1.getMessage.contains("nearest_centroid"), e1.getMessage)
+    val bigBook: Seq[Seq[Seq[Double]]] =
+      Seq(Seq.fill(2)(Seq.fill(bound / 2 + 1)(0.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.PqEncodeCodes(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)), bigBook)
+    }
+    assert(e2.getMessage.contains("task-binary bound") &&
+      e2.getMessage.contains("pq_encode"), e2.getMessage)
+  }
+
   test("expression compiles under whole-stage codegen (no fallback)") {
     // needs a real scan: a local relation of literals gets planned
     // without a WholeStageCodegen subtree at all
