@@ -314,10 +314,21 @@ object Bench {
     // Band is box-specific — override via SPARK_GRAFT_CAL_BAND=lo,hi on
     // different hardware. round_compare.py --driver refuses an artifact
     // carrying this alarm (override: --allow-drift normalizes instead).
+    // Band re-pinned r20 (r18 VERDICT #6 / r19 VERDICT #8) against the
+    // full committed r18-r20 history (BASELINE.md calibration table):
+    // clean pre points read 1.10-2.62 s (46 clean runs across r19/r20
+    // cluster at 1.10-1.95; r17 board 1.50-2.62), contaminated runs
+    // read 3.5-10.4 s. The LOW edge moves 1.2 -> 1.0: r19's final3
+    // (pre 1.10 s, quiet box, builder-verified numbers) was refused by
+    // the old edge for being FAST — a fast window is not a
+    // contamination signature (contamination slows the probe), and an
+    // over-eager refusal costs a usable driver artifact. A truly
+    // different box still refuses (e.g. pre 0.5 or 3.5+). HIGH edge
+    // 3.0 stands: every contaminated point sits above it with margin.
     val calBand = sys.env.get("SPARK_GRAFT_CAL_BAND")
       .map(_.split(",").map(_.trim.toDouble)) match {
         case Some(Array(lo, hi)) => (lo, hi)
-        case _ => (1.2, 3.0)
+        case _ => (1.0, 3.0)
       }
     // IO-probe band (r16 VERDICT #1): the r16 driver artifact was
     // box-contaminated at 2.46x raw with calibration_drift:false — the

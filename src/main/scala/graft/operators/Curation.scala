@@ -253,6 +253,14 @@ object Curation {
     // the sampled-down shuffle, is the single-box bottleneck, and
     // xxhash64 is the cheap non-cryptographic twin (same trade as
     // winnowFingerprint's useXxhash).
+    // Spread kept after the r20 re-measure (r19 VERDICT #3: the
+    // committed r19 artifacts showed +0.46 s coinciding with this
+    // site, the thinnest A/B evidence of the kept set). Interleaved
+    // solo A/B, 3 reps/side, all probes clean: spread-on
+    // 2.001/1.908/1.633 vs spread-off 1.937/2.088/1.627 — min-of-3
+    // 1.633 vs 1.627, FLAT. The r19 delta was environmental; the
+    // md5-grid kernel is the same heavy shape as the unsampled twin's
+    // (a measured spread win), and the exchange costs nothing here.
     val fpGrid = Par.spread(docs)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)

@@ -430,7 +430,27 @@ object Dedup {
       bandedBuckets(
         sigs.getOrElse(minhashSignaturesFast(df, idCol, textCol, shingleLen, numPerm)),
         bands, rowsPerBand)
-    val incBuckets = buckets(increment, None)
+    // r20 (VERDICT #6): the increment's signature+band build feeds
+    // THREE consumers (vs-base candidates, the intra cappedPairs, and
+    // the bounded-mode base prune) and was re-executed by each — the
+    // r19 StageProbe's "~30 fixed-cost stages" profile counted the
+    // same 5k-row shingle+minhash+explode subtree several times. Pin
+    // it once behind an eager localCheckpoint on the BATCH path; the
+    // streaming path (incrementBounded, trigger-sized micro-batches,
+    // byte-equality twin gates) keeps its lazy frame — a per-batch
+    // checkpoint job there costs latency the micro-batch cannot
+    // amortize. Same rows either way. Measured (interleaved solo A/B,
+    // 5 reps/side, dedup_increment+_warm together): FLAT at sf0.1 —
+    // probe-matched pairs read −0.1/−0.2 s for the pin (rep3
+    // 4.180/3.971 vs 4.296/4.068; rep5 4.905/4.457 vs 5.003/4.679),
+    // min-of-5 inconclusive (one old-side rep caught a cool box
+    // window). Kept for the scale shape: the pin removes two full
+    // re-shingles of the increment text per batch, which is real
+    // corpus-pass work once the increment no longer fits a page
+    // cache, while the pinned frame stays increment-bounded.
+    val incBuckets0 = buckets(increment, None)
+    val incBuckets =
+      if (incrementBounded) incBuckets0 else incBuckets0.localCheckpoint()
     // increment vs base: any banded collision that verifies kills the
     // increment doc outright (base always wins) — capped, see
     // [[incBaseCandidates]] and the scaladoc trade.

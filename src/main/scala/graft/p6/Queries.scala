@@ -378,6 +378,17 @@ object Queries {
     * reproduce it byte-for-byte with no float-formatting hazards.
     */
   private def p6PhenopacketJson(s: SparkSession, dir: String): DataFrame = {
+    // r20 NOTE (tried, measured SLOWER, reverted): the StageProbe put
+    // 1.4 s of warm task time (276k records through the mapper chains)
+    // in FIVE tasks on a 32-core box, so Par.spread on the five sheet
+    // scans was tried (safe here — canonical content-sorted bundles,
+    // no arrival-order id for a repartition to disturb; oracle passed
+    // at sf0.001 + sf0.01). The interleaved kill-switch A/B refuted
+    // it: spread-on 2.812/2.822/3.019 vs off 2.487/2.270/2.114 s solo
+    // (all probes clean) — five exchanges of wide raw sheet rows cost
+    // more than the mapper parallelism saves, the same verdict the
+    // r19 matrix gave the light-kernel token paths. At multi-split
+    // production scale the condition is false anyway.
     val g = Mappers.mapGenotypeTable(genotypeSheet(t(s, dir, "part")))
     val p = Mappers.mapPhenotypeTable(phenotypeSheet(t(s, dir, "documents")))
     val d = Mappers.mapDiseaseTable(diseaseSheet(t(s, dir, "orders")))
@@ -1309,8 +1320,15 @@ object Queries {
     val increment = docs.filter(col("doc_id") % 5 === 0).unionByName(planted)
     val kept = Dedup.dedupIncrement(base, increment, "doc_id", "text",
       jaccardThreshold = 0.5)
-    increment.agg(count(lit(1)).as("n_increment"))
-      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    // r20 (VERDICT #6): n_increment and n_planted fold into ONE pass
+    // over the increment — a planted row is exactly an increment row
+    // in the shifted id band (doc_id % 1e9 >= 1e7), the same
+    // classifier n_planted_alive already uses — instead of a second
+    // aggregate subtree re-deriving the planted frame from the base
+    // scan. Same four output values (oracle-verified).
+    increment.agg(count(lit(1)).as("n_increment"),
+        coalesce(sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_planted"))
       .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
         sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
           .otherwise(0L)).as("n_planted_alive")))
@@ -1365,8 +1383,15 @@ object Queries {
     val increment = docs.filter(col("doc_id") % 5 === 0).unionByName(planted)
     val kept = Dedup.dedupIncrement(base, increment, "doc_id", "text",
       jaccardThreshold = 0.5, baseSigs = Some(baseSigs))
-    increment.agg(count(lit(1)).as("n_increment"))
-      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+    // r20 (VERDICT #6): n_increment and n_planted fold into ONE pass
+    // over the increment — a planted row is exactly an increment row
+    // in the shifted id band (doc_id % 1e9 >= 1e7), the same
+    // classifier n_planted_alive already uses — instead of a second
+    // aggregate subtree re-deriving the planted frame from the base
+    // scan. Same four output values (oracle-verified).
+    increment.agg(count(lit(1)).as("n_increment"),
+        coalesce(sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_planted"))
       .crossJoin(kept.agg(count(lit(1)).as("n_survivors"),
         sum(when(col("doc_id") % 1000000000L >= 10000000L, 1L)
           .otherwise(0L)).as("n_planted_alive")))
@@ -2573,6 +2598,21 @@ object Queries {
     // no spread: each round re-checkpoints the corpus anyway, and the
     // r19 A/B matrix measured the up-front exchange net-negative
     // across all 6 rounds (bpe_train 1.41 off vs 2.83 on)
+    //
+    // r20 NOTE (VERDICT #7, tried, measured SLOWER, reverted): the
+    // candidate fusion — ONE base checkpoint, each round's pair count
+    // reading it through the narrow chain of i merge kernels (the
+    // rewrite pipelined into the count stage; half the corpus passes,
+    // none of the per-round materialization jobs) — was implemented,
+    // oracle-verified (bpe_train + bpe_encode pass at sf0.001 AND
+    // sf0.01), and REFUTED by the interleaved A/B (3 reps/side, all
+    // probes clean, min-of-3): fused bpe_train 1.509 / bpe_encode
+    // 1.894 vs per-round-checkpoint 1.376 / 1.645 s. At this corpus
+    // size the 0+1+..+5 = 15 serial in-pipeline kernel re-passes (the
+    // base checkpoint is a single partition) cost more than the 6
+    // eager materialization jobs they replace. At a scale where the
+    // corpus no longer fits per-round checkpoints, the fused shape is
+    // the right one — re-measure there (the page_rank r19 pattern).
     var corpus = t(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
       .select(Dedup.tokens(col("text")).as("t"))

@@ -44,7 +44,11 @@ object ContainmentStreamGate {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chainMode = args.length > 1 && args(1) == "chain"
-    val batchDocs = if (args.length > 2) args(2).toInt else 500
+    val cadenceMode = args.length > 1 && args(1) == "cadence"
+    // cadence mode reuses the arg-2 slot for its tier list — don't
+    // parse it as a batch size there
+    val batchDocs =
+      if (!cadenceMode && args.length > 2) args(2).toInt else 500
     val spark = graft.ExecMode.builder()
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
@@ -65,6 +69,119 @@ object ContainmentStreamGate {
       EventStreams.containmentIncrementBatch(df, id, store,
         "doc_id", "text", 3, 5, graft.operators.Dedup.DefaultMaxPosting)
       (System.nanoTime() - b0) / 1e9
+    }
+
+    // CADENCE mode (r19 VERDICT #2 — the twice-deferred campaign):
+    // measure everything the cost-per-ingested-doc curve of a fold
+    // cadence k needs, on ONE evolving store per tier, exactly the
+    // state sequence a real cadence produces:
+    //   - per-batch cost at ~0 pending parts, then at each pending
+    //     count P in `pendings` (the LATE-cycle cost of cadence k=P),
+    //     one timed probe per requested batch size;
+    //   - the minor fold that folds those P pending parts (the
+    //     once-per-cycle cost, O(new data) by design);
+    //   - one major fold at the end (the O(store) reference point;
+    //     SPARK_GRAFT_CADENCE_MAJOR=off skips it on huge tiers).
+    // cost/doc(k, D) = [sum of per-batch costs across the cycle +
+    // minorFold(k*D)] / (k*D) — assembled in BASELINE.md from these
+    // raw points. Pending parts are written in store format (the
+    // chain-mode methodology); the timed probes run the REAL
+    // containmentIncrementBatch.
+    // Run: SPARK_GRAFT_SHUFFLE=64 sbt "runMain graft.tools.ContainmentStreamGate \
+    //        target/scale/sf1 cadence [tiers=10] [pendings=8,32,128] [sizes=2000,10000]"
+    if (cadenceMode) {
+      val tiers = (if (args.length > 2) args(2) else "10")
+        .split(",").map(_.trim.toInt).toSeq
+      val pendings = (if (args.length > 3) args(3) else "8,32,128")
+        .split(",").map(_.trim.toInt).toSeq.sorted
+      val sizes = (if (args.length > 4) args(4) else "2000,10000")
+        .split(",").map(_.trim.toInt).toSeq
+      val doMajor = sys.env.getOrElse("SPARK_GRAFT_CADENCE_MAJOR", "on") != "off"
+      val baseN = docs.count()
+      val maxTag = 2000L
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      tiers.foreach { reps =>
+        val label = s"base_${reps}x"
+        val base = if (reps <= 1) docs
+          else (0 until reps).map(r => docs.select(
+              (col("doc_id") + r.toLong * 100000000L).as("doc_id"),
+              col("text"))).reduce(_.unionByName(_))
+        val store = new java.io.File(root, s"cadence_$label").getAbsolutePath
+        val s0 = System.nanoTime()
+        EventStreams.seedContainmentBase(base, "doc_id", "text", store,
+          minePairs = false)
+        val seedSec = (System.nanoTime() - s0) / 1e9
+        val dfByG = spark.read.parquet(s"$store/docs/batch=base")
+          .select(explode(col("sh")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var tag = 0L
+        var pending = 0 // parts committed since the last fold
+        def novelC(n: Int): org.apache.spark.sql.DataFrame = {
+          require(tag <= maxTag, s"cadence tag $tag over the novel-band ceiling")
+          spark.range(n).select(
+            (col("id") + 20000000000L + 10000000L * tag).as("doc_id"),
+            concat(lit(s"novel batch $tag doc "), col("id"),
+              lit(" alpha beta gamma delta epsilon")).as("text"))
+        }
+        def writePending(n: Int, d: Int): Unit = (0 until n).foreach { _ =>
+          val rows = novelC(d)
+          val sh = graft.operators.Dedup
+            .containmentShingles(rows, "doc_id", "text", 3, 5)
+          sh.write.mode("overwrite").parquet(s"$store/docs/batch=b$tag")
+          sh.select(size(col("sh")).as("nsh"), col("doc_id"),
+              explode(col("sh")).as("g"))
+            .select(col("g"), col("doc_id"), col("nsh"))
+            .sortWithinPartitions("g")
+            .write.mode("overwrite").parquet(s"$store/postings/batch=b$tag")
+          graft.operators.Dedup.containmentPrefixRows(sh, dfByG)
+            .write.mode("overwrite").parquet(s"$store/prefix/batch=b$tag")
+          tag += 1; pending += 1
+        }
+        def live(): Long = DedupStore.readLive(spark, store, "docs")
+          .select(col("batch")).distinct().count()
+        def probe(d: Int): Double = {
+          val sec = batch(store, novelC(d), tag); tag += 1; pending += 1; sec
+        }
+        // warm-up probe (JIT/plan compile), then the ~0-pending points
+        probe(sizes.head)
+        val atZero = sizes.map(d => d -> probe(d))
+        val perPending = pendings.map { p =>
+          writePending(math.max(0, p - pending), sizes.head)
+          val lv = live()
+          val probes = sizes.map(d => d -> probe(d))
+          val f0 = System.nanoTime()
+          EventStreams.containmentCompact(spark, store, tag - 1,
+            foldBase = false)
+          val foldSec = (System.nanoTime() - f0) / 1e9
+          val folded = pending; pending = 0
+          (p, lv, probes, foldSec, folded)
+        }
+        val majorSec =
+          if (!doMajor) None
+          else {
+            writePending(2, sizes.head) // a major with nothing pending is a no-op
+            val f0 = System.nanoTime()
+            EventStreams.containmentCompact(spark, store, tag - 1,
+              foldBase = true)
+            Some((System.nanoTime() - f0) / 1e9)
+          }
+        dfByG.unpersist(false)
+        val zeroJson = atZero.map { case (d, s) =>
+          s""""docs$d":${r1(s)}""" }.mkString("{", ",", "}")
+        val pendJson = perPending.map { case (p, lv, probes, foldSec, folded) =>
+          val pr = probes.map { case (d, s) => s""""docs$d":${r1(s)}""" }
+            .mkString("{", ",", "}")
+          s""""pending$p":{"live_parts":$lv,"batch_sec":$pr,"minor_fold_sec":${r1(foldSec)},"folded_parts":$folded}"""
+        }.mkString(",")
+        out += s""""$label":{"base_docs":${baseN * math.max(1, reps)},"seed_sec":${r1(seedSec)},"batch_sec_at_seed":$zeroJson,$pendJson""" +
+          majorSec.fold("")(m => s""","major_fold_sec":${r1(m)}""") + "}"
+      }
+      println(out.mkString(
+        s"""{"gate":"containment_cadence","sf":"$sfDir","sizes":[${sizes.mkString(",")}],""",
+        ",", "}"))
+      spark.stop()
+      return
     }
 
     if (chainMode) {
